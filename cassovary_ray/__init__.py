@@ -1,0 +1,26 @@
+"""cassovary_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch reimplementation of the query/data-processing capabilities of
+twitter/cassovary (reference at /root/reference, Scala/JVM, single-machine
+in-memory CSR graphs) re-expressed Ray-Data-first:
+
+- the graph is an **edge table** ``ray.data.Dataset`` with schema
+  ``(src: int64, dst: int64)`` derived from a Common-Crawl-style pages table
+  ``(url, warc_ts, html, text, lang)`` — urls hashed to stable int64 vertex
+  ids (no global dense renumber; contrast the reference's
+  ``util/SequentialNodeNumberer.scala``),
+- iterative algorithms (PageRank, WCC, label propagation, HITS) run as
+  streaming rounds of ``map_batches`` gather-scatter over zero-copy Arrow
+  batches followed by a ``groupby(dst)`` shuffle that combines partial
+  contributions (semantics cloned from
+  ``algorithms/linkanalysis/LinkAnalysis.scala`` / ``PageRank.scala``),
+- one-shot analytics (degrees, triangles, similarity, mutual edges) are pure
+  Dataset pipelines (joins + groupbys + sort/limit).
+
+Nothing here calls ``ray.init()`` — the caller (driver, bench.py, pytest
+fixture) owns the Ray session.
+"""
+
+__version__ = "0.1.0"
+
+from cassovary_ray.hashing import hash64, hash64_batch, splitmix64  # noqa: F401

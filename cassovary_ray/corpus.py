@@ -1,0 +1,220 @@
+"""Deterministic synthetic corpus: toy graphs, random graphs, and a
+Common-Crawl-style ``pages`` table whose html encodes a known link graph.
+
+The reference ships canonical toy fixtures g1..g7 with explicit adjacency
+(``cassovary-core/src/main/scala/com/twitter/cassovary/graph/TestGraph.scala:57-153``)
+and seeded Erdős–Rényi generators (``TestGraph.scala:270-323``). We port the
+adjacency maps verbatim (FIXTURES.md §3) and replace the sequential
+``scala.util.Random`` generators with counter-based RNG
+(:func:`cassovary_ray.hashing.counter_rng_uniform`) so that graph synthesis is
+deterministic at any parallelism level.
+
+The ``pages`` table matches ``BASELINE.json`` ``input_hint``:
+``(url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string)``.
+Each page's html contains one ``<a href=...>`` per out-edge, so the extracted
+edge table equals the chosen toy graph exactly (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+from cassovary_ray.hashing import counter_rng_uniform, hash64
+
+# ---------------------------------------------------------------------------
+# Toy graph fixtures — adjacency cloned from graph/TestGraph.scala (see lines
+# cited per graph in FIXTURES.md §3). Keys are node ids, values out-neighbors.
+# ---------------------------------------------------------------------------
+
+TOY_GRAPHS: dict[str, dict[int, list[int]]] = {
+    # TestGraph.scala:60-63 / :65-68
+    "g2_mutual": {1: [2], 2: [1]},
+    "g2_nonmutual": {1: [2], 2: []},
+    # TestGraph.scala:81-85
+    "g3": {10: [11, 12], 11: [12], 12: [11]},
+    # TestGraph.scala:70-79 — chain with dangling end
+    "g3_dangling": {0: [1], 1: [2], 2: []},
+    # TestGraph.scala:87-93
+    "g5": {10: [11, 12, 13], 11: [12], 12: [11], 13: [14], 14: []},
+    # TestGraph.scala:115-122 — the main golden graph
+    "g6": {10: [11, 12, 13], 11: [12, 14], 12: [14], 13: [12, 14], 14: [15], 15: [10, 11]},
+    # TestGraph.scala:124-127 — g6 plus isolated nodes 0 and 1
+    "g6_empty": {0: [], 1: [], 10: [11, 12, 13], 11: [12, 14], 12: [14],
+                 13: [12, 14], 14: [15], 15: [10, 11]},
+    # TestGraph.scala:95-113
+    "dangling_g7": {1: [2], 2: [3, 4], 3: [], 4: [], 5: [6], 6: [1, 2, 7], 7: []},
+    # TestGraph.scala:140-152
+    "g7": {10: [11, 12, 13], 11: [10, 13, 14], 12: [13, 14], 13: [12, 14],
+           14: [10, 11, 15], 15: [10, 11, 16], 16: [15]},
+}
+
+
+def complete_graph(n: int) -> dict[int, list[int]]:
+    """Complete digraph on nodes 1..n — every node follows every other.
+
+    Mirrors ``TestGraphs.generateCompleteGraph`` (``TestGraph.scala:238-245``);
+    closed-form triangle count n(n-1)(n-2)/6 used for validation
+    (``TriangleCountSpec.scala:75-88``).
+    """
+    return {i: [j for j in range(1, n + 1) if j != i] for i in range(1, n + 1)}
+
+
+def er_graph(n: int, p: float, seed: int = 1, mutual: bool = False) -> dict[int, list[int]]:
+    """Erdős–Rényi directed graph on nodes 0..n-1, edge prob p, no self-loops.
+
+    Counter-RNG replacement for ``TestGraphs.generateRandomGraph``
+    (``TestGraph.scala:270-281``) / ``generateRandomUndirectedGraph`` (:289-323):
+    edge (i,j) present iff U(seed, i*n+j) < p, deterministic at any parallelism.
+    When ``mutual`` both directions are added for each sampled unordered pair.
+    """
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    if mutual:
+        for i in range(n):
+            js = np.arange(i + 1, n, dtype=np.int64)
+            if len(js) == 0:
+                continue
+            u = counter_rng_uniform(seed, np.int64(i) * n + js, 0)
+            for j in js[u < p]:
+                adj[i].append(int(j))
+                adj[int(j)].append(i)
+    else:
+        for i in range(n):
+            js = np.arange(n, dtype=np.int64)
+            js = js[js != i]
+            u = counter_rng_uniform(seed, np.int64(i) * n + js, 0)
+            adj[i] = [int(j) for j in js[u < p]]
+    return adj
+
+
+def graph_to_edges(adj: dict[int, list[int]]) -> pa.Table:
+    """Adjacency map → edge table ``(src:int64, dst:int64)``.
+
+    Nodes with no out-edges contribute no rows; they survive as dst-only or
+    (for isolated nodes) must be carried via an explicit vertex table — same
+    "implicit node" semantics as ``ArrayBasedDirectedGraph.markEmptyNodes``.
+    """
+    src, dst = [], []
+    for u, nbrs in sorted(adj.items()):
+        for v in nbrs:
+            src.append(u)
+            dst.append(v)
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def graph_vertices(adj: dict[int, list[int]]) -> list[int]:
+    verts = set(adj.keys())
+    for nbrs in adj.values():
+        verts.update(nbrs)
+    return sorted(verts)
+
+
+# ---------------------------------------------------------------------------
+# Pages table synthesis (input_hint schema)
+# ---------------------------------------------------------------------------
+
+URL_PREFIX = "https://ex.test/"
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def node_url(node_id: int) -> str:
+    return f"{URL_PREFIX}{node_id}"
+
+
+def node_vertex_id(node_id: int) -> int:
+    """int64 vertex id of a toy node = hash64 of its fixture url."""
+    return hash64(node_url(node_id))
+
+
+def _page_html(node_id: int, nbrs: list[int]) -> bytes:
+    links = "\n".join(f'<p>see <a href="/{v}">node {v}</a>.</p>' for v in nbrs)
+    return (
+        f"<html><head><title>Node {node_id}</title>"
+        f"<script>var x = {node_id};</script>"
+        f"<style>p {{ margin: 0 }}</style></head>\n"
+        f"<body><h1>Page for node {node_id}</h1>\n{links}\n"
+        f"<p>End of node {node_id}.</p></body></html>"
+    ).encode("utf-8")
+
+
+def pages_table_for_graph(adj: dict[int, list[int]]) -> pa.Table:
+    """Synthesize a pages table whose extracted link graph equals ``adj``.
+
+    Every vertex (including dst-only / isolated ones) gets a page so the
+    vertex universe derived from pages equals ``graph_vertices(adj)``.
+    Deterministic: fixed timestamps, html a pure function of (id, neighbors).
+    """
+    from cassovary_ray.extract import extract_text  # circular-safe local import
+
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for node in graph_vertices(adj):
+        nbrs = adj.get(node, [])
+        html = _page_html(node, nbrs)
+        rows["url"].append(node_url(node))
+        rows["warc_ts"].append(_EPOCH + datetime.timedelta(seconds=node))
+        rows["html"].append(html)
+        rows["text"].append(extract_text(html))
+        rows["lang"].append("en")
+    return pa.table(rows, schema=PAGES_SCHEMA)
+
+
+def write_pages_parquet(path: str, adj: dict[int, list[int]]) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(pages_table_for_graph(adj), path)
+
+
+# ---------------------------------------------------------------------------
+# Scalable synthetic edge corpus for benchmarks (power-law web-ish graph)
+# ---------------------------------------------------------------------------
+
+
+def powerlaw_edge_batch(
+    k: np.ndarray, n_vertices: int, seed: int, alpha: float = 0.7
+) -> dict[str, np.ndarray]:
+    """Edges with indices ``k`` of a deterministic power-law directed graph.
+
+    Edge k: src uniform over vertices; dst drawn from an approximate Zipf by
+    inverse-CDF ``floor(n * u^(1/(1-alpha)))`` truncated to [0, n) — so a few
+    hub vertices receive a large share of in-edges, reproducing the web's
+    in-degree skew (the skew case the engine's salting must handle, SURVEY §4).
+    Pure function of (k, seed): any worker can generate any slice.
+    """
+    k = np.asarray(k, dtype=np.int64)
+    u_src = counter_rng_uniform(seed, k, 0)
+    u_dst = counter_rng_uniform(seed, k, 1)
+    src = (u_src * n_vertices).astype(np.int64)
+    dst = np.minimum(
+        (n_vertices * np.power(u_dst, 1.0 / (1.0 - alpha))).astype(np.int64),
+        n_vertices - 1,
+    )
+    # shift self-loops (same trick as TestGraph.scala:276-277's index shift)
+    self_loop = src == dst
+    dst[self_loop] = (dst[self_loop] + 1) % n_vertices
+    return {"src": src, "dst": dst}
+
+
+def powerlaw_edges_dataset(n_edges: int, n_vertices: int, seed: int = 42, alpha: float = 0.7):
+    """Distributed deterministic generator → ``Dataset(src:int64, dst:int64)``."""
+    import ray.data
+
+    def gen(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return powerlaw_edge_batch(batch["id"], n_vertices, seed, alpha)
+
+    return (
+        ray.data.range(n_edges)
+        .map_batches(gen, batch_format="numpy", batch_size=1 << 20)
+        .select_columns(["src", "dst"])
+    )

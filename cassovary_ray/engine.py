@@ -1,0 +1,649 @@
+"""Sharded CSR graph engine — stateful actor pool + BSP rounds.
+
+The reference holds the whole graph in one JVM heap as 256 hash-sharded CSR
+arrays (``graph/SharedArrayBasedDirectedGraph.scala:22-28,75-209``) and runs
+iterative algorithms single-threaded over it
+(``algorithms/linkanalysis/LinkAnalysis.scala:87-109``, ``PageRank.scala:45``).
+Here each hash-partition of the edge layout (:mod:`cassovary_ray.layout`)
+materializes its CSR **inside one Ray actor**, and each iteration is a
+bulk-synchronous round:
+
+    scatter:  every shard turns its local edges into per-destination-partition
+              partial aggregates (sum for PageRank/HITS, min for WCC,
+              (label,count) pairs for LP) with pure numpy ``reduceat`` kernels
+              — this per-sender pre-combine IS the combiner: a hub vertex with
+              10^9 in-edges receives at most P partials, one per shard, so
+              power-law in-degree skew is structurally flattened (no single
+              reducer ever sees a hub's raw in-edge list; cf. SURVEY §4 skew
+              row — this replaces per-key salting for the iteration loop).
+    apply:    the owner of each destination partition merges the ≤P partials
+              into its vertex state and reports (error contribution, lineage).
+
+The driver holds only scalars (iteration, error, dangling mass) and the
+lineage log. Contribution payloads travel shard→shard through the object
+store as separate return objects (``num_returns=P``) — the driver never
+touches them. Between round r's apply and round r+1's scatter the only
+global synchronization is the convergence test, same as
+``LinkAnalysis.run``'s termination predicate (``LinkAnalysis.scala:98-100``).
+
+Determinism: partition count P fixes the reduction grouping, so floating
+point sums are bit-reproducible for a given P and within 1e-6 of the
+reference's sequential sums (north rule tolerance). Integer algorithms (WCC,
+LP) use only min/count/argmax reductions and are exactly reproducible at any
+parallelism.
+
+Fault tolerance / resume: shard state is a pure function of (layout dir,
+part id) plus the last checkpoint; ``checkpoint()`` writes per-partition
+parquet + a manifest committed by atomic rename, and ``load()`` restarts
+from the newest complete manifest (SURVEY §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from cassovary_ray.layout import read_layout_manifest, read_partition
+
+# ---------------------------------------------------------------------------
+# numpy CSR-scatter kernel shared by all algorithms
+# ---------------------------------------------------------------------------
+
+
+class _Scatter:
+    """Per-shard edge structure pre-sorted for destination-partition scatter.
+
+    Built once in the actor (``__init__``-time work, per the reference's
+    build-then-iterate split, ``SharedArrayBasedDirectedGraph.scala:75-209``):
+
+    - ``src_pos``: per edge, index of its src in the shard's owned-vertex
+      array (int32 — P is chosen so a shard holds < 2^31 vertices).
+    - edges sorted by (dst % P, dst); ``seg_starts`` marks each distinct dst
+      (``np.add.reduceat`` segment boundaries), ``uniq_dst`` the distinct
+      dsts, ``part_ptr[q]:part_ptr[q+1]`` the slice of segments whose dst
+      lives in partition q.
+    - ``out_deg``: out-degree per owned vertex (the ``outboundCount`` of
+      ``PageRank.scala:55-68``).
+    """
+
+    __slots__ = ("num_parts", "src_pos", "seg_starts", "uniq_dst", "part_ptr", "out_deg", "n_edges")
+
+    def __init__(self, src: np.ndarray, dst: np.ndarray, verts: np.ndarray, num_parts: int):
+        self.num_parts = num_parts
+        self.n_edges = len(src)
+        src_pos_all = np.searchsorted(verts, src).astype(np.int32)
+        self.out_deg = np.bincount(src_pos_all, minlength=len(verts)).astype(np.int64)
+        dpart = dst % num_parts
+        order = np.lexsort((dst, dpart))
+        dst_sorted = dst[order]
+        self.src_pos = src_pos_all[order]
+        if len(dst_sorted):
+            new_seg = np.r_[True, dst_sorted[1:] != dst_sorted[:-1]]
+        else:
+            new_seg = np.zeros(0, dtype=bool)
+        self.seg_starts = np.flatnonzero(new_seg)
+        self.uniq_dst = dst_sorted[self.seg_starts]
+        uniq_part = self.uniq_dst % num_parts
+        self.part_ptr = np.searchsorted(uniq_part, np.arange(num_parts + 1))
+
+    def segment_sums(self, per_edge_vals: np.ndarray) -> np.ndarray:
+        if len(self.seg_starts) == 0:
+            return np.zeros(0, dtype=per_edge_vals.dtype)
+        return np.add.reduceat(per_edge_vals, self.seg_starts)
+
+    def segment_mins(self, per_edge_vals: np.ndarray) -> np.ndarray:
+        if len(self.seg_starts) == 0:
+            return np.zeros(0, dtype=per_edge_vals.dtype)
+        return np.minimum.reduceat(per_edge_vals, self.seg_starts)
+
+    def slice_for_part(self, sums: np.ndarray, q: int, with_ids: bool):
+        lo, hi = self.part_ptr[q], self.part_ptr[q + 1]
+        if with_ids:
+            return (self.uniq_dst[lo:hi], sums[lo:hi])
+        return sums[lo:hi]
+
+    def per_part(self, sums: np.ndarray, with_ids: bool):
+        """Payloads per destination partition. With P == 1 Ray's
+        ``num_returns=1`` stores the whole return as one object, so return
+        the single payload unwrapped."""
+        parts = tuple(self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts))
+        return parts if self.num_parts > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# The shard actor
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class GraphShard:
+    """One hash-partition of the graph: owned vertices + their out-edges
+    (and, when the algorithm gathers, the reversed layout's edges).
+
+    The actor is the Ray analogue of one of the reference's 256 EdgeShards
+    plus the slice of per-node ``Array[Double]`` state those ids index
+    (``PageRank.scala:38``, ``Hits.scala:35-39``).
+    """
+
+    def __init__(self, part: int, num_parts: int, layout_dir: str, reverse_layout_dir: str | None = None):
+        self.part = part
+        self.num_parts = num_parts
+        self.layout_dir = layout_dir
+        vt = read_partition(layout_dir, "vertices", part, ["vertex"])
+        self.verts = np.sort(vt["vertex"].to_numpy(zero_copy_only=False))
+        et = read_partition(layout_dir, "edges", part, ["src", "dst"])
+        self.fwd = _Scatter(
+            et["src"].to_numpy(zero_copy_only=False),
+            et["dst"].to_numpy(zero_copy_only=False),
+            self.verts,
+            num_parts,
+        )
+        self.rev = None
+        if reverse_layout_dir is not None:
+            rt = read_partition(reverse_layout_dir, "edges", part, ["src", "dst"])
+            self.rev = _Scatter(
+                rt["src"].to_numpy(zero_copy_only=False),
+                rt["dst"].to_numpy(zero_copy_only=False),
+                self.verts,
+                num_parts,
+            )
+        # vertex state vectors, keyed by name ("rank", "comp", "label", ...)
+        self.state: dict[str, np.ndarray] = {}
+        # cached searchsorted positions of each sender's uniq dst ids, per
+        # (layout, sender) — ids are round-invariant, so computed once.
+        self._pos_cache: dict[tuple[str, int], np.ndarray] = {}
+
+    # -- generic info ------------------------------------------------------
+
+    def counts(self) -> tuple[int, int, int]:
+        n_dangling = int((self.fwd.out_deg == 0).sum())
+        return len(self.verts), self.fwd.n_edges, n_dangling
+
+    def get_state_table(self, name: str, column: str) -> pa.Table:
+        return pa.table({"vertex": pa.array(self.verts, pa.int64()),
+                         column: pa.array(self.state[name])})
+
+    def _positions(self, kind: str, sender: int, ids: np.ndarray | None) -> np.ndarray:
+        key = (kind, sender)
+        if ids is not None:
+            pos = np.searchsorted(self.verts, ids).astype(np.int64)
+            self._pos_cache[key] = pos
+        return self._pos_cache[key]
+
+    # -- PageRank ----------------------------------------------------------
+
+    def pr_init(self, n_total: int) -> float:
+        """rank = 1/n for every existing vertex (``PageRank.scala:80-83``);
+        returns this shard's dangling rank mass."""
+        self.state["rank"] = np.full(len(self.verts), 1.0 / n_total)
+        return float(self.state["rank"][self.fwd.out_deg == 0].sum())
+
+    def pr_scatter(self, damping: float, first_round: bool):
+        """Per-destination-partition partial sums of d·r(u)/outdeg(u)
+        (the scatter loop of ``PageRank.scala:104-109``)."""
+        rank = self.state["rank"]
+        coef = np.where(self.fwd.out_deg > 0, damping * rank / np.maximum(self.fwd.out_deg, 1), 0.0)
+        sums = self.fwd.segment_sums(coef[self.fwd.src_pos])
+        return self.fwd.per_part(sums, first_round)
+
+    def pr_apply(self, base: float, *incoming) -> tuple[float, float]:
+        """new rank = Σ partials + dampingAmount + dangleSum for every owned
+        vertex (``PageRank.scala:104-109``); returns (T1 error contribution,
+        new dangling rank mass)."""
+        old = self.state["rank"]
+        new = np.full(len(self.verts), base)
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, sums = payload
+                pos = self._positions("fwd", sender, ids)
+            else:
+                sums = payload
+                pos = self._positions("fwd", sender, None)
+            if len(sums):
+                new[pos] += sums
+        err = float(np.abs(new - old).sum())
+        self.state["rank"] = new
+        return err, float(new[self.fwd.out_deg == 0].sum())
+
+    def checkpoint_state(self, name: str, column: str, out_dir: str, tag: str) -> dict:
+        """Write this shard's state vector to parquet (tmp + atomic rename);
+        returns a lineage record (SURVEY §4 checkpoint row)."""
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{tag}-part{self.part:05d}.parquet")
+        tmp = path + ".tmp"
+        tbl = self.get_state_table(name, column)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        vals = self.state[name]
+        return {
+            "part": self.part,
+            "rows": len(vals),
+            "sum": float(vals.sum()) if vals.dtype.kind == "f" else int(vals.sum()),
+            "path": path,
+        }
+
+    def load_state(self, name: str, column: str, path: str) -> int:
+        tbl = pq.read_table(path)
+        v = np.sort(tbl["vertex"].to_numpy(zero_copy_only=False))
+        if not np.array_equal(v, self.verts):
+            raise ValueError(f"checkpoint vertex set mismatch for part {self.part}")
+        order = np.argsort(tbl["vertex"].to_numpy(zero_copy_only=False))
+        self.state[name] = tbl[column].to_numpy(zero_copy_only=False)[order]
+        return len(self.verts)
+
+    def pr_dangling_sum(self) -> float:
+        return float(self.state["rank"][self.fwd.out_deg == 0].sum())
+
+    # -- WCC (hash-min label propagation; SURVEY §2.5 WCC row) -------------
+
+    def wcc_init(self) -> None:
+        self.state["comp"] = self.verts.copy()
+
+    def wcc_scatter(self, first_round: bool):
+        comp = self.state["comp"]
+        mins = self.fwd.segment_mins(comp[self.fwd.src_pos])
+        return self.fwd.per_part(mins, first_round)
+
+    def wcc_apply(self, *incoming) -> int:
+        comp = self.state["comp"]
+        changed_any = np.zeros(len(comp), dtype=bool)
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, mins = payload
+                pos = self._positions("fwd", sender, ids)
+            else:
+                mins = payload
+                pos = self._positions("fwd", sender, None)
+            if len(mins):
+                cur = comp[pos]
+                better = mins < cur
+                if better.any():
+                    comp[pos[better]] = mins[better]
+                    changed_any[pos[better]] = True
+        return int(changed_any.sum())
+
+    # -- Label propagation (mode of neighbor labels, smallest-label ties) --
+
+    def lp_init(self, seed_tables: list[pa.Table] | None) -> None:
+        """Default seed: own vertex id. Optional (vertex,label) seed tables
+        override where present (reference node labels, §1.1)."""
+        lab = self.verts.astype(np.int64).copy()
+        if seed_tables:
+            for t in seed_tables:
+                ids = t["vertex"].to_numpy(zero_copy_only=False)
+                vals = t["label"].to_numpy(zero_copy_only=False)
+                mine = (ids % self.num_parts) == self.part
+                pos = np.searchsorted(self.verts, ids[mine])
+                lab[pos] = vals[mine]
+        self.state["label"] = lab
+
+    def lp_scatter(self):
+        """Per-dst-partition (dst, label, count) triples — the partial
+        mode-count combine."""
+        lab = self.state["label"]
+        f = self.fwd
+        # sort (already dst-major) edges within each dst segment by label
+        per_edge_lab = lab[f.src_pos]
+        out = []
+        for q in range(f.num_parts):
+            lo_seg, hi_seg = f.part_ptr[q], f.part_ptr[q + 1]
+            if lo_seg == hi_seg:
+                out.append((np.empty(0, np.int64),) * 3)
+                continue
+            lo = f.seg_starts[lo_seg]
+            hi = f.seg_starts[hi_seg] if hi_seg < len(f.seg_starts) else f.n_edges
+            seg_id = np.searchsorted(f.seg_starts, np.arange(lo, hi), side="right") - 1
+            labs = per_edge_lab[lo:hi]
+            order = np.lexsort((labs, seg_id))
+            s, l = seg_id[order], labs[order]
+            new = np.r_[True, (s[1:] != s[:-1]) | (l[1:] != l[:-1])]
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.r_[starts, len(s)])
+            out.append((f.uniq_dst[s[starts]], l[starts], counts.astype(np.int64)))
+        return tuple(out) if self.num_parts > 1 else out[0]
+
+    def lp_apply(self, *incoming) -> int:
+        """new label(v) = most frequent incoming label, ties → smallest label;
+        vertices with no in-edges keep their label. Deterministic at any P."""
+        ids = np.concatenate([p[0] for p in incoming]) if incoming else np.empty(0, np.int64)
+        if len(ids) == 0:
+            return 0
+        labs = np.concatenate([p[1] for p in incoming])
+        cnts = np.concatenate([p[2] for p in incoming])
+        # merge counts for identical (id, label) across senders
+        order = np.lexsort((labs, ids))
+        ids, labs, cnts = ids[order], labs[order], cnts[order]
+        new = np.r_[True, (ids[1:] != ids[:-1]) | (labs[1:] != labs[:-1])]
+        starts = np.flatnonzero(new)
+        grp_ids = ids[starts]
+        grp_labs = labs[starts]
+        grp_cnts = np.add.reduceat(cnts, starts)
+        # per id: argmax count, tie smallest label → sort by (id, -count, label)
+        order2 = np.lexsort((grp_labs, -grp_cnts, grp_ids))
+        gi, gl = grp_ids[order2], grp_labs[order2]
+        first = np.r_[True, gi[1:] != gi[:-1]]
+        win_ids, win_labs = gi[first], gl[first]
+        pos = np.searchsorted(self.verts, win_ids)
+        lab = self.state["label"]
+        changed = int((lab[pos] != win_labs).sum())
+        lab[pos] = win_labs
+        return changed
+
+    # -- HITS (needs reverse layout; ``Hits.scala:79-103``) ----------------
+
+    def hits_init(self, n_total: int) -> None:
+        self.state["hubs"] = np.full(len(self.verts), 1.0 / n_total)
+        self.state["auth"] = np.zeros(len(self.verts))
+
+    def _sum_scatter(self, scatter: _Scatter, vec: np.ndarray, first_round: bool):
+        sums = scatter.segment_sums(vec[scatter.src_pos])
+        return scatter.per_part(sums, first_round)
+
+    def _sum_apply(self, kind: str, out_name: str, *incoming) -> float:
+        new = np.zeros(len(self.verts))
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, sums = payload
+                pos = self._positions(kind, sender, ids)
+            else:
+                sums = payload
+                pos = self._positions(kind, sender, None)
+            if len(sums):
+                new[pos] += sums
+        self.state[out_name] = new
+        return float(new.max()) if len(new) else 0.0
+
+    def hits_auth_scatter(self, first_round: bool):
+        return self._sum_scatter(self.fwd, self.state["hubs"], first_round)
+
+    def hits_auth_apply(self, *incoming) -> float:
+        return self._sum_apply("fwd", "auth_raw", *incoming)
+
+    def hits_hub_scatter(self, first_round: bool):
+        return self._sum_scatter(self.rev, self.state["auth_raw"], first_round)
+
+    def hits_hub_apply(self, *incoming) -> float:
+        return self._sum_apply("rev", "hubs_raw", *incoming)
+
+    def hits_finish_round(self, hub_max: float, auth_max: float) -> float:
+        """Scale both vectors by the global max (``Hits.scala:53-56,100-101``)
+        and return the T1 hubs-error contribution."""
+        old_hubs = self.state["hubs"]
+        hubs = self.state.pop("hubs_raw")
+        auth = self.state.pop("auth_raw")
+        if hub_max > 0:
+            hubs = hubs / hub_max
+        if auth_max > 0:
+            auth = auth / auth_max
+        self.state["hubs"], self.state["auth"] = hubs, auth
+        return float(np.abs(hubs - old_hubs).sum())
+
+    def hits_sums(self) -> tuple[float, float]:
+        return float(self.state["hubs"].sum()), float(self.state["auth"].sum())
+
+    def hits_normalize(self, hub_sum: float, auth_sum: float) -> None:
+        if hub_sum > 0:
+            self.state["hubs"] = self.state["hubs"] / hub_sum
+        if auth_sum > 0:
+            self.state["auth"] = self.state["auth"] / auth_sum
+
+
+# ---------------------------------------------------------------------------
+# Driver-side engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RoundMetrics:
+    """Per-round lineage/metrics record (SURVEY §4: checkpoint/resume row)."""
+
+    iteration: int
+    error: float
+    wall_s: float
+    extra: dict = field(default_factory=dict)
+
+
+class ShardedGraph:
+    """P CSR shard actors over a partitioned edge layout + round drivers.
+
+    ``iterate-until-converged`` semantics cloned from ``LinkAnalysis.run``
+    (``LinkAnalysis.scala:87-109``): initial error = 100 + tolerance, stop
+    when ``iteration >= max_iterations or error <= tolerance``.
+    """
+
+    def __init__(self, layout_dir: str, *, reverse_layout_dir: str | None = None,
+                 shard_cpus: float = 1.0):
+        self.layout_dir = layout_dir
+        self.has_reverse = reverse_layout_dir is not None
+        man = read_layout_manifest(layout_dir)
+        self.num_parts = man["num_parts"]
+        self.n_vertices = man["n_vertices"]
+        self.n_edges = man["n_edges"]
+        self.shards = [
+            GraphShard.options(num_cpus=shard_cpus).remote(
+                p, self.num_parts, layout_dir, reverse_layout_dir
+            )
+            for p in range(self.num_parts)
+        ]
+        # force construction + surface build errors early
+        counts = ray.get([s.counts.remote() for s in self.shards])
+        self.n_dangling = sum(c[2] for c in counts)
+        self.metrics: list[RoundMetrics] = []
+
+    def shutdown(self) -> None:
+        """Kill the shard actors, releasing their CPU reservations.
+
+        Results returned as Datasets stay valid (the Arrow tables live in the
+        object store, owned by refs the Dataset holds). Call this (or use the
+        ``with`` form) before building another ShardedGraph in the same
+        session — idle actors still reserve ``shard_cpus`` each.
+        """
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False
+
+    # -- helpers -----------------------------------------------------------
+
+    def _state_dataset(self, name: str, column: str):
+        import ray.data
+
+        refs = [s.get_state_table.remote(name, column) for s in self.shards]
+        return ray.data.from_arrow_refs(refs)
+
+    def _exchange(self, scatter_method: str, apply_method: str, first_round: bool,
+                  scatter_args=(), apply_args=()):
+        """One scatter/apply exchange; returns ray.get of all apply results."""
+        P = self.num_parts
+        outs = [
+            getattr(s, scatter_method).options(num_returns=P).remote(*scatter_args)
+            if scatter_method in ("lp_scatter",)
+            else getattr(s, scatter_method).options(num_returns=P).remote(*scatter_args, first_round)
+            for s in self.shards
+        ]
+        if P == 1:
+            outs = [[o] for o in outs]
+        applies = [
+            getattr(self.shards[q], apply_method).remote(*apply_args, *(outs[p][q] for p in range(P)))
+            for q in range(P)
+        ]
+        return ray.get(applies)
+
+    # -- PageRank ----------------------------------------------------------
+
+    def pagerank(
+        self,
+        *,
+        damping: float = 0.85,
+        max_iterations: int | None = 10,
+        tolerance: float = 1e-8,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        resume: bool = False,
+    ):
+        """Distributed PageRank, semantics cloned from ``PageRank.scala:80-113``
+        (defaults d=0.85, maxIter=10, tol=1e-8 per ``PageRank.scala:28-31``).
+
+        Per round: dangling mass ``d·Σ_dangling r(v)/n`` (``:93``), scatter
+        ``d·r(u)/outdeg(u)`` to out-neighbors, every existing vertex adds
+        ``dangleSum + (1-d)/n`` (``:104-109``), T1 error vs previous (``:112``).
+        Returns ``Dataset(vertex, rank)``.
+        """
+        n = self.n_vertices
+        iteration, error = 0, 100.0 + tolerance
+        if resume and checkpoint_dir:
+            ck = latest_checkpoint(checkpoint_dir)
+            if ck is not None:
+                iteration = ck["iteration"]
+                error = ck["error"]
+                paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
+                ray.get([
+                    s.load_state.remote("rank", "rank", paths[p])
+                    for p, s in enumerate(self.shards)
+                ])
+                dangle_total = sum(ray.get([s.pr_dangling_sum.remote() for s in self.shards]))
+            else:
+                dangle_total = sum(ray.get([s.pr_init.remote(n) for s in self.shards]))
+        else:
+            dangle_total = sum(ray.get([s.pr_init.remote(n) for s in self.shards]))
+
+        first = True
+        while not ((max_iterations is not None and iteration >= max_iterations) or error <= tolerance):
+            t0 = time.perf_counter()
+            dangle_sum = damping * dangle_total / n
+            base = dangle_sum + (1.0 - damping) / n
+            res = self._exchange("pr_scatter", "pr_apply", first,
+                                 scatter_args=(damping,), apply_args=(base,))
+            first = False
+            error = sum(r[0] for r in res)
+            dangle_total = sum(r[1] for r in res)
+            iteration += 1
+            wall = time.perf_counter() - t0
+            self.metrics.append(RoundMetrics(iteration, error, wall, {"algo": "pagerank"}))
+            if checkpoint_dir and (iteration % checkpoint_every == 0 or error <= tolerance):
+                self._write_checkpoint(checkpoint_dir, "rank", "rank", iteration, error)
+        return self._state_dataset("rank", "rank")
+
+    def _write_checkpoint(self, ckpt_dir: str, name: str, column: str,
+                          iteration: int, error: float) -> None:
+        tag = f"round{iteration:06d}"
+        lineage = ray.get([
+            s.checkpoint_state.remote(name, column, os.path.join(ckpt_dir, tag), tag)
+            for s in self.shards
+        ])
+        manifest = {
+            "iteration": iteration,
+            "error": error,
+            "name": name,
+            "column": column,
+            "num_parts": self.num_parts,
+            "lineage": lineage,
+        }
+        tmp = os.path.join(ckpt_dir, f".manifest-{tag}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(ckpt_dir, f"manifest-{tag}.json"))
+
+    # -- WCC ---------------------------------------------------------------
+
+    def weakly_connected_components(self, max_iterations: int | None = None):
+        """Hash-min WCC on an **undirected** layout (build with
+        ``undirected=True``); component id = min vertex id (FIXTURES §4).
+        Exact, integer-only. Returns ``Dataset(vertex, component)``."""
+        ray.get([s.wcc_init.remote() for s in self.shards])
+        first, iteration = True, 0
+        while True:
+            t0 = time.perf_counter()
+            changed = sum(self._exchange("wcc_scatter", "wcc_apply", first))
+            first = False
+            iteration += 1
+            self.metrics.append(
+                RoundMetrics(iteration, float(changed), time.perf_counter() - t0, {"algo": "wcc"})
+            )
+            if changed == 0 or (max_iterations is not None and iteration >= max_iterations):
+                break
+        return self._state_dataset("comp", "component")
+
+    # -- Label propagation -------------------------------------------------
+
+    def label_propagation(self, *, seeds=None, max_iterations: int = 20):
+        """Synchronous LP over an undirected layout: new label = mode of
+        neighbor labels, ties → smallest label (FIXTURES §4 LP rules);
+        runs until fixpoint or ``max_iterations``. Returns
+        ``Dataset(vertex, label)``."""
+        seed_tables = None
+        if seeds is not None:
+            seed_tables = [b for b in seeds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        ray.get([s.lp_init.remote(seed_tables) for s in self.shards])
+        iteration = 0
+        while iteration < max_iterations:
+            t0 = time.perf_counter()
+            changed = sum(self._exchange("lp_scatter", "lp_apply", False))
+            iteration += 1
+            self.metrics.append(
+                RoundMetrics(iteration, float(changed), time.perf_counter() - t0, {"algo": "lp"})
+            )
+            if changed == 0:
+                break
+        return self._state_dataset("label", "label")
+
+    # -- HITS --------------------------------------------------------------
+
+    def hits(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8,
+             normalize: bool = True):
+        """HITS, semantics cloned from ``Hits.scala:79-110``: per round
+        auth = Σ in-hub, hubs = Σ out-auth-of-raw-auth, both rescaled by
+        global max; error = T1 on hubs; optional final L1 normalize.
+        Requires a reverse layout. Returns (hubs Dataset, auth Dataset,
+        iterations)."""
+        if not self.has_reverse:
+            raise ValueError("hits() needs a ShardedGraph built with reverse_layout_dir")
+        ray.get([s.hits_init.remote(self.n_vertices) for s in self.shards])
+        iteration, error, first = 0, 100.0 + tolerance, True
+        while not ((max_iterations is not None and iteration >= max_iterations) or error <= tolerance):
+            t0 = time.perf_counter()
+            auth_maxes = self._exchange("hits_auth_scatter", "hits_auth_apply", first)
+            hub_maxes = self._exchange("hits_hub_scatter", "hits_hub_apply", first)
+            first = False
+            hub_max, auth_max = max(hub_maxes), max(auth_maxes)
+            errs = ray.get([s.hits_finish_round.remote(hub_max, auth_max) for s in self.shards])
+            error = sum(errs)
+            iteration += 1
+            self.metrics.append(
+                RoundMetrics(iteration, error, time.perf_counter() - t0, {"algo": "hits"})
+            )
+        if normalize:
+            sums = ray.get([s.hits_sums.remote() for s in self.shards])
+            hub_sum = sum(s[0] for s in sums)
+            auth_sum = sum(s[1] for s in sums)
+            ray.get([s.hits_normalize.remote(hub_sum, auth_sum) for s in self.shards])
+        return (
+            self._state_dataset("hubs", "hubs"),
+            self._state_dataset("auth", "authorities"),
+            iteration,
+        )
+
+
+def latest_checkpoint(ckpt_dir: str) -> dict | None:
+    """Newest complete (atomically committed) checkpoint manifest, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    manifests = sorted(f for f in os.listdir(ckpt_dir) if f.startswith("manifest-"))
+    if not manifests:
+        return None
+    with open(os.path.join(ckpt_dir, manifests[-1])) as f:
+        return json.load(f)

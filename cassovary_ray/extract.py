@@ -1,0 +1,132 @@
+"""Pure, byte-deterministic HTML → (outlinks, text) extraction.
+
+Cassovary has **no** web-page parser anywhere in the repo — it consumes
+pre-built edge lists (SURVEY §2.1, last row). This stage is therefore new
+surface whose contract comes from ``BASELINE.json`` ``input_hint``: the
+extracted text must be *byte-identical per url* across runs and parallelism
+levels. Both functions are pure functions of ``(url, html)`` — no locale, no
+time, no randomness — and are pinned by golden fixtures in
+``tests/test_extract.py``.
+
+Implementation is stdlib-only (``re`` + ``html`` + ``urllib.parse``); the
+regexes are compiled at module import, i.e. once per worker process, so the
+``map_batches`` hot path does no setup work.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+
+from cassovary_ray.hashing import hash64_batch
+
+# href capture: single-, double-, or un-quoted attribute values.
+_HREF_RE = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+# strip script/style bodies entirely, then all tags, then collapse whitespace
+_SCRIPT_STYLE_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_links(url: str, html: bytes) -> list[str]:
+    """All out-link urls of a page, resolved against ``url``, in document order.
+
+    Deterministic normalization: fragment stripped, scheme/host lowercased by
+    ``urlsplit`` round-trip; only http(s) targets kept; self-links preserved
+    (self-loop policy is applied later, at edge-table normalization — mirrors
+    the reference keeping parse and graph policy separate,
+    ``util/io/ListOfEdgesGraphReader.scala:176-189``).
+    """
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html):
+        raw = next(g for g in m.groups() if g is not None)
+        try:
+            href = raw.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            continue
+        href = _htmllib.unescape(href).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        target = urljoin(url, href)
+        parts = urlsplit(target)
+        if parts.scheme not in ("http", "https"):
+            continue
+        out.append(urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, "")))
+    return out
+
+
+def extract_text(html: bytes) -> str:
+    """Visible text of a page: drop script/style/comments/tags, unescape
+    entities, collapse runs of whitespace to single spaces, strip ends."""
+    body = _SCRIPT_STYLE_RE.sub(b" ", html)
+    body = _COMMENT_RE.sub(b" ", body)
+    body = _TAG_RE.sub(b" ", body)
+    text = _htmllib.unescape(body.decode("utf-8", "replace"))
+    return _WS_RE.sub(" ", text).strip()
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: pages batch → edge rows ``(src_url, dst_url)``.
+
+    One output row per extracted link. Stateless; Arrow in / Arrow out.
+    """
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    src, dst = [], []
+    for u, h in zip(urls, htmls):
+        for link in extract_links(u, h):
+            src.append(u)
+            dst.append(link)
+    return pa.table({"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())})
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: pages batch → ``(url, text)`` with freshly
+    extracted text (used by the byte-identity invariant tests and by
+    re-extraction pipelines when the stored ``text`` column is absent)."""
+    urls = batch["url"]
+    texts = pa.array([extract_text(h) for h in batch["html"].to_pylist()], pa.string())
+    return pa.table({"url": urls, "text": texts})
+
+
+def hash_edges_batch(batch: pa.Table) -> pa.Table:
+    """``(src_url, dst_url)`` → ``(src, dst)`` int64 vertex ids via the stable
+    63-bit url hash (replaces ``NodeNumberer``, see ``cassovary_ray.hashing``)."""
+    src = hash64_batch(batch["src_url"].to_pylist())
+    dst = hash64_batch(batch["dst_url"].to_pylist())
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def pages_to_edge_urls(pages_ds):
+    """Dataset(pages) → Dataset(src_url, dst_url)."""
+    return pages_ds.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def pages_to_edges(pages_ds):
+    """Dataset(pages) → Dataset(src:int64, dst:int64) — the engine's edge table."""
+    return pages_to_edge_urls(pages_ds).map_batches(hash_edges_batch, batch_format="pyarrow")
+
+
+def pages_to_vertices(pages_ds):
+    """Dataset(pages) → Dataset(vertex:int64) — one row per page url.
+
+    The vertex universe of a crawl is the set of *crawled* pages plus every
+    link target; engine builds union this with edge endpoints (mirrors
+    ``markEmptyNodes``/``createEmptyNodes``, ``ArrayBasedDirectedGraph.scala:225-281``).
+    """
+
+    def k(batch: pa.Table) -> pa.Table:
+        v = hash64_batch(batch["url"].to_pylist())
+        return pa.table({"vertex": pa.array(v, pa.int64())})
+
+    return pages_ds.map_batches(k, batch_format="pyarrow")

@@ -1,0 +1,153 @@
+"""Hash-partitioned edge-table layout — the on-disk graph representation.
+
+The reference's physical layouts are all single-heap CSR variants
+(``graph/SharedArrayBasedDirectedGraph.scala:22-28`` — 256 shards keyed by
+``id & 255``; ``graph/MemoryMappedDirectedGraph.scala:35-46`` — one binary
+file). Our layout is the distributed analogue: the edge table written as
+**hash-partitioned Parquet** (``part = src % P``, mirroring
+``HashSourceMapper``, ``graph/distributed/Partitioner.scala:41-43``), plus a
+vertex-universe table partitioned the same way. Each partition is read by
+exactly one :class:`cassovary_ray.engine.GraphShard` actor, which builds its
+in-memory CSR from it — deterministically, so a lost actor or a resumed run
+rebuilds identical state from the layout alone.
+
+Writing the layout is the build-time shuffle (SURVEY §2.4): one pass over the
+edges for the partition assignment + parquet write, one ``groupby`` to derive
+the vertex universe (the ``markEmptyNodes`` equivalent,
+``ArrayBasedDirectedGraph.scala:225-243``). Everything downstream (PageRank /
+WCC / LP / HITS rounds) re-reads only its own partition directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count
+
+MANIFEST_NAME = "layout.json"
+
+
+def _add_part_src(batch: pa.Table, num_parts: int) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    part = (src % num_parts).astype(np.int64)
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def _undirect(batch: pa.Table) -> pa.Table:
+    """Edge batch → batch ∪ reversed batch (weak-direction view for WCC/LP)."""
+    fwd = batch.select(["src", "dst"])
+    rev = pa.table({"src": batch["dst"], "dst": batch["src"]})
+    return pa.concat_tables([fwd, rev])
+
+
+def _drop_self_loops(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+
+def build_edge_layout(
+    edges_ds,
+    layout_dir: str,
+    num_parts: int,
+    *,
+    vertices_ds=None,
+    undirected: bool = False,
+    dedup: bool = False,
+    drop_self_loops: bool = False,
+    reverse: bool = False,
+) -> dict:
+    """Write the partitioned graph layout and return its manifest.
+
+    Args:
+        edges_ds: ``Dataset(src: int64, dst: int64)``.
+        layout_dir: output directory (``edges/`` + ``vertices/`` + manifest).
+        num_parts: partition count P; one CSR shard actor per partition.
+        vertices_ds: optional ``Dataset(vertex: int64)`` of explicit vertices
+            (e.g. crawled pages with no out-links); unioned with edge
+            endpoints — the ``createEmptyNodes`` semantics
+            (``ArrayBasedDirectedGraph.scala:267-281``).
+        undirected: also store each edge reversed (weak-direction view).
+        dedup: drop exact duplicate (src, dst) rows (opt-in, mirroring
+            ``ListOfEdgesGraphReader.prepareEdges``, ``:176-189``).
+        drop_self_loops: drop src == dst rows.
+        reverse: swap src/dst before anything else (the reference's
+            ``StoredGraphDir.OnlyIn`` view of a graph — SURVEY §1.1).
+    """
+    edges_dir = os.path.join(layout_dir, "edges")
+    verts_dir = os.path.join(layout_dir, "vertices")
+    os.makedirs(layout_dir, exist_ok=True)
+
+    ds = edges_ds
+    if reverse:
+        ds = ds.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}), batch_format="pyarrow"
+        )
+    if drop_self_loops:
+        ds = ds.map_batches(_drop_self_loops, batch_format="pyarrow")
+    if undirected:
+        ds = ds.map_batches(_undirect, batch_format="pyarrow")
+    if dedup:
+        # exact dedup = groupby both key columns, emit one row per group.
+        ds = ds.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).select_columns(["src", "dst"])
+
+    ds = ds.map_batches(lambda b: _add_part_src(b, num_parts), batch_format="pyarrow")
+    ds.write_parquet(edges_dir, partition_cols=["part"])
+
+    # vertex universe = distinct(src ∪ dst ∪ explicit), partitioned by vertex % P
+    import ray.data
+
+    srcs = ray.data.read_parquet(edges_dir, columns=["src"]).rename_columns({"src": "vertex"})
+    dsts = ray.data.read_parquet(edges_dir, columns=["dst"]).rename_columns({"dst": "vertex"})
+    vds = srcs.union(dsts)
+    if vertices_ds is not None:
+        vds = vds.union(vertices_ds.select_columns(["vertex"]))
+    vds = (
+        vds.groupby("vertex")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["vertex"])
+        .map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    (b["vertex"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    vds.write_parquet(verts_dir, partition_cols=["part"])
+
+    n_vertices = ray.data.read_parquet(verts_dir, columns=["vertex"]).count()
+    n_edges = ray.data.read_parquet(edges_dir, columns=["src"]).count()
+    manifest = {
+        "num_parts": num_parts,
+        "n_vertices": int(n_vertices),
+        "n_edges": int(n_edges),
+        "undirected": undirected,
+        "dedup": dedup,
+        "drop_self_loops": drop_self_loops,
+        "reverse": reverse,
+    }
+    tmp = os.path.join(layout_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(layout_dir, MANIFEST_NAME))
+    return manifest
+
+
+def read_layout_manifest(layout_dir: str) -> dict:
+    with open(os.path.join(layout_dir, MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
+def read_partition(layout_dir: str, table: str, part: int, columns: list[str]) -> pa.Table:
+    """Read one hash-partition of a layout table (partition-pruned)."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(layout_dir, table), partitioning="hive")
+    return d.to_table(columns=columns, filter=pads.field("part") == part)
