@@ -77,8 +77,14 @@ def build_edge_layout(
         reverse: swap src/dst before anything else (the reference's
             ``StoredGraphDir.OnlyIn`` view of a graph — SURVEY §1.1).
     """
+    import shutil
+
     edges_dir = os.path.join(layout_dir, "edges")
     verts_dir = os.path.join(layout_dir, "vertices")
+    # rebuilding into a dir with leftover part files would silently double
+    # the graph (parquet writers append new files) — clear first.
+    for d in (edges_dir, verts_dir):
+        shutil.rmtree(d, ignore_errors=True)
     os.makedirs(layout_dir, exist_ok=True)
 
     ds = edges_ds
@@ -96,6 +102,7 @@ def build_edge_layout(
 
     ds = ds.map_batches(lambda b: _add_part_src(b, num_parts), batch_format="pyarrow")
     ds.write_parquet(edges_dir, partition_cols=["part"])
+    _ensure_nonempty(edges_dir, ["src", "dst"])
 
     # vertex universe = distinct(src ∪ dst ∪ explicit), partitioned by vertex % P
     import ray.data
@@ -121,6 +128,7 @@ def build_edge_layout(
         )
     )
     vds.write_parquet(verts_dir, partition_cols=["part"])
+    _ensure_nonempty(verts_dir, ["vertex"])
 
     n_vertices = ray.data.read_parquet(verts_dir, columns=["vertex"]).count()
     n_edges = ray.data.read_parquet(edges_dir, columns=["src"]).count()
@@ -138,6 +146,18 @@ def build_edge_layout(
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(layout_dir, MANIFEST_NAME))
     return manifest
+
+
+def _ensure_nonempty(table_dir: str, int_cols: list[str]) -> None:
+    """A Dataset with zero rows writes no files at all; materialize an empty
+    hive partition so readers see a valid (empty) table instead of ENOENT."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(table_dir) or not os.listdir(table_dir):
+        part_dir = os.path.join(table_dir, "part=0")
+        os.makedirs(part_dir, exist_ok=True)
+        empty = pa.table({c: pa.array([], pa.int64()) for c in int_cols})
+        pq.write_table(empty, os.path.join(part_dir, "empty.parquet"))
 
 
 def read_layout_manifest(layout_dir: str) -> dict:
