@@ -53,6 +53,8 @@ import ray
 
 from cassovary_ray.layout import read_layout_manifest, read_partition
 
+LP_UNLABELED = -1  # sentinel: vertex has not yet acquired a label (seeded LP)
+
 # ---------------------------------------------------------------------------
 # numpy CSR-scatter kernel shared by all algorithms
 # ---------------------------------------------------------------------------
@@ -273,21 +275,37 @@ class GraphShard:
     # -- Label propagation (mode of neighbor labels, smallest-label ties) --
 
     def lp_init(self, seed_tables: list[pa.Table] | None) -> None:
-        """Default seed: own vertex id. Optional (vertex,label) seed tables
-        override where present (reference node labels, §1.1)."""
-        lab = self.verts.astype(np.int64).copy()
-        if seed_tables:
+        """Two modes (FIXTURES §4 LP rules; no reference impl exists —
+        SURVEY §2.5):
+
+        - unseeded (community detection): every vertex starts with its own id
+          as label; a per-round self-vote makes symmetric label swaps
+          (2-cycles) impossible, so the smallest-label tie-break converges
+          deterministically.
+        - seeded (label spreading): seed vertices are clamped to their seed
+          label; all others start unlabeled (sentinel -1) and do not vote
+          until they acquire a label.
+        """
+        self._lp_seeded = bool(seed_tables)
+        if self._lp_seeded:
+            lab = np.full(len(self.verts), LP_UNLABELED, dtype=np.int64)
+            clamp = np.zeros(len(self.verts), dtype=bool)
             for t in seed_tables:
                 ids = t["vertex"].to_numpy(zero_copy_only=False)
                 vals = t["label"].to_numpy(zero_copy_only=False)
                 mine = (ids % self.num_parts) == self.part
                 pos = np.searchsorted(self.verts, ids[mine])
                 lab[pos] = vals[mine]
+                clamp[pos] = True
+            self._lp_clamped = clamp
+        else:
+            lab = self.verts.astype(np.int64).copy()
+            self._lp_clamped = np.zeros(len(self.verts), dtype=bool)
         self.state["label"] = lab
 
     def lp_scatter(self):
         """Per-dst-partition (dst, label, count) triples — the partial
-        mode-count combine."""
+        mode-count combine. Unlabeled sources don't vote."""
         lab = self.state["label"]
         f = self.fwd
         # sort (already dst-major) edges within each dst segment by label
@@ -302,6 +320,11 @@ class GraphShard:
             hi = f.seg_starts[hi_seg] if hi_seg < len(f.seg_starts) else f.n_edges
             seg_id = np.searchsorted(f.seg_starts, np.arange(lo, hi), side="right") - 1
             labs = per_edge_lab[lo:hi]
+            voting = labs != LP_UNLABELED
+            seg_id, labs = seg_id[voting], labs[voting]
+            if len(labs) == 0:
+                out.append((np.empty(0, np.int64),) * 3)
+                continue
             order = np.lexsort((labs, seg_id))
             s, l = seg_id[order], labs[order]
             new = np.r_[True, (s[1:] != s[:-1]) | (l[1:] != l[:-1])]
@@ -311,13 +334,21 @@ class GraphShard:
         return tuple(out) if self.num_parts > 1 else out[0]
 
     def lp_apply(self, *incoming) -> int:
-        """new label(v) = most frequent incoming label, ties → smallest label;
-        vertices with no in-edges keep their label. Deterministic at any P."""
-        ids = np.concatenate([p[0] for p in incoming]) if incoming else np.empty(0, np.int64)
+        """new label(v) = most frequent among incoming neighbor labels plus
+        one self-vote for v's current label (if labeled); ties → smallest
+        label. Clamped seeds never change; unlabeled vertices with no labeled
+        neighbors stay unlabeled. Deterministic at any P."""
+        cur = self.state["label"]
+        labeled = cur != LP_UNLABELED
+        self_ids = self.verts[labeled]
+        self_labs = cur[labeled]
+        ids = np.concatenate([p[0] for p in incoming] + [self_ids])
         if len(ids) == 0:
             return 0
-        labs = np.concatenate([p[1] for p in incoming])
-        cnts = np.concatenate([p[2] for p in incoming])
+        labs = np.concatenate([p[1] for p in incoming] + [self_labs])
+        cnts = np.concatenate(
+            [p[2] for p in incoming] + [np.ones(len(self_ids), dtype=np.int64)]
+        )
         # merge counts for identical (id, label) across senders
         order = np.lexsort((labs, ids))
         ids, labs, cnts = ids[order], labs[order], cnts[order]
@@ -333,6 +364,8 @@ class GraphShard:
         win_ids, win_labs = gi[first], gl[first]
         pos = np.searchsorted(self.verts, win_ids)
         lab = self.state["label"]
+        updatable = ~self._lp_clamped[pos]
+        pos, win_labs = pos[updatable], win_labs[updatable]
         changed = int((lab[pos] != win_labs).sum())
         lab[pos] = win_labs
         return changed
@@ -420,15 +453,20 @@ class ShardedGraph:
     """
 
     def __init__(self, layout_dir: str, *, reverse_layout_dir: str | None = None,
-                 shard_cpus: float = 1.0):
+                 shard_cpus: float = 0.0):
         self.layout_dir = layout_dir
         self.has_reverse = reverse_layout_dir is not None
         man = read_layout_manifest(layout_dir)
         self.num_parts = man["num_parts"]
         self.n_vertices = man["n_vertices"]
         self.n_edges = man["n_edges"]
+        # shard_cpus=0 by default: the pool is BSP-driven (exactly P actors
+        # compute per phase, P is sized to the cluster by the caller), and a
+        # full reservation deadlocks any Ray Data stage sharing the cluster
+        # (e.g. the metadata tasks behind from_arrow_refs). SPREAD places one
+        # shard per node on a real cluster.
         self.shards = [
-            GraphShard.options(num_cpus=shard_cpus).remote(
+            GraphShard.options(num_cpus=shard_cpus, scheduling_strategy="SPREAD").remote(
                 p, self.num_parts, layout_dir, reverse_layout_dir
             )
             for p in range(self.num_parts)
@@ -581,8 +619,12 @@ class ShardedGraph:
     # -- Label propagation -------------------------------------------------
 
     def label_propagation(self, *, seeds=None, max_iterations: int = 20):
-        """Synchronous LP over an undirected layout: new label = mode of
-        neighbor labels, ties → smallest label (FIXTURES §4 LP rules);
+        """Synchronous LP over an undirected **dedup'd** layout (build with
+        ``undirected=True, dedup=True`` — votes are per neighbor, not per
+        parallel edge, and a mutual edge stored twice would outvote the
+        self-vote and reintroduce 2-cycle oscillation): new label = mode of
+        labeled-neighbor labels + a self-vote, ties → smallest label
+        (FIXTURES §4 LP rules); seeds (``Dataset(vertex,label)``) are clamped;
         runs until fixpoint or ``max_iterations``. Returns
         ``Dataset(vertex, label)``."""
         seed_tables = None

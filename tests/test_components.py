@@ -1,0 +1,80 @@
+"""WCC + label propagation — exact integer fixtures (FIXTURES.md §4; the
+reference has no WCC/LP implementation, SURVEY §2.5, so these fixtures define
+the contract: component id = min vertex id, LP tie-break = smallest label)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import ray.data
+import pyarrow as pa
+
+from cassovary_ray.corpus import TOY_GRAPHS
+from cassovary_ray.engine import ShardedGraph
+
+from tests.util import build_toy_layout, state_by_node
+
+
+def run_wcc(adj, tmp_dir, num_parts=3):
+    lay = os.path.join(tmp_dir, "und")
+    build_toy_layout(adj, lay, num_parts, undirected=True)
+    with ShardedGraph(lay) as g:
+        df = g.weakly_connected_components().to_pandas()
+    return state_by_node(df, adj, "component")
+
+
+@pytest.mark.parametrize("num_parts", [1, 2, 4])
+def test_g6_with_isolated_nodes(tmp_dir, num_parts):
+    got = run_wcc(TOY_GRAPHS["g6_empty"], tmp_dir, num_parts)
+    assert got == {0: 0, 1: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10}
+
+
+def test_g5_single_component(tmp_dir):
+    got = run_wcc(TOY_GRAPHS["g5"], tmp_dir)
+    assert set(got.values()) == {10}
+
+
+def test_g2_nonmutual_weakly_connected(tmp_dir):
+    got = run_wcc(TOY_GRAPHS["g2_nonmutual"], tmp_dir)
+    assert got == {1: 1, 2: 1}
+
+
+def test_two_components_chain_plus_cycle(tmp_dir):
+    adj = {0: [1], 1: [2], 2: [], 100: [101], 101: [100]}
+    got = run_wcc(adj, tmp_dir)
+    assert got == {0: 0, 1: 0, 2: 0, 100: 100, 101: 100}
+
+
+def test_lp_defaults_converge_to_components(tmp_dir):
+    """With default seeds (own id) and min-tie-break mode, LP on a graph whose
+    components are cliques settles on the min id per clique."""
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2], 7: [8], 8: [7]}
+    lay = os.path.join(tmp_dir, "und")
+    build_toy_layout(adj, lay, 2, undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.label_propagation(max_iterations=20).to_pandas()
+    got = state_by_node(df, adj, "label")
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_lp_seeded_exact_and_parallelism_invariant(tmp_dir):
+    """Seeded LP (labels on 10 and 14) floods g6 deterministically; result
+    must be identical at partition counts 1 and 3 (FIXTURES §4 LP rules),
+    seeds stay clamped, and every vertex ends with a seed-derived label."""
+    adj = TOY_GRAPHS["g6"]
+    seeds = ray.data.from_arrow(
+        pa.table({"vertex": pa.array([10, 14], pa.int64()),
+                  "label": pa.array([100, 200], pa.int64())})
+    )
+    results = {}
+    for num_parts in (1, 3):
+        lay = os.path.join(tmp_dir, f"und{num_parts}")
+        build_toy_layout(adj, lay, num_parts, undirected=True, dedup=True)
+        with ShardedGraph(lay) as g:
+            df = g.label_propagation(seeds=seeds, max_iterations=30).to_pandas()
+        results[num_parts] = state_by_node(df, adj, "label")
+    assert results[1] == results[3]
+    got = results[1]
+    assert got[10] == 100 and got[14] == 200  # clamped seeds
+    assert set(got.values()) <= {100, 200}
