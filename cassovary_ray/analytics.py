@@ -1,0 +1,411 @@
+"""One-shot graph analytics as pure Ray Data pipelines.
+
+Unlike the iterative algorithms (:mod:`cassovary_ray.engine`), these are
+single dataflows: degree tables, mutual-edge counts, exact triangle counting,
+neighbor-set similarity top-k, BFS — the reference's ``GraphUtils`` /
+``DirectedGraphUtils`` / ``algorithms/centrality`` / ``algorithms/similarity``
+surface (SURVEY §2.6–2.8), re-expressed as joins + groupbys over the edge
+table.
+
+Shuffle discipline (SURVEY §7.2):
+- degree counts pre-aggregate per batch before the global ``groupby`` (the
+  partial/combiner split of ``aggregateMetaInfoFromParts``,
+  ``SharedArrayBasedDirectedGraph.scala:111-120``);
+- triangle counting orients edges by (degree, id) so wedge fan-out is bounded
+  by Σ d⁺(v)² = O(m^1.5) — the standard distributed-triangle trick replacing
+  the reference's sequential reservoir estimator (``TriangleCount.scala``,
+  which cannot be reproduced deterministically in parallel; the north rule
+  wants exact counts);
+- joins are Ray Data hash joins with an explicit ``num_partitions``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _auto_partitions(num_partitions: int | None) -> int:
+    """Hash-join partition count. Ray's hash joins pin an aggregator actor
+    pool sized to ~half the cluster CPUs per join operator; two concurrent
+    join operators therefore saturate the cluster and a third deadlocks. We
+    (a) size partitions to the cluster and (b) materialize() between joins in
+    multi-join pipelines so at most one join operator is live at a time."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus)
+
+
+# ---------------------------------------------------------------------------
+# degrees (DegreeCentrality.scala:27-33; fillMissingInEdges degree pass)
+# ---------------------------------------------------------------------------
+
+
+def _join_safe(ds, num_partitions: int):
+    """Prepare a groupby/aggregate output for use as a join input.
+
+    Aggregate operators can emit empty blocks with an EMPTY schema; pyarrow's
+    acero join then fails with "No match ... for key field reference" when
+    such a block reaches a join aggregator. repartition() merges blocks
+    (restoring the schema) and materialize() bounds the number of concurrent
+    join operators in one streaming plan (see _auto_partitions).
+    """
+    return ds.repartition(num_partitions).materialize()
+
+
+def _partial_counts(ds, col: str, out: str):
+    """Per-batch pre-aggregation: (col → count) partials, then a small global
+    groupby — every batch emits at most one row per distinct key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        ids, cnts = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(ids, pa.int64()),
+                         "partial": pa.array(cnts, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("vertex")
+        .aggregate(Sum("partial", alias_name=out))
+    )
+
+
+def out_degrees(edges):
+    """``Dataset(vertex, out_deg)`` — vertices with ≥1 out-edge."""
+    return _partial_counts(edges, "src", "out_deg")
+
+
+def in_degrees(edges):
+    """``Dataset(vertex, in_deg)`` — vertices with ≥1 in-edge."""
+    return _partial_counts(edges, "dst", "in_deg")
+
+
+def degrees(edges, num_partitions: int | None = None):
+    """Full degree table ``(vertex, out_deg, in_deg)`` (0 where absent)."""
+    P = _auto_partitions(num_partitions)
+    joined = _join_safe(out_degrees(edges), P).join(
+        _join_safe(in_degrees(edges), P), "full_outer", P, on=("vertex",)
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": batch["vertex"],
+            "out_deg": pc.fill_null(batch["out_deg"], 0),
+            "in_deg": pc.fill_null(batch["in_deg"], 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def degree_centrality(edges, direction: str = "out", normalized: bool = True,
+                      n_vertices: int | None = None):
+    """``DegreeCentrality`` semantics (``DegreeCentrality.scala:27-33``):
+    deg(v, dir), divided by (n−1) when normalized. Vertices of zero degree in
+    ``direction`` are omitted (score 0)."""
+    d = out_degrees(edges) if direction == "out" else in_degrees(edges)
+    col = "out_deg" if direction == "out" else "in_deg"
+    if not normalized:
+        return d.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "centrality": pc.cast(b[col], pa.float64())}),
+            batch_format="pyarrow",
+        )
+    if n_vertices is None:
+        n_vertices = vertex_count(edges)
+    denom = float(n_vertices - 1) if n_vertices > 1 else 1.0
+    return d.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "centrality": pc.divide(pc.cast(b[col], pa.float64()), denom)}),
+        batch_format="pyarrow",
+    )
+
+
+def vertex_count(edges) -> int:
+    """|distinct(src ∪ dst)| — ``DirectedGraph.nodeCount`` over an edge table."""
+    srcs = edges.select_columns(["src"]).rename_columns({"src": "vertex"})
+    dsts = edges.select_columns(["dst"]).rename_columns({"dst": "vertex"})
+    return srcs.union(dsts).groupby("vertex").aggregate(Count(alias_name="_c")).count()
+
+
+def distinct_edges(edges):
+    """Exact (src,dst) dedup — ``ListOfEdgesGraphReader.prepareEdges``
+    removeDuplicates semantics (``:176-189``)."""
+    return (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["src", "dst"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual edges (DirectedGraphUtils.getNumMutualEdges, :33-58)
+# ---------------------------------------------------------------------------
+
+
+def mutual_edge_count(edges, num_partitions: int | None = None) -> int:
+    """Number of reciprocal pairs {u,v} with u→v and v→u (u≠v), counted on
+    distinct edges — the reference's canonical-pack-sort-count-duplicates
+    (``DirectedGraphUtils.scala:44-56``) as a semi-join."""
+    P = _auto_partitions(num_partitions)
+    e = _join_safe(
+        distinct_edges(
+            edges.map_batches(
+                lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
+                batch_format="pyarrow",
+            )
+        ),
+        P,
+    )
+    rev = e.map_batches(
+        lambda b: pa.table({"src": b["dst"], "dst": b["src"]}), batch_format="pyarrow"
+    )
+    both = e.join(rev, "left_semi", P, on=("src", "dst"))
+    return both.count() // 2
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting
+# ---------------------------------------------------------------------------
+
+
+def undirected_canonical_edges(edges):
+    """(min,max) canonicalized, self-loop-free, dedup'd undirected edge set —
+    the `getNumMutualEdges` pack-dedup primitive reused for undirected-ize
+    (SURVEY §2.8)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.minimum(s, d), pa.int64()),
+                         "dst": pa.array(np.maximum(s, d), pa.int64())})
+
+    return distinct_edges(edges.map_batches(canon, batch_format="pyarrow"))
+
+
+def triangle_count(edges, num_partitions: int | None = None) -> int:
+    """Exact triangle count of the undirected view of ``edges``.
+
+    Degree-ordered orientation + wedge/edge matching (Cohen's MapReduce
+    algorithm; bounds wedges by O(m^1.5)):
+
+    1. und = canonical dedup'd undirected edges
+    2. orient each edge a→b where a precedes b in (deg, id) order
+    3. wedges = oriented ⋈ oriented on a → (b, c) pairs, b < c in order
+    4. triangles = |wedges ∩ oriented| via a union-tag groupby (no join of
+       the possibly-huge wedge table against itself)
+
+    Validated against closed forms: K_n → n(n−1)(n−2)/6
+    (``TriangleCountSpec.scala:75-88``). Replaces the reference's sequential
+    reservoir *estimator* with an exact count (north rule: exact match).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    und = _join_safe(undirected_canonical_edges(edges), num_partitions)
+
+    # undirected degree per vertex (each canonical edge touches both ends)
+    def ends(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()])})
+
+    deg = _partial_counts(und.map_batches(ends, batch_format="pyarrow"), "vertex", "deg")
+
+    # join degrees onto both endpoints, then orient
+    deg = _join_safe(deg, num_partitions)
+    # _join_safe between joins: each hash-join operator pins an aggregator
+    # actor pool (~CPU/2); overlapping three of them deadlocks (see
+    # _auto_partitions).
+    e1 = und.join(deg, "inner", num_partitions, on=("src",), right_on=("vertex",))
+    e1 = e1.rename_columns({"deg": "deg_src"}).materialize()
+    e2 = e1.join(deg, "inner", num_partitions, on=("dst",), right_on=("vertex",))
+    e2 = e2.rename_columns({"deg": "deg_dst"})
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        ds_ = batch["deg_src"].to_numpy(zero_copy_only=False)
+        dd = batch["deg_dst"].to_numpy(zero_copy_only=False)
+        # a precedes b iff (deg(a), a) < (deg(b), b); carry deg(b) so wedge
+        # pairs can be ordered by the SAME relation (id order alone would
+        # miss closing edges whenever degrees differ).
+        src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        a = np.where(src_first, s, d)
+        b = np.where(src_first, d, s)
+        deg_b = np.where(src_first, dd, ds_)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+                         "deg_b": pa.array(deg_b, pa.int64())})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges around a: all orientation-ordered pairs (b, c) of a's oriented
+    # neighbors
+    wedge_pairs = oriented.join(
+        oriented, "inner", num_partitions, on=("a",), left_suffix="_l", right_suffix="_r"
+    )
+
+    def wedge(batch: pa.Table) -> pa.Table:
+        b = batch["b_l"].to_numpy(zero_copy_only=False)
+        c = batch["b_r"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b_l"].to_numpy(zero_copy_only=False)
+        dc = batch["deg_b_r"].to_numpy(zero_copy_only=False)
+        keep = (db < dc) | ((db == dc) & (b < c))  # b precedes c in (deg,id)
+        return pa.table({"a": pa.array(b[keep], pa.int64()),
+                         "b": pa.array(c[keep], pa.int64()),
+                         "w": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    wedges = wedge_pairs.map_batches(wedge, batch_format="pyarrow").materialize()
+    closing = oriented.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"],
+                            "w": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow",
+    )
+    # union-tag: per (a,b) sum wedge count and edge presence; a wedge closes
+    # iff the (a,b) edge exists in the oriented set.
+    tagged = wedges.union(
+        closing.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                "w": pa.array(np.full(len(t), -1, np.int64))}),
+            batch_format="pyarrow",
+        )
+    )
+    grouped = tagged.groupby(["a", "b"]).aggregate(
+        Sum("w", alias_name="wsum"), Min("w", alias_name="wmin")
+    )
+
+    def closed(batch: pa.Table) -> pa.Table:
+        # groups containing the edge marker (-1) contribute wsum + 1 wedges
+        has_edge = pc.equal(batch["wmin"], -1)
+        n = pc.sum(pc.if_else(has_edge, pc.add(batch["wsum"], 1), 0))
+        return pa.table({"triangles": pa.array([n.as_py() or 0], pa.int64())})
+
+    parts = grouped.map_batches(closed, batch_format="pyarrow").to_pandas()
+    return int(parts["triangles"].sum())
+
+
+# ---------------------------------------------------------------------------
+# neighbor-set similarity (algorithms/similarity/*, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def _cooccurrence(edges, num_partitions: int):
+    """(u, w, common) — number of shared out-neighbors, u ≠ w."""
+    e = _join_safe(distinct_edges(edges), num_partitions)
+    pairs = e.join(e, "inner", num_partitions, on=("dst",),
+                   left_suffix="_l", right_suffix="_r").materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = batch["src_l"].to_numpy(zero_copy_only=False)
+        w = batch["src_r"].to_numpy(zero_copy_only=False)
+        keep = u != w
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "w": pa.array(w[keep], pa.int64())})
+
+    return (
+        pairs.map_batches(emit, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .aggregate(Count(alias_name="common"))
+    )
+
+
+def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
+                     num_partitions: int | None = None):
+    """Top-k most similar vertices per vertex by out-neighbor-set similarity.
+
+    Semantics from ``Similarity.scala:56-89`` + ``JaccardSimilarity.scala:25-36``
+    / ``CosineSimilarity.scala:25-35``: candidates share ≥1 neighbor (score>0
+    only), jaccard = |∩|/|∪|, cosine = |∩|/√(du·dw); ordering: score desc,
+    then **lower vertex id** (``SimilarNodes.compare``, ``Similarity.scala:20-24``).
+    Returns ``Dataset(u, w, score, rank)``.
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    co = _join_safe(_cooccurrence(edges, num_partitions), num_partitions)
+    deg = _join_safe(
+        out_degrees(distinct_edges(edges)).rename_columns({"out_deg": "deg"}),
+        num_partitions,
+    )
+    j1 = co.join(deg, "inner", num_partitions, on=("u",), right_on=("vertex",))
+    j1 = j1.rename_columns({"deg": "deg_u"}).materialize()
+    j2 = j1.join(deg, "inner", num_partitions, on=("w",), right_on=("vertex",))
+    j2 = j2.rename_columns({"deg": "deg_w"})
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = batch["deg_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dw = batch["deg_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric == "jaccard":
+            s = c / (du + dw - c)
+        elif metric == "cosine":
+            s = c / np.sqrt(du * dw)
+        else:
+            raise ValueError(metric)
+        return pa.table({"u": batch["u"], "w": batch["w"],
+                         "score": pa.array(s, pa.float64())})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def topk(group):
+        g = group.sort_values(["score", "w"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("u").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BFS (BreadthFirstTraverser, Traverser.scala:426-450; GraphUtils.bfsWalk)
+# ---------------------------------------------------------------------------
+
+
+def bfs(edges, sources: list[int], max_depth: int | None = None,
+        num_partitions: int | None = None):
+    """Multi-source BFS over out-edges → ``Dataset(vertex, depth)`` with
+    first-visit depth (``DepthTracker`` semantics, ``Traverser.scala:401-415``).
+
+    Frontier rounds: frontier ⋈ edges → next candidates, anti-join visited,
+    min-depth dedup. Frontier/visited stay Datasets; the driver holds only
+    round counters. At 10^12-vertex scale the visited anti-join is the
+    expensive step — partition both sides on vertex (documented assumption).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    frontier = ray.data.from_arrow(
+        pa.table({"vertex": pa.array(sorted(set(sources)), pa.int64())})
+    )
+    visited = frontier.map_batches(
+        lambda t: t.append_column("depth", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        nxt = frontier.join(edges, "inner", num_partitions,
+                            on=("vertex",), right_on=("src",))
+        nxt = (
+            nxt.select_columns(["dst"]).rename_columns({"dst": "vertex"})
+            .groupby("vertex").aggregate(Count(alias_name="_c"))
+            .select_columns(["vertex"])
+        )
+        nxt = _join_safe(nxt, num_partitions)  # one join operator live at a time
+        nxt = nxt.join(visited, "left_anti", num_partitions, on=("vertex",))
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        depth += 1
+        newly = nxt.map_batches(
+            lambda t, d=depth: t.append_column(
+                "depth", pa.array(np.full(len(t), d, np.int64))),
+            batch_format="pyarrow",
+        )
+        visited = visited.union(newly).materialize()
+        frontier = nxt
+    return visited

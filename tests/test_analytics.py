@@ -1,0 +1,141 @@
+"""Degrees / mutual edges / triangles / similarity / BFS — exact fixtures
+from SURVEY §2.6-2.8 and FIXTURES §4 (closed forms + hand-counted toys)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+import ray.data
+
+from cassovary_ray.analytics import (
+    bfs,
+    degree_centrality,
+    degrees,
+    distinct_edges,
+    mutual_edge_count,
+    similarity_top_k,
+    triangle_count,
+    undirected_canonical_edges,
+    vertex_count,
+)
+from cassovary_ray.corpus import TOY_GRAPHS, complete_graph, er_graph
+
+from tests.util import edges_ds_for_graph
+
+
+def test_degrees_g6():
+    df = degrees(edges_ds_for_graph(TOY_GRAPHS["g6"])).to_pandas()
+    got = {r.vertex: (r.out_deg, r.in_deg) for r in df.itertuples()}
+    assert got == {10: (3, 1), 11: (2, 2), 12: (1, 3), 13: (2, 1), 14: (1, 3), 15: (2, 1)}
+
+
+def test_vertex_count_counts_dst_only_nodes():
+    assert vertex_count(edges_ds_for_graph(TOY_GRAPHS["g5"])) == 5
+
+
+def test_degree_centrality_normalized():
+    df = degree_centrality(edges_ds_for_graph(TOY_GRAPHS["g6"]), "out").to_pandas()
+    got = dict(zip(df.vertex, df.centrality))
+    assert got[10] == pytest.approx(3 / 5)
+    assert got[12] == pytest.approx(1 / 5)
+
+
+def test_distinct_edges_dedup():
+    import pyarrow as pa
+
+    e = ray.data.from_arrow(
+        pa.table({"src": [1, 1, 1, 2], "dst": [2, 2, 3, 3]})
+    )
+    assert distinct_edges(e).count() == 3
+
+
+def test_mutual_edges():
+    # g7 reciprocal pairs by hand: 10↔11, 11↔14, 12↔13, 15↔16 → 4
+    assert mutual_edge_count(edges_ds_for_graph(TOY_GRAPHS["g2_mutual"])) == 1
+    assert mutual_edge_count(edges_ds_for_graph(TOY_GRAPHS["g2_nonmutual"])) == 0
+    assert mutual_edge_count(edges_ds_for_graph(TOY_GRAPHS["g7"])) == 4
+
+
+def brute_force_triangles(adj) -> int:
+    und = set()
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if u != v:
+                und.add((min(u, v), max(u, v)))
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    count = 0
+    for u, v in und:
+        count += len(nbr[u] & nbr[v] - {u, v})
+    return count // 3 if count % 3 == 0 else count / 3
+
+
+@pytest.mark.parametrize("n", [4, 6, 10])
+def test_triangles_complete_graph(n):
+    """K_n → n(n−1)(n−2)/6 exactly (`TriangleCountSpec.scala:75-88`)."""
+    got = triangle_count(edges_ds_for_graph(complete_graph(n)))
+    assert got == n * (n - 1) * (n - 2) // 6
+
+
+def test_triangles_g6_undirected():
+    adj = TOY_GRAPHS["g6"]
+    assert triangle_count(edges_ds_for_graph(adj)) == brute_force_triangles(adj)
+
+
+def test_triangles_er_vs_bruteforce():
+    adj = er_graph(40, 0.15, seed=7)
+    want = brute_force_triangles(adj)
+    assert want > 0
+    assert triangle_count(edges_ds_for_graph(adj)) == want
+
+
+def test_undirected_canonical():
+    df = undirected_canonical_edges(edges_ds_for_graph(TOY_GRAPHS["g2_mutual"])).to_pandas()
+    assert len(df) == 1 and df.iloc[0].src == 1 and df.iloc[0].dst == 2
+
+
+def brute_force_similarity(adj, metric):
+    nbrs = {u: set(vs) for u, vs in adj.items() if vs}
+    out = {}
+    for u in nbrs:
+        for w in nbrs:
+            if u == w:
+                continue
+            c = len(nbrs[u] & nbrs[w])
+            if c == 0:
+                continue
+            if metric == "jaccard":
+                s = c / len(nbrs[u] | nbrs[w])
+            else:
+                s = c / math.sqrt(len(nbrs[u]) * len(nbrs[w]))
+            out.setdefault(u, []).append((s, w))
+    return {u: sorted(v, key=lambda t: (-t[0], t[1])) for u, v in out.items()}
+
+
+@pytest.mark.parametrize("metric", ["jaccard", "cosine"])
+def test_similarity_vs_bruteforce(metric):
+    adj = TOY_GRAPHS["g7"]
+    df = similarity_top_k(edges_ds_for_graph(adj), k=3, metric=metric).to_pandas()
+    want = brute_force_similarity(adj, metric)
+    for u, rows in df.groupby("u"):
+        rows = rows.sort_values("rank")
+        expect = want[u][:3]
+        assert list(rows["w"]) == [w for _, w in expect]
+        for got_s, (exp_s, _) in zip(rows["score"], expect):
+            assert got_s == pytest.approx(exp_s, abs=1e-12)
+
+
+def test_bfs_g3():
+    """BFS on g3 from 10 → [(10,0),(11,1),(12,1)] (`GraphUtilsSpec.scala:90-94`)."""
+    df = bfs(edges_ds_for_graph(TOY_GRAPHS["g3"]), [10]).to_pandas()
+    got = dict(zip(df.vertex, df.depth))
+    assert got == {10: 0, 11: 1, 12: 1}
+
+
+def test_bfs_depth_limit_and_chain():
+    adj = {0: [1], 1: [2], 2: [3], 3: []}
+    df = bfs(edges_ds_for_graph(adj), [0], max_depth=2).to_pandas()
+    assert dict(zip(df.vertex, df.depth)) == {0: 0, 1: 1, 2: 2}
