@@ -159,6 +159,7 @@ class GraphShard:
             )
         # vertex state vectors, keyed by name ("rank", "comp", "label", ...)
         self.state: dict[str, np.ndarray] = {}
+        self._walkers = None
         # cached searchsorted positions of each sender's uniq dst ids, per
         # (layout, sender) — ids are round-invariant, so computed once.
         self._pos_cache: dict[tuple[str, int], np.ndarray] = {}
@@ -369,6 +370,99 @@ class GraphShard:
         changed = int((lab[pos] != win_labs).sum())
         lab[pos] = win_labs
         return changed
+
+    # -- random walks (GraphUtils.randomWalk / RandomBoundedTraverser,
+    #    Traverser.scala:75-136; counter-RNG replaces the sequential seeded
+    #    Random of GraphUtils.scala:239-240) -------------------------------
+
+    def walk_build(self) -> None:
+        """Lazily build the src-indexed CSR used for neighbor sampling
+        (edges re-read from the layout; the scatter structure is dst-sorted
+        and cannot answer "neighbors of u" directly)."""
+        if "walk_csr" in self.__dict__:
+            return
+        et = read_partition(self.layout_dir, "edges", self.part, ["src", "dst"])
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src_sorted, self._walk_nbrs = src[order], dst[order]
+        pos = np.searchsorted(self.verts, src_sorted)
+        deg = np.bincount(pos, minlength=len(self.verts))
+        self._walk_indptr = np.r_[0, np.cumsum(deg)]
+        self._walk_visits = np.zeros(len(self.verts), dtype=np.int64)
+        self.walk_csr = True
+
+    def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray):
+        """Accept the walkers whose start vertex this shard owns."""
+        self.walk_build()
+        mine = (starts % self.num_parts) == self.part
+        self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy())
+
+    def walk_step(self, step: int, seed: int, reset_prob: float,
+                  max_out_deg: int | None, last: bool, *incoming):
+        """Visit current vertices, then route each walker to its next vertex.
+
+        Next = start on reset (prob ``reset_prob``), on dangling current
+        vertex, or on hub pruning (out-degree > ``max_out_deg``,
+        ``Traverser.scala:93-102``); else a uniform out-neighbor. RNG is
+        counter-based on (seed, walker, step): deterministic at any P.
+        """
+        from cassovary_ray.hashing import counter_rng_uniform
+
+        parts = [w for w in ([self._walkers] if self._walkers else [])]
+        for p in incoming:
+            if p is not None and len(p[0]):
+                parts.append(p)
+        self._walkers = None
+        if not parts:
+            empty = (np.empty(0, np.int64),) * 3
+            out = [empty] * self.num_parts
+            return tuple(out) if self.num_parts > 1 else out[0]
+        wid = np.concatenate([p[0] for p in parts])
+        start = np.concatenate([p[1] for p in parts])
+        cur = np.concatenate([p[2] for p in parts])
+
+        pos = np.searchsorted(self.verts, cur)
+        np.add.at(self._walk_visits, pos, 1)
+        if last:
+            empty = (np.empty(0, np.int64),) * 3
+            out = [empty] * self.num_parts
+            return tuple(out) if self.num_parts > 1 else out[0]
+
+        deg = (self._walk_indptr[pos + 1] - self._walk_indptr[pos]).astype(np.int64)
+        u_reset = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step)
+        u_nbr = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step + 1)
+        reset = (u_reset < reset_prob) | (deg == 0)
+        if max_out_deg is not None:
+            reset |= deg > max_out_deg
+        idx = self._walk_indptr[pos] + np.minimum(
+            (u_nbr * np.maximum(deg, 1)).astype(np.int64), np.maximum(deg - 1, 0)
+        )
+        if len(self._walk_nbrs):
+            sampled = self._walk_nbrs[np.minimum(idx, len(self._walk_nbrs) - 1)]
+        else:
+            sampled = start  # no local edges: deg==0 everywhere → all reset
+        nxt = np.where(reset, start, sampled)
+        dest = nxt % self.num_parts
+        order = np.argsort(dest, kind="stable")
+        wid, start, nxt, dest = wid[order], start[order], nxt[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
+        out = [
+            (wid[bounds[q]:bounds[q + 1]], start[bounds[q]:bounds[q + 1]],
+             nxt[bounds[q]:bounds[q + 1]])
+            for q in range(self.num_parts)
+        ]
+        return tuple(out) if self.num_parts > 1 else out[0]
+
+    def walk_visits_table(self) -> pa.Table:
+        nz = self._walk_visits > 0
+        return pa.table({"vertex": pa.array(self.verts[nz], pa.int64()),
+                         "visits": pa.array(self._walk_visits[nz], pa.int64())})
+
+    def walk_reset_counts(self) -> None:
+        if "walk_csr" in self.__dict__:
+            self._walk_visits[:] = 0
+        self._walkers = None
 
     # -- HITS (needs reverse layout; ``Hits.scala:79-103``) ----------------
 
@@ -644,6 +738,58 @@ class ShardedGraph:
         return self._state_dataset("label", "label")
 
     # -- HITS --------------------------------------------------------------
+
+    def random_walks(self, starts: list[int] | dict[int, int], num_steps: int,
+                     *, reset_prob: float = 0.0, seed: int = 1,
+                     max_out_deg: int | None = None):
+        """Monte-Carlo random walks → visit counts.
+
+        ``GraphUtils.randomWalk`` semantics (``GraphUtils.scala:106-130`` via
+        ``RandomBoundedTraverser``, ``Traverser.scala:75-136``): ``num_steps``
+        visits per walker; each step resets to the walker's start vertex with
+        probability ``reset_prob``, on a dangling vertex, or on a hub with
+        out-degree > ``max_out_deg`` (the reference's power-law pruning,
+        ``RandomWalkParams.maxNumEdgesThresh``). ``starts`` is a list of start
+        vertices (walker i starts at starts[i]) or {walker_id: start}.
+        Counter-based RNG on (seed, walker, step) makes the result identical
+        at any partition count. Returns ``Dataset(vertex, visits)`` sorted
+        desc by visits (``VisitsCounter`` output order, tie = lower id,
+        ``VisitsCounter.scala:61-76``).
+        """
+        import ray.data
+
+        if isinstance(starts, dict):
+            wid = np.array(sorted(starts), dtype=np.int64)
+            st = np.array([starts[w] for w in wid], dtype=np.int64)
+        else:
+            wid = np.arange(len(starts), dtype=np.int64)
+            st = np.asarray(starts, dtype=np.int64)
+        ray.get([s.walk_reset_counts.remote() for s in self.shards])
+        ray.get([s.walk_seed.remote(wid, st) for s in self.shards])
+        P = self.num_parts
+        # per step: every shard advances its walkers; payload q of shard p
+        # feeds shard q next step. Chained by object refs, one barrier per
+        # step (num_returns=P, same pattern as _exchange).
+        # inbox[q] = refs of payloads destined for shard q this step
+        inbox = [[None] * P for _ in range(P)]
+        for step in range(num_steps):
+            last = step == num_steps - 1
+            outs = []
+            for p, s in enumerate(self.shards):
+                outs.append(
+                    s.walk_step.options(num_returns=P).remote(
+                        step, seed, reset_prob, max_out_deg, last, *inbox[p]
+                    )
+                )
+            if P == 1:
+                inbox = [[outs[0]]]
+            else:
+                inbox = [[outs[p][q] for p in range(P)] for q in range(P)]
+        ray.get([r for row in inbox for r in row])  # drain final step
+        visits = ray.data.from_arrow_refs(
+            [s.walk_visits_table.remote() for s in self.shards]
+        )
+        return visits.sort(["visits", "vertex"], descending=[True, False])
 
     def hits(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8,
              normalize: bool = True):

@@ -1,0 +1,73 @@
+"""Random-walk fixtures from ``GraphUtilsSpec.scala:41-123`` (FIXTURES §4):
+exact behavior at resetProb 0 on a 2-cycle, statistical coverage on g6,
+and counter-RNG parallelism invariance (the reference's seeded sequential
+Random is replaced by a (seed, walker, step) counter generator)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cassovary_ray.corpus import TOY_GRAPHS
+from cassovary_ray.engine import ShardedGraph
+
+from tests.util import build_toy_layout
+
+
+def run_walk(adj, tmp_dir, starts, steps, num_parts=2, **kwargs):
+    lay = os.path.join(tmp_dir, f"w{num_parts}")
+    build_toy_layout(adj, lay, num_parts)
+    with ShardedGraph(lay) as g:
+        df = g.random_walks(starts, steps, **kwargs).to_pandas()
+    return dict(zip(df.vertex, df.visits))
+
+
+def test_two_cycle_two_steps(tmp_dir):
+    """2-cycle, resetProb 0, 2 steps from node 1 → visits {1:1, 2:1}
+    (`GraphUtilsSpec.scala:49-55`)."""
+    got = run_walk(TOY_GRAPHS["g2_mutual"], tmp_dir, [1], 2, reset_prob=0.0)
+    assert got == {1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("steps", [5, 8])
+def test_two_cycle_parity(tmp_dir, steps):
+    """n-step walk on the 2-cycle alternates deterministically
+    (`GraphUtilsSpec.scala:67-84`)."""
+    got = run_walk(TOY_GRAPHS["g2_mutual"], tmp_dir, [1], steps, reset_prob=0.0)
+    assert got[1] == (steps + 1) // 2
+    assert got[2] == steps // 2
+
+
+def test_dangling_resets_to_start(tmp_dir):
+    """On g3_dangling (0→1→2, 2 dangling) a walker hitting 2 resets to its
+    start; visits keep accumulating (dangling-reset rule,
+    `Traverser.scala:93-102`)."""
+    got = run_walk(TOY_GRAPHS["g3_dangling"], tmp_dir, [0], 9, reset_prob=0.0)
+    assert got == {0: 3, 1: 3, 2: 3}
+
+
+def test_g6_coverage_statistical(tmp_dir):
+    """g6, 1000 total visits → every node visited ≥ 10 times
+    (`GraphUtilsSpec.scala:107-123` adapted to 10 parallel walkers)."""
+    got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [10] * 10, 100,
+                   reset_prob=0.1, seed=7)
+    assert sum(got.values()) == 1000
+    for n in TOY_GRAPHS["g6"]:
+        assert got.get(n, 0) >= 10
+
+
+def test_parallelism_invariance(tmp_dir):
+    """Identical visit counts at P=1 and P=3 with the same seed."""
+    kw = dict(reset_prob=0.2, seed=13)
+    a = run_walk(TOY_GRAPHS["g7"], tmp_dir, [10, 12, 15], 50, num_parts=1, **kw)
+    b = run_walk(TOY_GRAPHS["g7"], tmp_dir, [10, 12, 15], 50, num_parts=3, **kw)
+    assert a == b
+
+
+def test_hub_pruning_resets(tmp_dir):
+    """max_out_deg below a hub's degree forces reset at the hub: on g6 with
+    thresh 2, node 10 (deg 3) acts dangling."""
+    got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [10], 6,
+                   reset_prob=0.0, max_out_deg=2, seed=3)
+    assert got[10] == 6  # every visit to 10 resets back to 10
