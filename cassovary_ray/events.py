@@ -1,0 +1,100 @@
+"""Stream-shaped operators over the ``events(event_id, ts, user_id,
+event_type, value, props)`` table.
+
+Ray Data is a batch engine (no watermarks); windows are expressed as integer
+window keys (tumbling) or per-key sorted ``map_groups`` (sessionization) —
+the ordering assumption is "events of one user fit one group and are sorted
+by ts within it". Value sums are made exact (integer micro-units per row
+before summing) so results hash-match a SQL oracle regardless of reduction
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+US_PER_HOUR = 3_600_000_000
+
+
+def hourly_user_counts(events):
+    """``(user_id, hour, n_events, value_milli)`` — tumbling 1-hour windows.
+
+    hour = epoch_us(ts) // 3.6e9; value_milli = Σ floor(value·1000) as int64
+    (per-row truncation then integer sum == the SQL oracle exactly)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "hour": pa.array(ts // US_PER_HOUR, pa.int64()),
+            "vmilli": pa.array(np.floor(val * 1000.0).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        events.map_batches(kernel, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("vmilli", alias_name="value_milli"))
+    )
+
+
+def sessionize(events, gap_minutes: int = 30):
+    """``(user_id, session_start_us, n_events, value_milli)`` — sessions split
+    when the gap between consecutive events of a user exceeds ``gap_minutes``.
+
+    Per-user sorted ``map_groups`` (ts asc, event_id asc tie-break); the SQL
+    oracle is the standard lag/gap/cumsum window construction."""
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        new = (g["ts_us"].diff().fillna(gap_us + 1) > gap_us).astype(np.int64)
+        g = g.assign(session=new.cumsum())
+        out = (
+            g.groupby("session")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start_us=("ts_us", "min"),
+                n_events=("event_id", "count"),
+                value_milli=("vmilli", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        return out[["user_id", "session_start_us", "n_events", "value_milli"]]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": ts,
+            "vmilli": pa.array(np.floor(val * 1000.0).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def event_type_totals(events):
+    """``(event_type, n, value_milli)`` — global per-type rollup."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vmilli": pa.array(np.floor(val * 1000.0).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        events.map_batches(kernel, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("vmilli", alias_name="value_milli"))
+    )

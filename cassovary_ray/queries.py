@@ -1,0 +1,363 @@
+"""Query registry: named Ray pipelines + matching DuckDB oracle SQL.
+
+This is the driver correctness surface (``__ray_entry__.queries()`` /
+``oracle_sql()``): every graph / text / ANN / events operator is exposed as a
+callable over an ``sf_dir`` of parquet tables, and — where the computation is
+one-shot — as ANSI SQL DuckDB runs on the same tables. Iterative algorithms
+(PageRank, WCC, LP, HITS, walks) have no SQL oracle (the driver records a
+rows-only check); their numeric contracts are pinned by the golden-vector
+pytest suite instead.
+
+The graph queries run over a **derived edge table** built deterministically
+from ``lineitem`` (`(13·l_orderkey + l_linenumber) mod 1021 →
+(31·l_partkey + 7·l_suppkey) mod 1021`, distinct, self-loops dropped) so the
+Ray side and the SQL side compute over the identical graph. Engine-backed
+queries build their partitioned layout once per (sf_dir, variant) under
+``/tmp/cassovary_ray_layouts`` and reuse it across queries in the session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from cassovary_ray import analytics, ann, events as events_ops, textops
+from cassovary_ray.engine import ShardedGraph
+from cassovary_ray.layout import build_edge_layout, read_layout_manifest
+
+GRAPH_MOD = 1021
+ENGINE_PARTS = 8
+
+DERIVED_EDGES_CTE = f"""
+    SELECT DISTINCT (l_orderkey * 13 + l_linenumber) % {GRAPH_MOD} AS src,
+                    (l_partkey * 31 + l_suppkey * 7) % {GRAPH_MOD} AS dst
+    FROM lineitem
+    WHERE (l_orderkey * 13 + l_linenumber) % {GRAPH_MOD}
+       <> (l_partkey * 31 + l_suppkey * 7) % {GRAPH_MOD}
+"""
+
+
+def derived_edges(sf_dir: str):
+    """The deterministic lineitem-derived edge table (matches
+    ``DERIVED_EDGES_CTE`` row for row)."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        src = (ok * 13 + ln) % GRAPH_MOD
+        dst = (pk * 31 + sk * 7) % GRAPH_MOD
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    return analytics.distinct_edges(li.map_batches(kernel, batch_format="pyarrow"))
+
+
+def _table(sf_dir: str, name: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _layout_dir(sf_dir: str, variant: str) -> str:
+    key = hashlib.md5(f"{sf_dir}|{variant}|{GRAPH_MOD}|{ENGINE_PARTS}".encode()).hexdigest()[:16]
+    return os.path.join("/tmp/cassovary_ray_layouts", key)
+
+
+def _ensure_layout(sf_dir: str, variant: str) -> str:
+    """Build (once) the partitioned layout for the derived graph."""
+    d = _layout_dir(sf_dir, variant)
+    try:
+        read_layout_manifest(d)
+        return d
+    except FileNotFoundError:
+        pass
+    kwargs = {
+        "directed": {},
+        "reversed": {"reverse": True},
+        "undirected": {"undirected": True, "dedup": True},
+    }[variant]
+    build_edge_layout(derived_edges(sf_dir), d, ENGINE_PARTS, **kwargs)
+    return d
+
+
+def _scalar(name: str, value: int):
+    return pa.table({name: pa.array([value], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def q_graph_edges(sf_dir: str):
+    return derived_edges(sf_dir)
+
+
+def q_graph_degrees(sf_dir: str):
+    return analytics.degrees(derived_edges(sf_dir))
+
+
+def q_graph_degree_centrality(sf_dir: str):
+    return analytics.degree_centrality(derived_edges(sf_dir), "out", normalized=True)
+
+
+def q_graph_mutual_edges(sf_dir: str):
+    return _scalar("mutual_pairs", analytics.mutual_edge_count(derived_edges(sf_dir)))
+
+
+def q_graph_triangles(sf_dir: str):
+    return _scalar("triangles", analytics.triangle_count(derived_edges(sf_dir)))
+
+
+def q_graph_jaccard_top3(sf_dir: str):
+    return analytics.similarity_top_k(derived_edges(sf_dir), k=3, metric="jaccard")
+
+
+def q_graph_pagerank(sf_dir: str):
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.pagerank(max_iterations=None, tolerance=1e-8)
+
+
+def q_graph_wcc(sf_dir: str):
+    lay = _ensure_layout(sf_dir, "undirected")
+    with ShardedGraph(lay) as g:
+        return g.weakly_connected_components()
+
+
+def q_graph_labelprop(sf_dir: str):
+    lay = _ensure_layout(sf_dir, "undirected")
+    with ShardedGraph(lay) as g:
+        return g.label_propagation(max_iterations=10)
+
+
+def q_graph_hits(sf_dir: str):
+    fwd = _ensure_layout(sf_dir, "directed")
+    rev = _ensure_layout(sf_dir, "reversed")
+    with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
+        hubs, auth, _ = g.hits()
+        h = hubs.to_pandas()
+        a = auth.to_pandas()
+    return h.merge(a, on="vertex")
+
+
+def q_graph_walk_visits(sf_dir: str):
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.random_walks([0] * 64, 50, reset_prob=0.15, seed=11).to_pandas()
+
+
+def q_graph_bfs(sf_dir: str):
+    return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
+
+
+def q_doc_stats(sf_dir: str):
+    return textops.doc_stats(_table(sf_dir, "documents"))
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    return textops.exact_dedup(_table(sf_dir, "documents"))
+
+
+def q_doc_token_counts(sf_dir: str):
+    return textops.token_counts(_table(sf_dir, "documents"))
+
+
+def q_doc_quality(sf_dir: str):
+    return textops.quality_scores(_table(sf_dir, "documents"))
+
+
+def q_doc_langid(sf_dir: str):
+    return textops.lang_id(_table(sf_dir, "documents"))
+
+
+def q_doc_simhash(sf_dir: str):
+    return textops.simhash(_table(sf_dir, "documents"))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    return textops.minhash_lsh_pairs(
+        _table(sf_dir, "documents"), jaccard_threshold=0.4
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return textops.rolling_fingerprint(_table(sf_dir, "documents"))
+
+
+def q_knn_top5(sf_dir: str):
+    return ann.knn_bruteforce(_table(sf_dir, "embeddings"), list(range(10)), k=5)
+
+
+def q_knn_lsh(sf_dir: str):
+    return ann.lsh_knn(_table(sf_dir, "embeddings"), list(range(10)), k=5)
+
+
+def q_embedding_dups(sf_dir: str):
+    # 0.42 sits in a 2.7e-3-wide empty band of the sf0.01 cosine distribution
+    # (boundary-flip-safe for the float comparison with the oracle)
+    return ann.embedding_dup_pairs(_table(sf_dir, "embeddings"), threshold=0.42)
+
+
+def q_events_hourly(sf_dir: str):
+    return events_ops.hourly_user_counts(_table(sf_dir, "events"))
+
+
+def q_events_sessions(sf_dir: str):
+    return events_ops.sessionize(_table(sf_dir, "events"), gap_minutes=30)
+
+
+def q_events_type_totals(sf_dir: str):
+    return events_ops.event_type_totals(_table(sf_dir, "events"))
+
+
+QUERIES = {
+    "graph_edges": q_graph_edges,
+    "graph_degrees": q_graph_degrees,
+    "graph_degree_centrality": q_graph_degree_centrality,
+    "graph_mutual_edges": q_graph_mutual_edges,
+    "graph_triangles": q_graph_triangles,
+    "graph_jaccard_top3": q_graph_jaccard_top3,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_wcc": q_graph_wcc,
+    "graph_labelprop": q_graph_labelprop,
+    "graph_hits": q_graph_hits,
+    "graph_walk_visits": q_graph_walk_visits,
+    "graph_bfs": q_graph_bfs,
+    "doc_stats": q_doc_stats,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_fingerprints": q_doc_fingerprints,
+    "knn_top5": q_knn_top5,
+    "knn_lsh": q_knn_lsh,
+    "embedding_dups": q_embedding_dups,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_type_totals": q_events_type_totals,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views region..embeddings pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL = {
+    "graph_edges": f"WITH e AS ({DERIVED_EDGES_CTE}) SELECT src, dst FROM e",
+    "graph_degrees": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1),
+        i AS (SELECT dst AS vertex, count(*) AS c FROM e GROUP BY 1)
+        SELECT v.vertex, coalesce(o.c, 0) AS out_deg, coalesce(i.c, 0) AS in_deg
+        FROM v LEFT JOIN o USING (vertex) LEFT JOIN i USING (vertex)
+    """,
+    "graph_degree_centrality": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))
+        SELECT vertex, CAST(c AS DOUBLE) / (n.n - 1) AS centrality FROM o, n
+    """,
+    "graph_mutual_edges": f"""
+        WITH e AS ({DERIVED_EDGES_CTE})
+        SELECT count(*) // 2 AS mutual_pairs
+        FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+    """,
+    "graph_triangles": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e)
+        SELECT count(*) AS triangles
+        FROM und a JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v
+    """,
+    "graph_jaccard_top3": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
+        co AS (SELECT a.src AS u, b.src AS w, count(*) AS common
+               FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
+        scored AS (SELECT co.u, co.w,
+                          CAST(common AS DOUBLE) / (du.deg + dw.deg - common) AS score
+                   FROM co JOIN deg du ON du.vtx = co.u JOIN deg dw ON dw.vtx = co.w),
+        ranked AS (SELECT u, w, score,
+                          row_number() OVER (PARTITION BY u ORDER BY score DESC, w ASC) AS rank
+                   FROM scored)
+        SELECT u, w, score, rank FROM ranked WHERE rank <= 3
+    """,
+    "graph_bfs": None,  # cyclic recursive CTE enumerates paths; rows-only
+    "doc_stats": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_exact_dedup": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS doc_id FROM documents GROUP BY 1
+    """,
+    "doc_token_counts": r"""
+        SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    """,
+    "doc_quality": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    """,
+    "knn_top5": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS sim
+                 FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+    "embedding_dups": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.42
+    """,
+    "events_hourly": """
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessions": """
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           CAST(floor(value * 1000) AS BIGINT) AS vmilli
+                    FROM events),
+        d AS (SELECT *,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                               OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session
+              FROM d)
+        SELECT user_id, min(ts_us) AS session_start_us,
+               count(*) AS n_events, sum(vmilli) AS value_milli
+        FROM s GROUP BY user_id, session
+    """,
+    "events_type_totals": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+        FROM events GROUP BY 1
+    """,
+}
+ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -1,0 +1,382 @@
+"""Text-corpus operators over a ``documents(doc_id, text, lang, source,
+n_chars)`` table — the training-data-pipeline surface (exact dedup,
+MinHash-LSH / SimHash / n-gram-Jaccard near-dup, token counting, quality
+scoring, language ID, fingerprinting).
+
+Cassovary has no text stages (it is a graph library); these follow the
+standard large-corpus recipes (shingle → minhash → band-bucket groupby for
+near-dup; per-batch vectorized kernels; per-actor compiled state) and are the
+same map_batches/groupby idioms as the graph side. Where a stage must agree
+with a DuckDB oracle (driver correctness gate), the kernel mirrors the SQL
+expression exactly and outputs integers / md5 hex strings, never
+reduction-order-sensitive floats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min, Sum
+
+from cassovary_ray.hashing import splitmix64
+
+_WS_SPLIT = re.compile(r"\s+")
+_NON_ALPHA = re.compile(r"[^a-zA-Z]")
+
+# tiny per-language stopword sets for the n-gram/stopword langid heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "fr": {"le", "la", "et", "est", "un", "une"},
+    "es": {"el", "la", "y", "es", "un", "una"},
+    "it": {"il", "la", "e", "è", "un", "una"},
+}
+
+
+# ---------------------------------------------------------------------------
+# stats / token counts / quality — oracle-mirroring integer outputs
+# ---------------------------------------------------------------------------
+
+
+def doc_stats(docs):
+    """Per-language doc count + total chars (ints only: float avgs are
+    reduction-order-sensitive and can't hash-match an oracle)."""
+    return (
+        docs.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+def token_counts(docs):
+    """``(doc_id, n_tokens)`` — whitespace tokens, mirroring DuckDB's
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` exactly."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = [len(_WS_SPLIT.split(t.strip(" "))) for t in texts]  # strip(" ") mirrors SQL trim()
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def quality_scores(docs):
+    """``(doc_id, n_chars_calc, n_alpha, n_tokens)`` — integer quality
+    features (length, alpha chars, token count); SQL-mirrorable."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_calc": pa.array([len(t) for t in texts], pa.int64()),
+            "n_alpha": pa.array([len(_NON_ALPHA.sub("", t)) for t in texts], pa.int64()),
+            "n_tokens": pa.array([len(_WS_SPLIT.split(t.strip(" "))) for t in texts], pa.int64()),
+        })
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def exact_dedup(docs):
+    """``(text_md5, doc_id)`` — one row per distinct text, keeping the lowest
+    doc_id (hash-partitioned dedup; ``groupby(hash).min`` — the
+    `prepareEdges` removeDuplicates analogue for documents)."""
+
+    def hash_kernel(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({"text_md5": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
+
+    return (
+        docs.map_batches(hash_kernel, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+class LangIdStage:
+    """Stateful language-ID stage: marker sets compiled once per actor
+    (``map_batches(LangIdStage, concurrency=N)``); heuristic = language whose
+    marker-stopword hit count is highest, ties → lexicographically smallest
+    language, 'und' when no marker hits."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zà-ÿ]+")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            toks = self.word.findall(t.lower())
+            best, best_score = "und", 0
+            for lang in sorted(self.markers):
+                score = sum(tok in self.markers[lang] for tok in toks)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(docs, concurrency: int = 4):
+    return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# fingerprints: simhash + rolling-hash
+# ---------------------------------------------------------------------------
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = _WS_SPLIT.split(text.strip())
+    if not toks or toks == [""]:
+        return np.zeros(0, dtype=np.uint64)
+    # stable per-token 64-bit hash (blake2b of utf-8)
+    return np.frombuffer(
+        b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
+        dtype=np.uint64,
+    )
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text: sign-sum of token-hash bits (Charikar'02)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        h = _token_hashes(t)
+        if len(h) == 0:
+            out[i] = 0
+            continue
+        bits = ((h[:, None] & bit_cols[None, :]) != 0).sum(axis=0)
+        out[i] = np.uint64(((bits * 2 > len(h)) * bit_cols).sum(dtype=np.uint64))
+    return out
+
+
+def simhash(docs):
+    """``(doc_id, simhash)`` — int64 (bit-reinterpreted) 64-bit simhash."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch["text"].to_pylist()).view(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(docs, max_hamming: int = 3, band_bits: int = 16):
+    """Near-dup candidates by SimHash: bucket on each of 64/band_bits bit
+    bands (a pair within ``max_hamming`` differs in ≤ max_hamming bits, so at
+    least one band matches when bands > max_hamming); verify Hamming
+    distance on candidates."""
+    sh = simhash(docs).materialize()
+    n_bands = 64 // band_bits
+
+    def bands(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_band, out_key, out_id = [], [], []
+        for b in range(n_bands):
+            key = (h >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
+            out_band.append(np.full(len(h), b, np.int64))
+            out_key.append(key.astype(np.int64))
+            out_id.append(ids)
+        return pa.table({"band": pa.array(np.concatenate(out_band)),
+                         "key": pa.array(np.concatenate(out_key)),
+                         "doc_id": pa.array(np.concatenate(out_id))})
+
+    def pairs(group):
+        import pandas as pd
+
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = (
+        sh.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    cand = (
+        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
+    )
+    # verify: hamming distance over the simhash table (broadcast — the
+    # simhash table is 16 bytes/doc; at 10^12 docs verify would instead join
+    # candidates back to the simhash table)
+    import ray
+
+    sh_ref = ray.put(sh.to_pandas().set_index("doc_id")["simhash"].to_dict())
+
+    class Verify:
+        def __init__(self):
+            self.sh = ray.get(sh_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            ha = np.array([self.sh[x] for x in a], dtype=np.int64).view(np.uint64)
+            hb = np.array([self.sh[x] for x in b], dtype=np.int64).view(np.uint64)
+            ham = np.array([bin(int(x)).count("1") for x in (ha ^ hb)], dtype=np.int64)
+            keep = ham <= max_hamming
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "hamming": pa.array(ham[keep])})
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+
+def rolling_fingerprint(docs, window: int = 8):
+    """``(doc_id, fingerprint)`` — document fingerprint = min of rolling
+    polynomial hashes over ``window``-token windows (winnowing-lite,
+    Schleimer et al. '03). Deterministic; int64."""
+    B = np.uint64(1099511628211)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch["text"].to_pylist():
+            h = _token_hashes(t)
+            if len(h) == 0:
+                fps.append(0)
+                continue
+            w = min(window, len(h))
+            acc = np.zeros(len(h) - w + 1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(w):
+                    acc = acc * B + h[k: k + len(acc)]
+            fps.append(int(acc.min().view(np.int64)))
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """64-bit hashes of word ``shingle``-grams (distinct)."""
+    h = _token_hashes(text)
+    if len(h) < shingle:
+        return np.unique(h) if len(h) else np.zeros(0, np.uint64)
+    acc = np.zeros(len(h) - shingle + 1, dtype=np.uint64)
+    B = np.uint64(1000000007)
+    with np.errstate(over="ignore"):
+        for k in range(shingle):
+            acc = acc * B + h[k: k + len(acc)]
+    return np.unique(acc)
+
+
+class MinHashStage:
+    """Per-actor state: the ``num_hashes`` salt vector. Emits one signature
+    row per doc: ``(doc_id, sig: list<int64>)``."""
+
+    def __init__(self, num_hashes: int = 64, shingle: int = 3, seed: int = 97):
+        self.salts = splitmix64(
+            np.arange(num_hashes, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        self.num_hashes = num_hashes
+        self.shingle = shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for t in batch["text"].to_pylist():
+            sh = _shingle_hashes(t, self.shingle)
+            if len(sh) == 0:
+                sigs.append(np.zeros(self.num_hashes, np.int64))
+                continue
+            with np.errstate(over="ignore"):
+                m = splitmix64(sh[:, None] ^ self.salts[None, :]).min(axis=0)
+            sigs.append(m.view(np.int64))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+        })
+
+
+def minhash_signatures(docs, num_hashes: int = 64, shingle: int = 3, concurrency: int = 4):
+    return docs.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle": shingle},
+    )
+
+
+def minhash_lsh_pairs(docs, *, num_hashes: int = 64, bands: int = 16,
+                      shingle: int = 3, jaccard_threshold: float = 0.5,
+                      concurrency: int = 4):
+    """MinHash-LSH near-duplicate pairs with exact-shingle-Jaccard verify.
+
+    shingle → minhash (per-actor salts) → band buckets → ``groupby(band,key)``
+    candidate pairs → verify true shingle Jaccard ≥ threshold. Returns
+    ``(a, b, jaccard)`` with a < b. The verify step re-shingles both docs
+    from a broadcast id→text map — at 10^12 docs this becomes a join of the
+    candidate pairs against the corpus instead (documented scale path).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle, concurrency).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        out_b, out_k, out_i = [], [], []
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band].view(np.uint64)
+            key = seg[:, 0].copy()
+            with np.errstate(over="ignore"):
+                for c in range(1, rows_per_band):
+                    key = splitmix64(key ^ seg[:, c])
+            out_b.append(np.full(len(ids), b, np.int64))
+            out_k.append(key.view(np.int64))
+            out_i.append(ids)
+        return pa.table({"band": pa.array(np.concatenate(out_b)),
+                         "key": pa.array(np.concatenate(out_k)),
+                         "doc_id": pa.array(np.concatenate(out_i))})
+
+    def pairs(group):
+        import pandas as pd
+
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )
+
+    import ray
+
+    texts_ref = ray.put(
+        {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).iter_rows()}
+    )
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.cache: dict[int, np.ndarray] = {}
+
+        def _sh(self, d):
+            if d not in self.cache:
+                self.cache[d] = _shingle_hashes(self.texts[d], shingle)
+            return self.cache[d]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            jac = np.empty(len(a))
+            for i in range(len(a)):
+                sa, sb = self._sh(int(a[i])), self._sh(int(b[i]))
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac[i] = inter / union if union else 1.0
+            keep = jac >= jaccard_threshold
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
