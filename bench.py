@@ -1,0 +1,215 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Headline (BASELINE.json metric): **edges/sec per PageRank iteration** over a
+deterministic power-law (Common-Crawl-shaped in-degree skew) edge table
+scaled by sf, plus iterations to 1e-6 convergence. Secondary: wall times of
+representative queries over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "pagerank_wall_to_1e-6", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N,
+   "edges": M, "iterations": K, "edges_per_sec_per_iter": T, ...}
+
+``--scaling``: runs this script in two fresh processes (RAY_GRAFT_CPUS=8 and
+=32) on the same input and reports both throughputs + weak-scaling
+efficiency (T32/T8)/(32/8) — the sandbox evidence for the north rule's
+N-vs-4N-cluster criterion (no multi-node cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# graph scale: sf0.1 -> 100M edges / 10M vertices (bench tier per FIXTURES §5)
+EDGES_PER_SF = 1_000_000_000
+VERTS_PER_SF = 100_000_000
+SEED = 42
+BENCH_EDGES = os.environ.get("BENCH_EDGES")  # override for scaling runs
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_layout_dir(n_edges: int, n_verts: int, num_parts: int) -> str:
+    return f"/tmp/cassovary_ray_bench/pl_e{n_edges}_v{n_verts}_p{num_parts}_s{SEED}"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from cassovary_ray.corpus import build_powerlaw_layout_direct
+    from cassovary_ray.engine import ShardedGraph
+    from cassovary_ray.layout import read_layout_manifest
+
+    sf = _sf_from_dir(SF_DIR)
+    n_edges = int(BENCH_EDGES) if BENCH_EDGES else max(100_000, int(sf * EDGES_PER_SF))
+    n_verts = max(10_000, n_edges // 10)
+    num_parts = NUM_CPUS
+    # vertex count must be a multiple of P for the direct builder
+    n_verts -= n_verts % num_parts
+
+    lay = bench_layout_dir(n_edges, n_verts, num_parts)
+    t0 = time.perf_counter()
+    try:
+        man = read_layout_manifest(lay)
+    except FileNotFoundError:
+        man = build_powerlaw_layout_direct(n_edges, n_verts, num_parts, lay, seed=SEED)
+    build_s = time.perf_counter() - t0
+
+    with ShardedGraph(lay) as g:
+        n_vertices = g.n_vertices
+        # warm: one untimed round so actor CSR build and page cache are
+        # excluded from the throughput number
+        g.pagerank(max_iterations=1)
+        t0 = time.perf_counter()
+        g.pagerank(max_iterations=None, tolerance=1e-6)
+        pr_wall = time.perf_counter() - t0
+        iters = len(g.metrics) - 1  # minus the warm round
+        round_walls = [m.wall_s for m in g.metrics[1:]]
+
+    per_iter = sum(round_walls) / max(1, len(round_walls))
+    eps = man["n_edges"] / per_iter
+
+    # representative query timings over the driver testdata at this sf
+    from cassovary_ray.queries import QUERIES
+
+    queries = {}
+    qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
+        "graph_edges", "graph_degrees", "graph_pagerank",
+        "doc_token_counts", "doc_exact_dedup", "knn_top5", "events_hourly"]
+    for name in qnames:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "pagerank_wall_to_1e-6",
+        "value": round(pr_wall, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "edges": man["n_edges"],
+        "vertices": n_vertices,
+        "iterations_to_1e-6": iters,
+        "sec_per_iter": round(per_iter, 4),
+        "edges_per_sec_per_iter": round(eps),
+        "layout_build_sec": round(build_s, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def hw_bandwidth_probe(workers: int, mb_per_worker: int = 200) -> float:
+    """Per-worker wall time of an identical, fully independent numpy
+    gather+sum workload run in ``workers`` parallel processes.
+
+    This measures the sandbox VM's shared-memory-bandwidth ceiling with ZERO
+    coordination: any slowdown vs fewer workers is pure hardware contention,
+    the upper bound on what any engine (ours included) can weak-scale to on
+    ONE box. On a real N→4N-node cluster each node brings its own memory
+    bus, so this term scales linearly and drops out."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        n = mb_per_worker * 131072  # float64s
+        a = np.random.rand(n)
+        idx = np.random.randint(0, n, n // 4)
+        t0 = time.perf_counter()
+        np.take(a, idx).sum()
+        q.put(time.perf_counter() - t0)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(workers)]
+    [p.start() for p in ps]
+    times = [q.get() for _ in ps]
+    [p.join() for p in ps]
+    return sum(times) / len(times)
+
+
+def run_scaling() -> dict:
+    """Scaling evidence for the north rule's N vs 4N cluster criterion,
+    sandbox edition (single VM, no real cluster):
+
+    - engine weak scaling: identical job at num_cpus=8 on E edges vs
+      num_cpus=32 on 4E edges (constant 12.5M edges/shard);
+      eff = eps_32 / (4 · eps_8).
+    - engine strong scaling: same 100M-edge input at both levels.
+    - hardware ceiling: the same 8→32 weak-scaling efficiency for an
+      embarrassingly parallel numpy gather workload (hw_bandwidth_probe) —
+      this VM's shared memory bus saturates well below 32 streaming
+      workers, so NO engine can exceed this ceiling here. The engine's
+      coordination quality is eff / ceiling (≈1 ⇒ all loss is hardware
+      bandwidth, which a real 4N-node cluster scales linearly).
+    """
+
+    def run(ncpu: int, edges: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_EDGES=str(edges),
+                   BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    e_lo, e_hi = 100_000_000, 400_000_000
+    r_lo, r_hi = run(lo, e_lo), run(hi, e_hi)
+    t_lo = r_lo["edges_per_sec_per_iter"]
+    t_hi = r_hi["edges_per_sec_per_iter"]
+    weak_eff = (t_hi / t_lo) / (hi / lo)
+    # strong scaling: same 100M-edge input at both levels
+    r_s = run(hi, e_lo)
+    strong_eff = (r_s["edges_per_sec_per_iter"] / t_lo) / (hi / lo)
+    # hardware weak-scaling ceiling on this VM (independent processes)
+    hw_lo = hw_bandwidth_probe(lo)
+    hw_hi = hw_bandwidth_probe(hi)
+    hw_ceiling = hw_lo / hw_hi if hw_hi > 0 else 1.0  # = per-worker slowdown⁻¹
+    return {
+        "metric": "pagerank_weak_scaling_efficiency",
+        "value": round(weak_eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "edges_lo": r_lo["edges"],
+        "edges_hi": r_hi["edges"],
+        "edges_per_sec_per_iter_lo": t_lo,
+        "edges_per_sec_per_iter_hi": t_hi,
+        "sec_per_iter_lo": r_lo["sec_per_iter"],
+        "sec_per_iter_hi": r_hi["sec_per_iter"],
+        "strong_scaling_efficiency_same_input": round(strong_eff, 3),
+        "strong_edges_per_sec_per_iter_hi": r_s["edges_per_sec_per_iter"],
+        "hw_bandwidth_ceiling_weak_eff": round(hw_ceiling, 3),
+        "hw_probe_sec_per_worker_lo": round(hw_lo, 3),
+        "hw_probe_sec_per_worker_hi": round(hw_hi, 3),
+        "engine_eff_vs_hw_ceiling": round(weak_eff / hw_ceiling, 2) if hw_ceiling else None,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

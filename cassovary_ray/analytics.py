@@ -367,6 +367,51 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
 # ---------------------------------------------------------------------------
 
 
+def closeness_centrality(edges, sources: list[int] | None = None,
+                         normalized: bool = True, n_vertices: int | None = None,
+                         num_partitions: int | None = None):
+    """Closeness centrality, formula cloned from
+    ``ClosenessCentrality._recalc`` (``ClosenessCentrality.scala:26-39``):
+
+        score(v) = (reachable−1) / (denom · Σ depths),
+        denom = (n−1)/(reachable−1) if normalized else 1,
+        0.0 when nothing is reachable.
+
+    Exact all-sources closeness is O(n·m); pass a sampled ``sources`` list at
+    scale (None = all vertices — only sensible on small graphs; the
+    reference has the same O(n·m) shape, it just hides it in a loop).
+    Returns ``Dataset(vertex, closeness)``.
+    """
+    import ray.data
+
+    edges = edges.materialize()
+    if n_vertices is None:
+        n_vertices = vertex_count(edges)
+    if sources is None:
+        srcs = edges.select_columns(["src"]).rename_columns({"src": "vertex"})
+        dsts = edges.select_columns(["dst"]).rename_columns({"dst": "vertex"})
+        sources = sorted(
+            srcs.union(dsts).groupby("vertex").aggregate(Count(alias_name="_c"))
+            .select_columns(["vertex"]).to_pandas()["vertex"]
+        )
+    out_v, out_s = [], []
+    for s in sources:
+        depths = bfs(edges, [s], num_partitions=num_partitions).to_pandas()
+        reachable = float(len(depths))
+        dsum = float(depths["depth"].sum())
+        if dsum > 0 and n_vertices > 1:
+            denom = (n_vertices - 1) / (reachable - 1) if normalized else 1.0
+            score = (reachable - 1) / (denom * dsum)
+        else:
+            score = 0.0
+        out_v.append(s)
+        out_s.append(score)
+    return ray.data.from_arrow(
+        pa.table({"vertex": pa.array(out_v, pa.int64()),
+                  "closeness": pa.array(out_s, pa.float64())})
+    )
+
+
 def bfs(edges, sources: list[int], max_depth: int | None = None,
         num_partitions: int | None = None):
     """Multi-source BFS over out-edges → ``Dataset(vertex, depth)`` with
@@ -397,7 +442,7 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
         )
         nxt = _join_safe(nxt, num_partitions)  # one join operator live at a time
         nxt = nxt.join(visited, "left_anti", num_partitions, on=("vertex",))
-        nxt = nxt.materialize()
+        nxt = _join_safe(nxt, num_partitions)  # next round's join input
         if nxt.count() == 0:
             break
         depth += 1
@@ -406,6 +451,6 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
                 "depth", pa.array(np.full(len(t), d, np.int64))),
             batch_format="pyarrow",
         )
-        visited = visited.union(newly).materialize()
+        visited = _join_safe(visited.union(newly), num_partitions)
         frontier = nxt
     return visited

@@ -18,6 +18,7 @@ edge table equals the chosen toy graph exactly (FIXTURES.md §1).
 from __future__ import annotations
 
 import datetime
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -206,6 +207,81 @@ def powerlaw_edge_batch(
     return {"src": src, "dst": dst}
 
 
+def build_powerlaw_layout_direct(
+    n_edges: int, n_vertices: int, num_parts: int, layout_dir: str,
+    seed: int = 42, alpha: float = 0.7,
+) -> dict:
+    """Bench fast path: write a power-law graph layout WITHOUT a shuffle.
+
+    For the synthetic corpus the partition of every edge is known at
+    generation time (edge k belongs to partition k mod P and its src is
+    drawn from that partition's vertex residue class), and the vertex
+    universe is 0..n_vertices-1 by construction — so each partition's
+    edges+vertices parquet is generated and written by one independent Ray
+    task. Statistically identical to :func:`powerlaw_edges_dataset` +
+    :func:`cassovary_ray.layout.build_edge_layout` (src uniform, dst zipf),
+    minus the build-time shuffle that real extracted corpora need (that path
+    is exercised by the pages pipeline and its tests).
+    """
+    import json
+    import shutil
+
+    import ray
+
+    from cassovary_ray.layout import MANIFEST_NAME
+
+    for sub in ("edges", "vertices"):
+        shutil.rmtree(os.path.join(layout_dir, sub), ignore_errors=True)
+    os.makedirs(layout_dir, exist_ok=True)
+
+    per_class = n_vertices // num_parts  # vertices p, p+P, p+2P, ...
+
+    @ray.remote
+    def write_part(p: int) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        k = np.arange(p, n_edges, num_parts, dtype=np.int64)
+        u_src = counter_rng_uniform(seed, k, 0)
+        u_dst = counter_rng_uniform(seed, k, 1)
+        src = np.minimum((u_src * per_class).astype(np.int64), per_class - 1) * num_parts + p
+        dst = np.minimum(
+            (n_vertices * np.power(u_dst, 1.0 / (1.0 - alpha))).astype(np.int64),
+            n_vertices - 1,
+        )
+        self_loop = src == dst
+        dst[self_loop] = (dst[self_loop] + 1) % n_vertices
+        ed = os.path.join(layout_dir, "edges", f"part={p}")
+        vd = os.path.join(layout_dir, "vertices", f"part={p}")
+        os.makedirs(ed, exist_ok=True)
+        os.makedirs(vd, exist_ok=True)
+        pq.write_table(
+            pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}),
+            os.path.join(ed, "data.parquet"),
+        )
+        pq.write_table(
+            pa.table({"vertex": pa.array(np.arange(p, n_vertices, num_parts, dtype=np.int64), pa.int64())}),
+            os.path.join(vd, "data.parquet"),
+        )
+        return len(src)
+
+    counts = ray.get([write_part.remote(p) for p in range(num_parts)])
+    manifest = {
+        "num_parts": num_parts,
+        "n_vertices": n_vertices,
+        "n_edges": int(sum(counts)),
+        "undirected": False,
+        "dedup": False,
+        "drop_self_loops": False,
+        "reverse": False,
+    }
+    tmp = os.path.join(layout_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(layout_dir, MANIFEST_NAME))
+    return manifest
+
+
 def powerlaw_edges_dataset(n_edges: int, n_vertices: int, seed: int = 42, alpha: float = 0.7):
     """Distributed deterministic generator → ``Dataset(src:int64, dst:int64)``."""
     import ray.data
@@ -213,8 +289,11 @@ def powerlaw_edges_dataset(n_edges: int, n_vertices: int, seed: int = 42, alpha:
     def gen(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         return powerlaw_edge_batch(batch["id"], n_vertices, seed, alpha)
 
+    import ray
+
+    blocks = max(16, int(ray.cluster_resources().get("CPU", 16)) * 2) if ray.is_initialized() else 32
     return (
-        ray.data.range(n_edges)
-        .map_batches(gen, batch_format="numpy", batch_size=1 << 20)
+        ray.data.range(n_edges, override_num_blocks=blocks)
+        .map_batches(gen, batch_format="numpy", batch_size=1 << 21)
         .select_columns(["src", "dst"])
     )

@@ -19,12 +19,15 @@ bulk-synchronous round:
     apply:    the owner of each destination partition merges the ≤P partials
               into its vertex state and reports (error contribution, lineage).
 
-The driver holds only scalars (iteration, error, dangling mass) and the
-lineage log. Contribution payloads travel shard→shard through the object
-store as separate return objects (``num_returns=P``) — the driver never
-touches them. Between round r's apply and round r+1's scatter the only
-global synchronization is the convergence test, same as
-``LinkAnalysis.run``'s termination predicate (``LinkAnalysis.scala:98-100``).
+The driver holds only scalars (iteration, error) and the lineage log.
+Contribution payloads travel shard→shard through the object store as packed
+task-return objects (one per sender per round; trade-off measurements in
+``_Scatter.per_part``) — the driver moves only ObjectRefs and fetches only
+the per-round stats. Between rounds the only global synchronization is the
+convergence test, same as ``LinkAnalysis.run``'s termination predicate
+(``LinkAnalysis.scala:98-100``); for PageRank even the dangling-mass scalar
+rides inside the payloads (``pr_round``), so a round is a single fused
+apply-then-scatter superstep per shard.
 
 Determinism: partition count P fixes the reduction grouping, so floating
 point sums are bit-reproducible for a given P and within 1e-6 of the
@@ -76,7 +79,8 @@ class _Scatter:
       ``PageRank.scala:55-68``).
     """
 
-    __slots__ = ("num_parts", "src_pos", "seg_starts", "uniq_dst", "part_ptr", "out_deg", "n_edges")
+    __slots__ = ("num_parts", "src_pos", "seg_starts", "uniq_dst", "part_ptr",
+                 "out_deg", "n_edges", "_vals", "_sums")
 
     def __init__(self, src: np.ndarray, dst: np.ndarray, verts: np.ndarray, num_parts: int):
         self.num_parts = num_parts
@@ -95,11 +99,24 @@ class _Scatter:
         self.uniq_dst = dst_sorted[self.seg_starts]
         uniq_part = self.uniq_dst % num_parts
         self.part_ptr = np.searchsorted(uniq_part, np.arange(num_parts + 1))
+        # reusable round buffers — scatter allocated ~3 arrays the size of
+        # the edge list per round otherwise (hundreds of MB of malloc/page
+        # churn per shard per round at bench scale)
+        self._vals = np.empty(self.n_edges)
+        self._sums = np.empty(len(self.uniq_dst))
 
     def segment_sums(self, per_edge_vals: np.ndarray) -> np.ndarray:
         if len(self.seg_starts) == 0:
             return np.zeros(0, dtype=per_edge_vals.dtype)
         return np.add.reduceat(per_edge_vals, self.seg_starts)
+
+    def coef_scatter_sums(self, coef: np.ndarray) -> np.ndarray:
+        """sums per uniq dst of coef[src] — buffer-reusing hot path."""
+        if len(self.seg_starts) == 0:
+            return self._sums
+        np.take(coef, self.src_pos, out=self._vals)
+        np.add.reduceat(self._vals, self.seg_starts, out=self._sums)
+        return self._sums
 
     def segment_mins(self, per_edge_vals: np.ndarray) -> np.ndarray:
         if len(self.seg_starts) == 0:
@@ -112,12 +129,21 @@ class _Scatter:
             return (self.uniq_dst[lo:hi], sums[lo:hi])
         return sums[lo:hi]
 
-    def per_part(self, sums: np.ndarray, with_ids: bool):
-        """Payloads per destination partition. With P == 1 Ray's
-        ``num_returns=1`` stores the whole return as one object, so return
-        the single payload unwrapped."""
-        parts = tuple(self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts))
-        return parts if self.num_parts > 1 else parts[0]
+    def per_part(self, sums: np.ndarray, with_ids: bool) -> list:
+        """All P per-destination payload slices, returned as ONE task-return
+        object ("packed" exchange). Receivers pick ``payloads[self.part]``.
+
+        Exchange design, measured at P=32 / 20M edges on one node:
+        - ``num_returns=P`` driver-owned returns: P² small objects/round, all
+          pulls mediated by the driver → 7.0 s/round.
+        - per-destination ``ray.put`` in the sender: direct shard→shard pulls
+          but P² borrowed refs/round → ref-accounting drift, 0.5-0.9 s/round.
+        - packed single return (this): P plasma objects/round, zero-copy
+          local reads → ~0.1 s/round. On a multi-node cluster the natural
+          refinement is packing per NODE (receivers co-located on a node
+          share one object) so network overship stays O(1) per payload.
+        """
+        return [self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts)]
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +166,8 @@ class GraphShard:
         self.num_parts = num_parts
         self.layout_dir = layout_dir
         vt = read_partition(layout_dir, "vertices", part, ["vertex"])
-        self.verts = np.sort(vt["vertex"].to_numpy(zero_copy_only=False))
+        # vertex files carry per-batch (not global) uniques — dedup here
+        self.verts = np.unique(vt["vertex"].to_numpy(zero_copy_only=False))
         et = read_partition(layout_dir, "edges", part, ["src", "dst"])
         self.fwd = _Scatter(
             et["src"].to_numpy(zero_copy_only=False),
@@ -189,32 +216,53 @@ class GraphShard:
         self.state["rank"] = np.full(len(self.verts), 1.0 / n_total)
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
 
-    def pr_scatter(self, damping: float, first_round: bool):
-        """Per-destination-partition partial sums of d·r(u)/outdeg(u)
-        (the scatter loop of ``PageRank.scala:104-109``)."""
+    def _pr_scatter_payload(self, damping: float, with_ids: bool):
+        """Packed scatter: per-part partial sums of d·r(u)/outdeg(u) (the
+        scatter loop of ``PageRank.scala:104-109``) PLUS this shard's
+        dangling rank mass — shipping the dangling partial with the payload
+        lets every receiver reconstruct the global dangling sum locally, so
+        no driver-side scalar barrier exists between rounds."""
         rank = self.state["rank"]
         coef = np.where(self.fwd.out_deg > 0, damping * rank / np.maximum(self.fwd.out_deg, 1), 0.0)
-        sums = self.fwd.segment_sums(coef[self.fwd.src_pos])
-        return self.fwd.per_part(sums, first_round)
+        sums = self.fwd.coef_scatter_sums(coef)
+        dangle = float(rank[self.fwd.out_deg == 0].sum())
+        return (self.fwd.per_part(sums, with_ids), dangle)
 
-    def pr_apply(self, base: float, *incoming) -> tuple[float, float]:
-        """new rank = Σ partials + dampingAmount + dangleSum for every owned
-        vertex (``PageRank.scala:104-109``); returns (T1 error contribution,
-        new dangling rank mass)."""
-        old = self.state["rank"]
-        new = np.full(len(self.verts), base)
-        for sender, payload in enumerate(incoming):
-            if isinstance(payload, tuple):
-                ids, sums = payload
-                pos = self._positions("fwd", sender, ids)
-            else:
-                sums = payload
-                pos = self._positions("fwd", sender, None)
-            if len(sums):
-                new[pos] += sums
-        err = float(np.abs(new - old).sum())
-        self.state["rank"] = new
-        return err, float(new[self.fwd.out_deg == 0].sum())
+    def pr_round(self, damping: float, n_total: int, bootstrap: bool, *sender_payloads):
+        """One fused PageRank superstep: apply last round's contributions
+        (unless ``bootstrap``), then scatter from the updated rank.
+
+        Returns TWO objects (``num_returns=2``): the packed payload for the
+        next round (stays in plasma, pulled by peers) and the tiny stats
+        tuple (T1 error) the driver actually fetches. Semantics per round are
+        exactly ``PageRank.scala:85-113``: dangleSum = d·Σ_dangling r/n from
+        the PRE-round ranks (shipped inside the payloads), every existing
+        vertex gets dangleSum + (1−d)/n plus its contribution sums, error =
+        T1 vs previous ranks.
+        """
+        err = float("nan")
+        t_in = time.perf_counter()
+        t_apply = 0.0
+        if not bootstrap:
+            dangle_total = sum(pl[1] for pl in sender_payloads)
+            base = damping * dangle_total / n_total + (1.0 - damping) / n_total
+            incoming = [pl[0][self.part] for pl in sender_payloads]
+            old = self.state["rank"]
+            new = np.full(len(self.verts), base)
+            for sender, payload in enumerate(incoming):
+                if isinstance(payload, tuple):
+                    ids, sums = payload
+                    pos = self._positions("fwd", sender, ids)
+                else:
+                    sums = payload
+                    pos = self._positions("fwd", sender, None)
+                if len(sums):
+                    new[pos] += sums
+            err = float(np.abs(new - old).sum())
+            self.state["rank"] = new
+            t_apply = time.perf_counter() - t_in
+        payload = self._pr_scatter_payload(damping, bootstrap)
+        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in)
 
     def checkpoint_state(self, name: str, column: str, out_dir: str, tag: str) -> dict:
         """Write this shard's state vector to parquet (tmp + atomic rename);
@@ -255,7 +303,8 @@ class GraphShard:
         mins = self.fwd.segment_mins(comp[self.fwd.src_pos])
         return self.fwd.per_part(mins, first_round)
 
-    def wcc_apply(self, *incoming) -> int:
+    def wcc_apply(self, *sender_payloads) -> int:
+        incoming = [pl[self.part] for pl in sender_payloads]
         comp = self.state["comp"]
         changed_any = np.zeros(len(comp), dtype=bool)
         for sender, payload in enumerate(incoming):
@@ -332,13 +381,14 @@ class GraphShard:
             starts = np.flatnonzero(new)
             counts = np.diff(np.r_[starts, len(s)])
             out.append((f.uniq_dst[s[starts]], l[starts], counts.astype(np.int64)))
-        return tuple(out) if self.num_parts > 1 else out[0]
+        return out
 
-    def lp_apply(self, *incoming) -> int:
+    def lp_apply(self, *sender_payloads) -> int:
         """new label(v) = most frequent among incoming neighbor labels plus
         one self-vote for v's current label (if labeled); ties → smallest
         label. Clamped seeds never change; unlabeled vertices with no labeled
         neighbors stay unlabeled. Deterministic at any P."""
+        incoming = [pl[self.part] for pl in sender_payloads]
         cur = self.state["label"]
         labeled = cur != LP_UNLABELED
         self_ids = self.verts[labeled]
@@ -399,7 +449,7 @@ class GraphShard:
         self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy())
 
     def walk_step(self, step: int, seed: int, reset_prob: float,
-                  max_out_deg: int | None, last: bool, *incoming):
+                  max_out_deg: int | None, last: bool, *sender_payloads):
         """Visit current vertices, then route each walker to its next vertex.
 
         Next = start on reset (prob ``reset_prob``), on dangling current
@@ -410,14 +460,13 @@ class GraphShard:
         from cassovary_ray.hashing import counter_rng_uniform
 
         parts = [w for w in ([self._walkers] if self._walkers else [])]
-        for p in incoming:
-            if p is not None and len(p[0]):
+        for pl in sender_payloads:
+            p = pl[self.part]
+            if len(p[0]):
                 parts.append(p)
         self._walkers = None
         if not parts:
-            empty = (np.empty(0, np.int64),) * 3
-            out = [empty] * self.num_parts
-            return tuple(out) if self.num_parts > 1 else out[0]
+            return [(np.empty(0, np.int64),) * 3] * self.num_parts
         wid = np.concatenate([p[0] for p in parts])
         start = np.concatenate([p[1] for p in parts])
         cur = np.concatenate([p[2] for p in parts])
@@ -425,9 +474,7 @@ class GraphShard:
         pos = np.searchsorted(self.verts, cur)
         np.add.at(self._walk_visits, pos, 1)
         if last:
-            empty = (np.empty(0, np.int64),) * 3
-            out = [empty] * self.num_parts
-            return tuple(out) if self.num_parts > 1 else out[0]
+            return [(np.empty(0, np.int64),) * 3] * self.num_parts
 
         deg = (self._walk_indptr[pos + 1] - self._walk_indptr[pos]).astype(np.int64)
         u_reset = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step)
@@ -447,12 +494,11 @@ class GraphShard:
         order = np.argsort(dest, kind="stable")
         wid, start, nxt, dest = wid[order], start[order], nxt[order], dest[order]
         bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
-        out = [
+        return [
             (wid[bounds[q]:bounds[q + 1]], start[bounds[q]:bounds[q + 1]],
              nxt[bounds[q]:bounds[q + 1]])
             for q in range(self.num_parts)
         ]
-        return tuple(out) if self.num_parts > 1 else out[0]
 
     def walk_visits_table(self) -> pa.Table:
         nz = self._walk_visits > 0
@@ -474,7 +520,8 @@ class GraphShard:
         sums = scatter.segment_sums(vec[scatter.src_pos])
         return scatter.per_part(sums, first_round)
 
-    def _sum_apply(self, kind: str, out_name: str, *incoming) -> float:
+    def _sum_apply(self, kind: str, out_name: str, sender_payloads) -> float:
+        incoming = [pl[self.part] for pl in sender_payloads]
         new = np.zeros(len(self.verts))
         for sender, payload in enumerate(incoming):
             if isinstance(payload, tuple):
@@ -491,14 +538,14 @@ class GraphShard:
     def hits_auth_scatter(self, first_round: bool):
         return self._sum_scatter(self.fwd, self.state["hubs"], first_round)
 
-    def hits_auth_apply(self, *incoming) -> float:
-        return self._sum_apply("fwd", "auth_raw", *incoming)
+    def hits_auth_apply(self, *sender_payloads) -> float:
+        return self._sum_apply("fwd", "auth_raw", sender_payloads)
 
     def hits_hub_scatter(self, first_round: bool):
         return self._sum_scatter(self.rev, self.state["auth_raw"], first_round)
 
-    def hits_hub_apply(self, *incoming) -> float:
-        return self._sum_apply("rev", "hubs_raw", *incoming)
+    def hits_hub_apply(self, *sender_payloads) -> float:
+        return self._sum_apply("rev", "hubs_raw", sender_payloads)
 
     def hits_finish_round(self, hub_max: float, auth_max: float) -> float:
         """Scale both vectors by the global max (``Hits.scala:53-56,100-101``)
@@ -568,6 +615,8 @@ class ShardedGraph:
         # force construction + surface build errors early
         counts = ray.get([s.counts.remote() for s in self.shards])
         self.n_dangling = sum(c[2] for c in counts)
+        if self.n_vertices is None:
+            self.n_vertices = sum(c[0] for c in counts)
         self.metrics: list[RoundMetrics] = []
 
     def shutdown(self) -> None:
@@ -599,18 +648,23 @@ class ShardedGraph:
 
     def _exchange(self, scatter_method: str, apply_method: str, first_round: bool,
                   scatter_args=(), apply_args=()):
-        """One scatter/apply exchange; returns ray.get of all apply results."""
+        """One scatter/apply exchange; returns ray.get of all apply results.
+
+        Each scatter call returns a LIST of P ObjectRefs (payload q owned by
+        the sending shard's worker); the driver only reshuffles the tiny ref
+        lists, and each apply pulls its P payload objects directly from the
+        senders (no driver-mediated data movement)."""
         P = self.num_parts
         outs = [
-            getattr(s, scatter_method).options(num_returns=P).remote(*scatter_args)
+            getattr(s, scatter_method).remote(*scatter_args)
             if scatter_method in ("lp_scatter",)
-            else getattr(s, scatter_method).options(num_returns=P).remote(*scatter_args, first_round)
+            else getattr(s, scatter_method).remote(*scatter_args, first_round)
             for s in self.shards
         ]
-        if P == 1:
-            outs = [[o] for o in outs]
+        # every apply receives all P packed payload lists (top-level args →
+        # auto-resolved, zero-copy plasma reads) and slices its own part
         applies = [
-            getattr(self.shards[q], apply_method).remote(*apply_args, *(outs[p][q] for p in range(P)))
+            getattr(self.shards[q], apply_method).remote(*apply_args, *outs)
             for q in range(P)
         ]
         return ray.get(applies)
@@ -653,20 +707,33 @@ class ShardedGraph:
         else:
             dangle_total = sum(ray.get([s.pr_init.remote(n) for s in self.shards]))
 
-        first = True
-        while not ((max_iterations is not None and iteration >= max_iterations) or error <= tolerance):
+        del dangle_total  # dangling mass travels inside the payloads now
+        stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
+        if not stop:
+            # bootstrap superstep: scatter from the initial/loaded ranks
+            outs = [
+                s.pr_round.options(num_returns=2).remote(damping, n, True)
+                for s in self.shards
+            ]
+            payloads = [o[0] for o in outs]
+        while not stop:
             t0 = time.perf_counter()
-            dangle_sum = damping * dangle_total / n
-            base = dangle_sum + (1.0 - damping) / n
-            res = self._exchange("pr_scatter", "pr_apply", first,
-                                 scatter_args=(damping,), apply_args=(base,))
-            first = False
-            error = sum(r[0] for r in res)
-            dangle_total = sum(r[1] for r in res)
+            outs = [
+                s.pr_round.options(num_returns=2).remote(damping, n, False, *payloads)
+                for s in self.shards
+            ]
+            payloads = [o[0] for o in outs]
+            stats = ray.get([o[1] for o in outs])
+            error = sum(st[0] for st in stats)
             iteration += 1
             wall = time.perf_counter() - t0
-            self.metrics.append(RoundMetrics(iteration, error, wall, {"algo": "pagerank"}))
-            if checkpoint_dir and (iteration % checkpoint_every == 0 or error <= tolerance):
+            extra = {"algo": "pagerank",
+                     "max_apply_s": round(max(st[1] for st in stats), 3),
+                     "max_scatter_s": round(max(st[2] for st in stats), 3),
+                     "task_spread_s": round(max(st[3] for st in stats) - min(st[3] for st in stats), 3)}
+            self.metrics.append(RoundMetrics(iteration, error, wall, extra))
+            stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
+            if checkpoint_dir and (iteration % checkpoint_every == 0 or stop):
                 self._write_checkpoint(checkpoint_dir, "rank", "rank", iteration, error)
         return self._state_dataset("rank", "rank")
 
@@ -770,26 +837,45 @@ class ShardedGraph:
         # per step: every shard advances its walkers; payload q of shard p
         # feeds shard q next step. Chained by object refs, one barrier per
         # step (num_returns=P, same pattern as _exchange).
-        # inbox[q] = refs of payloads destined for shard q this step
-        inbox = [[None] * P for _ in range(P)]
+        # packed exchange (see _Scatter.per_part): outs[p] is ONE ref to
+        # sender p's per-part payload list; next step every shard receives
+        # all refs and slices its own part
+        outs = []
         for step in range(num_steps):
             last = step == num_steps - 1
-            outs = []
-            for p, s in enumerate(self.shards):
-                outs.append(
-                    s.walk_step.options(num_returns=P).remote(
-                        step, seed, reset_prob, max_out_deg, last, *inbox[p]
-                    )
-                )
-            if P == 1:
-                inbox = [[outs[0]]]
-            else:
-                inbox = [[outs[p][q] for p in range(P)] for q in range(P)]
-        ray.get([r for row in inbox for r in row])  # drain final step
+            outs = [
+                s.walk_step.remote(step, seed, reset_prob, max_out_deg, last, *outs)
+                for s in self.shards
+            ]
+        ray.get(outs)  # drain final step
         visits = ray.data.from_arrow_refs(
             [s.walk_visits_table.remote() for s in self.shards]
         )
         return visits.sort(["visits", "vertex"], descending=[True, False])
+
+    def personalized_reputation(self, start: int | list[int], num_steps: int = 10_000,
+                                *, reset_prob: float = 0.3, num_walkers: int = 100,
+                                seed: int = 1, max_out_deg: int | None = None,
+                                top_k: int | None = None):
+        """Monte-Carlo personalized PageRank — the
+        ``GraphUtils.calculatePersonalizedReputation`` surface
+        (``GraphUtils.scala:142-154``; PPR benchmark params 10k steps /
+        reset 0.3, ``PersonalizedPageRankBenchmark.scala:20-22``).
+
+        The reference runs ONE sequential walker for ``num_steps``; here the
+        same visit budget is split over ``num_walkers`` parallel walkers
+        (``num_steps // num_walkers`` steps each) — statistically equivalent
+        mass, W× fewer BSP rounds. Returns ``Dataset(vertex, visits)`` sorted
+        by visits desc, vertex asc (``VisitsCounter`` order), limited to
+        ``top_k`` if given.
+        """
+        starts = [start] * num_walkers if isinstance(start, int) else list(start) * max(
+            1, num_walkers // max(1, len(start))
+        )
+        steps = max(1, num_steps // len(starts))
+        ds = self.random_walks(starts, steps, reset_prob=reset_prob, seed=seed,
+                               max_out_deg=max_out_deg)
+        return ds.limit(top_k) if top_k else ds
 
     def hits(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8,
              normalize: bool = True):

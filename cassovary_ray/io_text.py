@@ -1,0 +1,246 @@
+"""Cassovary-compatible text graph formats → Ray Datasets, and back.
+
+Formats (cloned from the reference readers/writers, SURVEY §2.1/2.2):
+
+- **adjacency**: per node, a header line ``<id><sep><out-count>`` followed by
+  ``out-count`` neighbor lines (``util/io/AdjacencyListGraphReader.scala:60-129``;
+  ``reverseParseNode`` at ``:116-120``). Multi-line records → each part FILE
+  is the unit of parallelism (one parse task per file, exactly the
+  reference's one-shard-per-file model, ``GraphReaderFromDirectory.scala:23-46``).
+- **list-of-edges**: one ``src<sep>dst`` line per edge
+  (``util/io/ListOfEdgesGraphReader.scala:63-226``); ``#`` comment lines
+  skipped (``FileReader.scala:52``); line-parallel.
+- **node labels**: ``<id><sep><value>`` lines, int or string values
+  (``util/io/LabelsReader.scala:22-91``).
+
+External ids may be int, long or string; string ids are mapped through the
+stable 63-bit hash (replacing ``SequentialNodeNumberer`` — no global dense
+renumber, SURVEY §1.4). gzip part files are handled transparently
+(``isGzip`` flag in the reference).
+
+Malformed-line policy mirrors ``FileReader.scala:55-58``: raise with the
+offending line.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from cassovary_ray.hashing import hash64
+
+
+def _open_bytes(data: bytes, path: str) -> str:
+    # detect by magic bytes, not extension: Ray's read_binary_files may have
+    # already decompressed a .gz via the Arrow filesystem layer
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    return data.decode("utf-8")
+
+
+def _id_parser(id_type: str):
+    if id_type in ("int", "long"):
+        return int
+    if id_type == "string":
+        return lambda s: hash64(s)
+    raise ValueError(f"unsupported id type {id_type!r} (reader supports int/long/string)")
+
+
+def read_adjacency_graph(directory: str, prefix: str = "", *, separator: str = " ",
+                         id_type: str = "int"):
+    """Adjacency-format directory → ``Dataset(src: int64, dst: int64)``.
+
+    One parse task per ``prefix*`` part file (files are the shards). Nodes
+    with 0 out-edges yield no edge rows — recover them via
+    :func:`read_adjacency_vertices` when the vertex universe matters.
+    """
+    paths = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory) if f.startswith(prefix)
+    )
+    parse_id = _id_parser(id_type)
+
+    def parse(batch: dict) -> pa.Table:
+        srcs, dsts = [], []
+        for path, data in zip(batch["path"], batch["bytes"]):
+            lines = _open_bytes(bytes(data), str(path)).splitlines()
+            i = 0
+            while i < len(lines):
+                line = lines[i].strip()
+                i += 1
+                if not line or line.startswith("#"):
+                    continue
+                try:
+                    head, cnt_s = line.split(separator)
+                    node, cnt = parse_id(head), int(cnt_s)
+                except ValueError as exc:
+                    raise OSError(f"malformed adjacency header {line!r} in {path}") from exc
+                for k in range(cnt):
+                    nbr = lines[i].strip()
+                    i += 1
+                    srcs.append(node)
+                    dsts.append(parse_id(nbr))
+        return pa.table({"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())})
+
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )
+
+
+def read_adjacency_vertices(directory: str, prefix: str = "", *, separator: str = " ",
+                            id_type: str = "int"):
+    """All node ids that appear as adjacency headers (explicit nodes,
+    including 0-out-degree ones) → ``Dataset(vertex: int64)``."""
+    paths = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory) if f.startswith(prefix)
+    )
+    parse_id = _id_parser(id_type)
+
+    def parse(batch: dict) -> pa.Table:
+        verts = []
+        for path, data in zip(batch["path"], batch["bytes"]):
+            lines = _open_bytes(bytes(data), str(path)).splitlines()
+            i = 0
+            while i < len(lines):
+                line = lines[i].strip()
+                i += 1
+                if not line or line.startswith("#"):
+                    continue
+                head, cnt_s = line.split(separator)
+                verts.append(parse_id(head))
+                i += int(cnt_s)
+        return pa.table({"vertex": pa.array(verts, pa.int64())})
+
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )
+
+
+def read_edge_list(path_or_dir: str, *, separator: str = " ", id_type: str = "int",
+                   remove_duplicates: bool = False):
+    """List-of-edges file(s) → ``Dataset(src, dst)``; ``#`` comments skipped;
+    optional exact dedup (``prepareEdges`` removeDuplicates,
+    ``ListOfEdgesGraphReader.scala:176-189``)."""
+    parse_id = _id_parser(id_type)
+    paths = [path_or_dir]
+    if os.path.isdir(path_or_dir):
+        paths = sorted(os.path.join(path_or_dir, f) for f in os.listdir(path_or_dir))
+
+    def parse(batch: dict) -> pa.Table:
+        srcs, dsts = [], []
+        for path, data in zip(batch["path"], batch["bytes"]):
+            for ln, line in enumerate(_open_bytes(bytes(data), str(path)).splitlines(), 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                try:
+                    a, b = line.split(separator)
+                except ValueError as exc:
+                    raise OSError(f"malformed edge line {ln} {line!r} in {path}") from exc
+                srcs.append(parse_id(a))
+                dsts.append(parse_id(b))
+        return pa.table({"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())})
+
+    ds = ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )
+    if remove_duplicates:
+        from cassovary_ray.analytics import distinct_edges
+
+        ds = distinct_edges(ds)
+    return ds
+
+
+def read_node_labels(path: str, *, separator: str = " ", value_type: str = "int"):
+    """``<id><sep><value>`` label file → ``Dataset(vertex: int64, label)``.
+
+    Int labels stay int64; string labels become a ``large_string`` column
+    (only Int and String are supported, ``LabelsReader.scala:32-35``).
+    """
+    if value_type not in ("int", "string"):
+        raise ValueError("labels support only int and string values")
+
+    def parse(batch: dict) -> pa.Table:
+        ids, vals = [], []
+        for p, data in zip(batch["path"], batch["bytes"]):
+            for line in _open_bytes(bytes(data), str(p)).splitlines():
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                a, b = line.split(separator, 1)
+                ids.append(int(a))
+                vals.append(int(b) if value_type == "int" else b)
+        label = pa.array(vals, pa.int64() if value_type == "int" else pa.string())
+        return pa.table({"vertex": pa.array(ids, pa.int64()), "label": label})
+
+    return ray.data.read_binary_files([path], include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )
+
+
+# ---------------------------------------------------------------------------
+# writers (GraphWriter.writeDirectedGraph, util/io/GraphWriter.scala:23-69)
+# ---------------------------------------------------------------------------
+
+
+def _write_text_parts(text_ds, directory: str, prefix: str) -> str:
+    """Write a Dataset with a ``text`` column as raw ``<prefix>-*.txt`` part
+    files, one per task (a CSV sink would quote embedded separators/newlines
+    and corrupt the format). N writers = N blocks, mirroring
+    ``GraphWriter.chunks`` (``GraphWriter.scala:54-67``)."""
+    import uuid
+
+    os.makedirs(directory, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        if len(batch):
+            name = f"{prefix}-{uuid.uuid4().hex}.txt"
+            tmp = os.path.join(directory, "." + name + ".tmp")
+            with open(tmp, "w") as f:
+                for line in batch["text"].to_pylist():
+                    f.write(line)
+                    f.write("\n")
+            os.replace(tmp, os.path.join(directory, name))
+        return pa.table({"written": pa.array([len(batch)], pa.int64())})
+
+    text_ds.map_batches(write, batch_format="pyarrow").materialize()
+    return directory
+
+
+def write_edge_list(edges, directory: str, *, separator: str = " "):
+    """Edge table → edge-list text part files — ``GraphWriter`` edge-list
+    form (``GraphWriter.scala:34-38``)."""
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lines = [f"{a}{separator}{b}" for a, b in zip(s, d)]
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    return _write_text_parts(
+        edges.map_batches(fmt, batch_format="pyarrow"), directory, "edges"
+    )
+
+
+def write_adjacency(edges, directory: str, *, separator: str = " "):
+    """Edge table → adjacency-format part files (grouped by src; the
+    ``reverseParseNode`` layout ``id<sep>count\\n<nbr>\\n...``,
+    ``AdjacencyListGraphReader.scala:116-120``); round-trips through
+    :func:`read_adjacency_graph`."""
+    import pandas as pd
+
+    def fmt(g: pd.DataFrame) -> pd.DataFrame:
+        src = int(g["src"].iloc[0])
+        nbrs = g["dst"].tolist()
+        block = f"{src}{separator}{len(nbrs)}\n" + "\n".join(str(n) for n in nbrs)
+        return pd.DataFrame({"text": [block]})
+
+    return _write_text_parts(
+        edges.groupby("src").map_groups(fmt, batch_format="pandas"),
+        directory,
+        "adj",
+    )

@@ -101,40 +101,51 @@ def build_edge_layout(
         ds = ds.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).select_columns(["src", "dst"])
 
     ds = ds.map_batches(lambda b: _add_part_src(b, num_parts), batch_format="pyarrow")
-    ds.write_parquet(edges_dir, partition_cols=["part"])
+    # cluster by part before the partitioned write: without it every write
+    # task emits one small file into EVERY part dir (O(tasks × P) tiny files;
+    # 8.5k files for 100M edges — shard loads were dominated by file-open
+    # churn). After the sort each dir holds a handful of large files.
+    ds = ds.sort("part")
+    ds.write_parquet(edges_dir, partition_cols=["part"], min_rows_per_file=1 << 21)
     _ensure_nonempty(edges_dir, ["src", "dst"])
 
-    # vertex universe = distinct(src ∪ dst ∪ explicit), partitioned by vertex % P
+    # vertex universe = src ∪ dst ∪ explicit, hash-partitioned. No global
+    # distinct: each batch emits its LOCAL unique endpoints (per-batch
+    # combiner), the hive-partitioned write is the shuffle, and each CSR
+    # shard dedups its own partition at load (np.unique) — the
+    # markEmptyNodes shuffle without a groupby.
     import ray.data
 
-    srcs = ray.data.read_parquet(edges_dir, columns=["src"]).rename_columns({"src": "vertex"})
-    dsts = ray.data.read_parquet(edges_dir, columns=["dst"]).rename_columns({"dst": "vertex"})
-    vds = srcs.union(dsts)
-    if vertices_ds is not None:
-        vds = vds.union(vertices_ds.select_columns(["vertex"]))
-    vds = (
-        vds.groupby("vertex")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["vertex"])
-        .map_batches(
-            lambda b: b.append_column(
-                "part",
-                pa.array(
-                    (b["vertex"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int64),
-                    pa.int64(),
-                ),
-            ),
-            batch_format="pyarrow",
-        )
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        v = np.unique(np.concatenate([s, d]))
+        return pa.table({"vertex": pa.array(v, pa.int64()),
+                         "part": pa.array(v % num_parts, pa.int64())})
+
+    vds = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+        endpoints, batch_format="pyarrow", batch_size=1 << 22
     )
-    vds.write_parquet(verts_dir, partition_cols=["part"])
+    vds = vds.sort("part")
+    vds.write_parquet(verts_dir, partition_cols=["part"], min_rows_per_file=1 << 21)
+    if vertices_ds is not None:
+        vertices_ds.select_columns(["vertex"]).map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"],
+                "part": pa.array(
+                    b["vertex"].to_numpy(zero_copy_only=False) % num_parts, pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        ).write_parquet(verts_dir, partition_cols=["part"])
     _ensure_nonempty(verts_dir, ["vertex"])
 
-    n_vertices = ray.data.read_parquet(verts_dir, columns=["vertex"]).count()
     n_edges = ray.data.read_parquet(edges_dir, columns=["src"]).count()
     manifest = {
         "num_parts": num_parts,
-        "n_vertices": int(n_vertices),
+        # distinct vertex count is shard-local knowledge; ShardedGraph sums
+        # it at construction (avoids a global distinct here)
+        "n_vertices": None,
         "n_edges": int(n_edges),
         "undirected": undirected,
         "dedup": dedup,
@@ -166,8 +177,16 @@ def read_layout_manifest(layout_dir: str) -> dict:
 
 
 def read_partition(layout_dir: str, table: str, part: int, columns: list[str]) -> pa.Table:
-    """Read one hash-partition of a layout table (partition-pruned)."""
+    """Read one hash-partition of a layout table.
+
+    Reads the ``part=<p>/`` subdirectory directly instead of opening the
+    whole hive dataset with a filter: dataset-level discovery scans metadata
+    of EVERY partition's files, and with P actors doing it concurrently the
+    CSR load was O(P × total files) (114 s for 100M edges at P=32; ~4 s this
+    way)."""
     import pyarrow.dataset as pads
 
-    d = pads.dataset(os.path.join(layout_dir, table), partitioning="hive")
-    return d.to_table(columns=columns, filter=pads.field("part") == part)
+    sub = os.path.join(layout_dir, table, f"part={part}")
+    if not os.path.isdir(sub):
+        return pa.table({c: pa.array([], pa.int64()) for c in columns})
+    return pads.dataset(sub).to_table(columns=columns)

@@ -163,11 +163,15 @@ def simhash(docs):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
-def simhash_dup_pairs(docs, max_hamming: int = 3, band_bits: int = 16):
+def simhash_dup_pairs(docs, max_hamming: int = 3, band_bits: int = 8):
     """Near-dup candidates by SimHash: bucket on each of 64/band_bits bit
-    bands (a pair within ``max_hamming`` differs in ≤ max_hamming bits, so at
-    least one band matches when bands > max_hamming); verify Hamming
-    distance on candidates."""
+    bands, then verify Hamming distance on candidates.
+
+    Recall guarantee (pigeonhole): a pair at Hamming distance d shares at
+    least one identical band iff d < 64/band_bits; with the default 8 bands
+    of 8 bits, pairs within d ≤ 7 are always candidates, and more distant
+    pairs are found only opportunistically. Choose band_bits accordingly for
+    a larger max_hamming."""
     sh = simhash(docs).materialize()
     n_bands = 64 // band_bits
 

@@ -1,0 +1,163 @@
+"""Closeness centrality, PPR, sampling kernels, multimodal plumbing,
+text ops (minhash/simhash/fingerprints)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+import pyarrow as pa
+import ray.data
+
+from cassovary_ray.analytics import closeness_centrality
+from cassovary_ray.corpus import TOY_GRAPHS
+from cassovary_ray.engine import ShardedGraph
+from cassovary_ray.multimodal import decode_images, frame_sample, synth_media_table
+from cassovary_ray.sampling import BinomialDistribution, random_subset, sample_dataset
+from cassovary_ray import textops
+
+from tests.util import build_toy_layout, edges_ds_for_graph
+
+
+def brute_closeness(adj, normalized=True):
+    import collections
+
+    verts = set(adj) | {v for vs in adj.values() for v in vs}
+    n = len(verts)
+    out = {}
+    for s in verts:
+        depths = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, []):
+                if w not in depths:
+                    depths[w] = depths[u] + 1
+                    q.append(w)
+        reachable, dsum = len(depths), sum(depths.values())
+        if dsum > 0 and n > 1:
+            denom = (n - 1) / (reachable - 1) if normalized else 1.0
+            out[s] = (reachable - 1) / (denom * dsum)
+        else:
+            out[s] = 0.0
+    return out
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_closeness_vs_bruteforce(normalized):
+    adj = TOY_GRAPHS["g6"]
+    # sampled sources (the scale path); formula still exact per source
+    df = closeness_centrality(edges_ds_for_graph(adj), sources=[10, 13],
+                              normalized=normalized).to_pandas()
+    want = brute_closeness(adj, normalized)
+    got = dict(zip(df.vertex, df.closeness))
+    for v in [10, 13]:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_personalized_reputation(tmp_dir):
+    lay = os.path.join(tmp_dir, "l")
+    build_toy_layout(TOY_GRAPHS["g6"], lay, 2)
+    with ShardedGraph(lay) as g:
+        df = g.personalized_reputation(10, num_steps=1000, num_walkers=20,
+                                       reset_prob=0.3, seed=5).to_pandas()
+    assert df["visits"].sum() == 1000
+    # start node dominates under reset_prob 0.3
+    assert df.iloc[0]["vertex"] == 10
+    # sorted desc
+    assert list(df["visits"]) == sorted(df["visits"], reverse=True)
+
+
+def test_random_subset_deterministic():
+    v = np.arange(100)
+    a = random_subset(v, 10, seed=3)
+    b = random_subset(v, 10, seed=3)
+    assert np.array_equal(a, b)
+    assert len(set(a)) == 10
+    assert not np.array_equal(np.sort(a), np.sort(random_subset(v, 10, seed=4)))
+
+
+def test_sample_dataset_keyed():
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(range(1000), pa.int64())}))
+    a = sample_dataset(ds, 0.2, seed=1, key_col="k").to_pandas()
+    b = sample_dataset(ds.repartition(7), 0.2, seed=1, key_col="k").to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"])  # parallelism-invariant
+    assert 120 < len(a) < 280
+
+
+def test_binomial_distribution():
+    d = BinomialDistribution(20, 0.3)
+    assert d.pmf.sum() == pytest.approx(1.0)
+    assert d.cdf[-1] == pytest.approx(1.0)
+    s = d.sample(2000, seed=2)
+    assert abs(s.mean() - 6.0) < 0.3  # E[X] = np = 6
+
+
+def test_multimodal_decode_plumbing():
+    media = ray.data.from_arrow(synth_media_table(20))
+    feats = decode_images(media, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == 8 for f in feats["features"])
+    # deterministic across runs
+    again = decode_images(ray.data.from_arrow(synth_media_table(20)),
+                          concurrency=2, batch_size=8).to_pandas()
+    a = {r.media_id: list(r.features) for r in feats.itertuples()}
+    b = {r.media_id: list(r.features) for r in again.itertuples()}
+    assert a == b
+
+
+def test_multimodal_stub_raises_without_fake():
+    from cassovary_ray.multimodal import ImageDecodeStage
+
+    stage = ImageDecodeStage(fake=None)
+    if stage.pil is None:
+        with pytest.raises(NotImplementedError):
+            stage(synth_media_table(1))
+
+
+def test_frame_sample():
+    media = ray.data.from_arrow(synth_media_table(30))
+    assert frame_sample(media, every_n=10).count() == 3
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+
+def test_minhash_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about graphs and rays and tables " * 5
+    df = textops.minhash_lsh_pairs(_docs([base, near, far]),
+                                   jaccard_threshold=0.3).to_pandas()
+    pairs = set(map(tuple, df[["a", "b"]].values))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dup_low_hamming():
+    """One token changed out of 64 → tiny Hamming distance; the banded
+    bucket search must surface the pair (guaranteed for d ≤ 7 with 8 bands)."""
+    words = [f"tok{i}" for i in range(64)]
+    base = " ".join(words)
+    near = " ".join(["tokX" if i == 31 else w for i, w in enumerate(words)])
+    a, b = textops.simhash_batch([base, near]).view(np.int64)
+    ham = bin(int(np.uint64(a) ^ np.uint64(b))).count("1")
+    assert ham <= 7, ham
+    df = textops.simhash_dup_pairs(_docs([base, near]), max_hamming=7).to_pandas()
+    assert (0, 1) in set(map(tuple, df[["a", "b"]].values))
+
+
+def test_fingerprint_deterministic():
+    texts = ["one two three four five six seven eight nine ten"] * 2 + ["other words"]
+    df = textops.rolling_fingerprint(_docs(texts)).to_pandas()
+    fp = dict(zip(df.doc_id, df.fingerprint))
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
