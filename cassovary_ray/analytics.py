@@ -43,7 +43,9 @@ def _auto_partitions(num_partitions: int | None) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, cpus)
+    # cap: the per-partition aggregator overhead dominates small/medium
+    # inputs; callers with genuinely huge inputs pass num_partitions.
+    return min(16, max(2, cpus))
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +367,57 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
 # ---------------------------------------------------------------------------
 # BFS (BreadthFirstTraverser, Traverser.scala:426-450; GraphUtils.bfsWalk)
 # ---------------------------------------------------------------------------
+
+
+def adjacency_lists(edges, sort_neighbors: bool = True):
+    """``Dataset(src, neighbors: list<int64>)`` — the grouped adjacency form
+    (``AdjacencyListGraphReader`` output shape; neighbor sort mirrors
+    ``SortWhileReading``, ``ArrayBasedDirectedGraph.scala:42-48``)."""
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = g["dst"].to_numpy()
+        if sort_neighbors:
+            nbrs = np.sort(nbrs)
+        return pd.DataFrame({"src": [int(g["src"].iloc[0])], "neighbors": [nbrs.tolist()]})
+
+    return edges.groupby("src").map_groups(fold, batch_format="pandas")
+
+
+def all_paths_visit_counts(edges, sources: list[int], max_depth: int,
+                           num_partitions: int | None = None):
+    """``AllPathsWalk`` semantics (``Traverser.scala:463-478``): BFS-order
+    expansion WITHOUT a visited filter — every neighbor is always re-enqueued
+    — returning per-vertex visit counts over ``max_depth`` rounds.
+    Counts are path counts, so they can grow exponentially with depth;
+    ``max_depth`` is mandatory. Returns ``Dataset(vertex, visits)``."""
+    num_partitions = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    frontier = ray.data.from_arrow(
+        pa.table({"vertex": pa.array(sorted(set(sources)), pa.int64()),
+                  "paths": pa.array([1] * len(set(sources)), pa.int64())})
+    ).materialize()
+    totals = frontier
+    for _ in range(max_depth):
+        nxt = frontier.join(edges, "inner", num_partitions,
+                            on=("vertex",), right_on=("src",))
+        nxt = (
+            nxt.map_batches(
+                lambda t: pa.table({"vertex": t["dst"], "paths": t["paths"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("vertex")
+            .aggregate(Sum("paths", alias_name="paths"))
+        )
+        nxt = _join_safe(nxt, num_partitions)
+        if nxt.count() == 0:
+            break
+        totals = totals.union(nxt).materialize()
+        frontier = nxt
+    return (
+        totals.groupby("vertex")
+        .aggregate(Sum("paths", alias_name="visits"))
+    )
 
 
 def closeness_centrality(edges, sources: list[int] | None = None,
