@@ -167,12 +167,17 @@ def run_scaling() -> dict:
     def run(ncpu: int, edges: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_EDGES=str(edges),
                    BENCH_SKIP_QUERIES="1")
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench subprocess (ncpu={ncpu}, edges={edges}) failed:\n"
+                + proc.stderr[-2000:]
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def best(ncpu: int, edges: int) -> dict:
         # best-of-2: this VM shows large run-to-run variance (noisy

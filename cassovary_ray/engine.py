@@ -442,11 +442,15 @@ class GraphShard:
         self._walk_visits = np.zeros(len(self.verts), dtype=np.int64)
         self.walk_csr = True
 
-    def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray):
+    def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray,
+                  track_prev: bool = False):
         """Accept the walkers whose start vertex this shard owns."""
         self.walk_build()
+        self._walk_track_prev = track_prev
+        self._walk_prev_pairs: list[tuple[np.ndarray, np.ndarray]] = []
         mine = (starts % self.num_parts) == self.part
-        self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy())
+        self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy(),
+                         np.full(int(mine.sum()), -1, np.int64))
 
     def walk_step(self, step: int, seed: int, reset_prob: float,
                   max_out_deg: int | None, last: bool, *sender_payloads):
@@ -466,15 +470,19 @@ class GraphShard:
                 parts.append(p)
         self._walkers = None
         if not parts:
-            return [(np.empty(0, np.int64),) * 3] * self.num_parts
+            return [(np.empty(0, np.int64),) * 4] * self.num_parts
         wid = np.concatenate([p[0] for p in parts])
         start = np.concatenate([p[1] for p in parts])
         cur = np.concatenate([p[2] for p in parts])
+        prev = np.concatenate([p[3] for p in parts])
 
         pos = np.searchsorted(self.verts, cur)
         np.add.at(self._walk_visits, pos, 1)
+        if self._walk_track_prev:
+            has_prev = prev >= 0
+            self._walk_prev_pairs.append((cur[has_prev], prev[has_prev]))
         if last:
-            return [(np.empty(0, np.int64),) * 3] * self.num_parts
+            return [(np.empty(0, np.int64),) * 4] * self.num_parts
 
         deg = (self._walk_indptr[pos + 1] - self._walk_indptr[pos]).astype(np.int64)
         u_reset = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step)
@@ -490,15 +498,38 @@ class GraphShard:
         else:
             sampled = start  # no local edges: deg==0 everywhere → all reset
         nxt = np.where(reset, start, sampled)
+        # a reset breaks the path: no prev-neighbor is recorded for the
+        # post-reset visit (PrevNbrCounter counts wander-step edges only)
+        prev_out = np.where(reset, -1, cur)
         dest = nxt % self.num_parts
         order = np.argsort(dest, kind="stable")
         wid, start, nxt, dest = wid[order], start[order], nxt[order], dest[order]
+        prev_out = prev_out[order]
         bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
         return [
             (wid[bounds[q]:bounds[q + 1]], start[bounds[q]:bounds[q + 1]],
-             nxt[bounds[q]:bounds[q + 1]])
+             nxt[bounds[q]:bounds[q + 1]], prev_out[bounds[q]:bounds[q + 1]])
             for q in range(self.num_parts)
         ]
+
+    def walk_prev_counts_table(self) -> pa.Table:
+        """(vertex, prev, count) — the ``PrevNbrCounter`` aggregation
+        (``graph/tourist/PrevNbrCounter.scala:25-113``): how often each
+        previous-neighbor preceded a visit to each vertex."""
+        if not self._walk_prev_pairs:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "prev": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        cur = np.concatenate([p[0] for p in self._walk_prev_pairs])
+        prv = np.concatenate([p[1] for p in self._walk_prev_pairs])
+        order = np.lexsort((prv, cur))
+        cur, prv = cur[order], prv[order]
+        new = np.r_[True, (cur[1:] != cur[:-1]) | (prv[1:] != prv[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(cur)])
+        return pa.table({"vertex": pa.array(cur[starts], pa.int64()),
+                         "prev": pa.array(prv[starts], pa.int64()),
+                         "count": pa.array(counts, pa.int64())})
 
     def walk_visits_table(self) -> pa.Table:
         nz = self._walk_visits > 0
@@ -508,6 +539,7 @@ class GraphShard:
     def walk_reset_counts(self) -> None:
         if "walk_csr" in self.__dict__:
             self._walk_visits[:] = 0
+        self._walk_prev_pairs = []
         self._walkers = None
 
     # -- HITS (needs reverse layout; ``Hits.scala:79-103``) ----------------
@@ -808,7 +840,7 @@ class ShardedGraph:
 
     def random_walks(self, starts: list[int] | dict[int, int], num_steps: int,
                      *, reset_prob: float = 0.0, seed: int = 1,
-                     max_out_deg: int | None = None):
+                     max_out_deg: int | None = None, track_prev: bool = False):
         """Monte-Carlo random walks → visit counts.
 
         ``GraphUtils.randomWalk`` semantics (``GraphUtils.scala:106-130`` via
@@ -832,7 +864,7 @@ class ShardedGraph:
             wid = np.arange(len(starts), dtype=np.int64)
             st = np.asarray(starts, dtype=np.int64)
         ray.get([s.walk_reset_counts.remote() for s in self.shards])
-        ray.get([s.walk_seed.remote(wid, st) for s in self.shards])
+        ray.get([s.walk_seed.remote(wid, st, track_prev) for s in self.shards])
         P = self.num_parts
         # per step: every shard advances its walkers; payload q of shard p
         # feeds shard q next step. Chained by object refs, one barrier per
@@ -852,6 +884,25 @@ class ShardedGraph:
             [s.walk_visits_table.remote() for s in self.shards]
         )
         return visits.sort(["visits", "vertex"], descending=[True, False])
+
+    def walk_prev_neighbor_counts(self, top_k: int | None = None):
+        """After a ``random_walks(..., track_prev=True)`` run: per-vertex
+        (prev-neighbor → count) table, optionally top-k prevs per vertex
+        (``PrevNbrCounter.infoAllNodes`` top-k semantics: count desc, lower
+        prev id ties). Returns ``Dataset(vertex, prev, count)``."""
+        import ray.data
+
+        ds = ray.data.from_arrow_refs(
+            [s.walk_prev_counts_table.remote() for s in self.shards]
+        )
+        if top_k is None:
+            return ds
+
+        def topk(group):
+            g = group.sort_values(["count", "prev"], ascending=[False, True])
+            return g.head(top_k)
+
+        return ds.groupby("vertex").map_groups(topk, batch_format="pandas")
 
     def personalized_reputation(self, start: int | list[int], num_steps: int = 10_000,
                                 *, reset_prob: float = 0.3, num_walkers: int = 100,

@@ -71,3 +71,22 @@ def test_hub_pruning_resets(tmp_dir):
     got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [10], 6,
                    reset_prob=0.0, max_out_deg=2, seed=3)
     assert got[10] == 6  # every visit to 10 resets back to 10
+
+
+def test_prev_neighbor_counts(tmp_dir):
+    """PrevNbrCounter semantics: (vertex, prev) visit-pair counts; resets
+    break the path (no prev recorded). 2-cycle from 1, 4 steps:
+    visits 1,2,1,2 → (2 prev 1):2, (1 prev 2):1."""
+    import os
+
+    from cassovary_ray.corpus import TOY_GRAPHS
+    from cassovary_ray.engine import ShardedGraph
+    from tests.util import build_toy_layout
+
+    lay = os.path.join(tmp_dir, "pc")
+    build_toy_layout(TOY_GRAPHS["g2_mutual"], lay, 2)
+    with ShardedGraph(lay) as g:
+        g.random_walks([1], 4, reset_prob=0.0, track_prev=True)
+        df = g.walk_prev_neighbor_counts().to_pandas()
+    got = {(r.vertex, r.prev): r.count for r in df.itertuples()}
+    assert got == {(2, 1): 2, (1, 2): 1}
