@@ -353,6 +353,18 @@ class GraphShard:
             self._lp_clamped = np.zeros(len(self.verts), dtype=bool)
         self.state["label"] = lab
 
+    def lp_restore_clamps(self, seed_tables: list[pa.Table] | None) -> None:
+        """Rebuild the clamp mask after a checkpoint restore (labels come
+        from the checkpoint; which vertices are seeds does not)."""
+        clamp = np.zeros(len(self.verts), dtype=bool)
+        self._lp_seeded = bool(seed_tables)
+        if seed_tables:
+            for t in seed_tables:
+                ids = t["vertex"].to_numpy(zero_copy_only=False)
+                mine = (ids % self.num_parts) == self.part
+                clamp[np.searchsorted(self.verts, ids[mine])] = True
+        self._lp_clamped = clamp
+
     def lp_scatter(self):
         """Per-dst-partition (dst, label, count) triples — the partial
         mode-count combine. Unlabeled sources don't vote."""
@@ -791,12 +803,19 @@ class ShardedGraph:
 
     # -- WCC ---------------------------------------------------------------
 
-    def weakly_connected_components(self, max_iterations: int | None = None):
+    def weakly_connected_components(self, max_iterations: int | None = None,
+                                    *, checkpoint_dir: str | None = None,
+                                    checkpoint_every: int = 5, resume: bool = False):
         """Hash-min WCC on an **undirected** layout (build with
         ``undirected=True``); component id = min vertex id (FIXTURES §4).
-        Exact, integer-only. Returns ``Dataset(vertex, component)``."""
-        ray.get([s.wcc_init.remote() for s in self.shards])
-        first, iteration = True, 0
+        Exact, integer-only; rounds are idempotent min-reductions, so a
+        resumed run converges to the identical fixpoint from any checkpoint.
+        Returns ``Dataset(vertex, component)``."""
+        iteration = self._init_or_resume(
+            "comp", "component", checkpoint_dir, resume,
+            lambda: ray.get([s.wcc_init.remote() for s in self.shards]),
+        )
+        first = True
         while True:
             t0 = time.perf_counter()
             changed = sum(self._exchange("wcc_scatter", "wcc_apply", first))
@@ -805,13 +824,34 @@ class ShardedGraph:
             self.metrics.append(
                 RoundMetrics(iteration, float(changed), time.perf_counter() - t0, {"algo": "wcc"})
             )
-            if changed == 0 or (max_iterations is not None and iteration >= max_iterations):
+            done = changed == 0 or (max_iterations is not None and iteration >= max_iterations)
+            if checkpoint_dir and (iteration % checkpoint_every == 0 or done):
+                self._write_checkpoint(checkpoint_dir, "comp", "component", iteration, float(changed))
+            if done:
                 break
         return self._state_dataset("comp", "component")
 
+    def _init_or_resume(self, name: str, column: str, checkpoint_dir: str | None,
+                        resume: bool, init_fn) -> int:
+        """Load the newest complete checkpoint (if resuming) or run init_fn;
+        returns the starting iteration number."""
+        if resume and checkpoint_dir:
+            ck = latest_checkpoint(checkpoint_dir)
+            if ck is not None and ck.get("name") == name:
+                paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
+                ray.get([
+                    s.load_state.remote(name, column, paths[p])
+                    for p, s in enumerate(self.shards)
+                ])
+                return ck["iteration"]
+        init_fn()
+        return 0
+
     # -- Label propagation -------------------------------------------------
 
-    def label_propagation(self, *, seeds=None, max_iterations: int = 20):
+    def label_propagation(self, *, seeds=None, max_iterations: int = 20,
+                          checkpoint_dir: str | None = None,
+                          checkpoint_every: int = 5, resume: bool = False):
         """Synchronous LP over an undirected **dedup'd** layout (build with
         ``undirected=True, dedup=True`` — votes are per neighbor, not per
         parallel edge, and a mutual edge stored twice would outvote the
@@ -823,8 +863,13 @@ class ShardedGraph:
         seed_tables = None
         if seeds is not None:
             seed_tables = [b for b in seeds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-        ray.get([s.lp_init.remote(seed_tables) for s in self.shards])
-        iteration = 0
+        iteration = self._init_or_resume(
+            "label", "label", checkpoint_dir, resume,
+            lambda: ray.get([s.lp_init.remote(seed_tables) for s in self.shards]),
+        )
+        if resume and iteration > 0:
+            # clamp masks are not checkpointed; rebuild them from the seeds
+            ray.get([s.lp_restore_clamps.remote(seed_tables) for s in self.shards])
         while iteration < max_iterations:
             t0 = time.perf_counter()
             changed = sum(self._exchange("lp_scatter", "lp_apply", False))
@@ -832,7 +877,10 @@ class ShardedGraph:
             self.metrics.append(
                 RoundMetrics(iteration, float(changed), time.perf_counter() - t0, {"algo": "lp"})
             )
-            if changed == 0:
+            done = changed == 0 or iteration >= max_iterations
+            if checkpoint_dir and (iteration % checkpoint_every == 0 or done):
+                self._write_checkpoint(checkpoint_dir, "label", "label", iteration, float(changed))
+            if done:
                 break
         return self._state_dataset("label", "label")
 

@@ -78,3 +78,42 @@ def test_lp_seeded_exact_and_parallelism_invariant(tmp_dir):
     got = results[1]
     assert got[10] == 100 and got[14] == 200  # clamped seeds
     assert set(got.values()) <= {100, 200}
+
+
+def test_wcc_checkpoint_resume(tmp_dir):
+    """Interrupt WCC after 1 round; a fresh ShardedGraph resumes from the
+    manifest and reaches the identical fixpoint."""
+    adj = {0: [1], 1: [2], 2: [3], 3: [4], 4: [5], 5: [], 100: [101], 101: []}
+    lay = os.path.join(tmp_dir, "und")
+    ck = os.path.join(tmp_dir, "ck")
+    build_toy_layout(adj, lay, 2, undirected=True)
+    with ShardedGraph(lay) as g1:
+        g1.weakly_connected_components(max_iterations=1, checkpoint_dir=ck,
+                                       checkpoint_every=1)
+    with ShardedGraph(lay) as g2:
+        df = g2.weakly_connected_components(checkpoint_dir=ck, resume=True).to_pandas()
+    got = state_by_node(df, adj, "component")
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 100: 100, 101: 100}
+
+
+def test_lp_checkpoint_resume_matches_straight(tmp_dir):
+    adj = TOY_GRAPHS["g6"]
+    seeds = ray.data.from_arrow(
+        pa.table({"vertex": pa.array([10, 14], pa.int64()),
+                  "label": pa.array([100, 200], pa.int64())})
+    )
+    lay = os.path.join(tmp_dir, "und")
+    ck = os.path.join(tmp_dir, "ck")
+    build_toy_layout(adj, lay, 2, undirected=True, dedup=True)
+    with ShardedGraph(lay) as g1:
+        g1.label_propagation(seeds=seeds, max_iterations=2,
+                             checkpoint_dir=ck, checkpoint_every=2)
+    with ShardedGraph(lay) as g2:
+        resumed = g2.label_propagation(seeds=seeds, max_iterations=30,
+                                       checkpoint_dir=ck, resume=True).to_pandas()
+    with ShardedGraph(lay) as g3:
+        straight = g3.label_propagation(seeds=seeds, max_iterations=30).to_pandas()
+    a = state_by_node(resumed, adj, "label")
+    b = state_by_node(straight, adj, "label")
+    assert a == b
+    assert a[10] == 100 and a[14] == 200
