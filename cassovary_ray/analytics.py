@@ -93,20 +93,30 @@ def in_degrees(edges):
 
 
 def degrees(edges, num_partitions: int | None = None):
-    """Full degree table ``(vertex, out_deg, in_deg)`` (0 where absent)."""
-    P = _auto_partitions(num_partitions)
-    joined = _join_safe(out_degrees(edges), P).join(
-        _join_safe(in_degrees(edges), P), "full_outer", P, on=("vertex",)
-    )
+    """Full degree table ``(vertex, out_deg, in_deg)`` (0 where absent).
 
-    def fill(batch: pa.Table) -> pa.Table:
+    Union-tag single groupby: each batch emits per-batch-unique
+    (vertex, out_partial, in_partial) rows for BOTH endpoints, then one
+    ``groupby(vertex).sum`` — no join, no second shuffle (a full_outer join
+    of two separate degree tables cost 3 shuffles + a join aggregator pool).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        sv, sc = np.unique(s, return_counts=True)
+        dv, dc = np.unique(d, return_counts=True)
         return pa.table({
-            "vertex": batch["vertex"],
-            "out_deg": pc.fill_null(batch["out_deg"], 0),
-            "in_deg": pc.fill_null(batch["in_deg"], 0),
+            "vertex": pa.array(np.concatenate([sv, dv]), pa.int64()),
+            "o": pa.array(np.concatenate([sc, np.zeros(len(dv), np.int64)]), pa.int64()),
+            "i": pa.array(np.concatenate([np.zeros(len(sv), np.int64), dc]), pa.int64()),
         })
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vertex")
+        .aggregate(Sum("o", alias_name="out_deg"), Sum("i", alias_name="in_deg"))
+    )
 
 
 def degree_centrality(edges, direction: str = "out", normalized: bool = True,
