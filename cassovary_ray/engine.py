@@ -455,14 +455,18 @@ class GraphShard:
         self.walk_csr = True
 
     def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray,
-                  track_prev: bool = False):
+                  track_prev: bool = False, track_paths: bool = False):
         """Accept the walkers whose start vertex this shard owns."""
         self.walk_build()
         self._walk_track_prev = track_prev
+        self._walk_track_paths = track_paths
         self._walk_prev_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._walk_path_counts: dict[tuple[int, tuple], int] = {}
+        self._walk_homes = frozenset(int(v) for v in np.unique(starts))
         mine = (starts % self.num_parts) == self.part
+        n_mine = int(mine.sum())
         self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy(),
-                         np.full(int(mine.sum()), -1, np.int64))
+                         np.full(n_mine, -1, np.int64), [()] * n_mine)
 
     def walk_step(self, step: int, seed: int, reset_prob: float,
                   max_out_deg: int | None, last: bool, *sender_payloads):
@@ -482,19 +486,35 @@ class GraphShard:
                 parts.append(p)
         self._walkers = None
         if not parts:
-            return [(np.empty(0, np.int64),) * 4] * self.num_parts
+            return [self._walk_empty_payload()] * self.num_parts
         wid = np.concatenate([p[0] for p in parts])
         start = np.concatenate([p[1] for p in parts])
         cur = np.concatenate([p[2] for p in parts])
         prev = np.concatenate([p[3] for p in parts])
+        paths: list[tuple] = []
+        if self._walk_track_paths:
+            for p in parts:
+                paths.extend(p[4])
 
         pos = np.searchsorted(self.verts, cur)
         np.add.at(self._walk_visits, pos, 1)
         if self._walk_track_prev:
             has_prev = prev >= 0
             self._walk_prev_pairs.append((cur[has_prev], prev[has_prev]))
+        if self._walk_track_paths:
+            # PathsCounter.visit (PathsCounter.scala:36-41): visiting a home
+            # node resets the current path; the visited node is appended and
+            # the path snapshot counts toward the ending node.
+            pc = self._walk_path_counts
+            for i in range(len(cur)):
+                c = int(cur[i])
+                path = () if c in self._walk_homes else paths[i]
+                path = path + (c,)
+                paths[i] = path
+                key = (c, path)
+                pc[key] = pc.get(key, 0) + 1
         if last:
-            return [(np.empty(0, np.int64),) * 4] * self.num_parts
+            return [self._walk_empty_payload()] * self.num_parts
 
         deg = (self._walk_indptr[pos + 1] - self._walk_indptr[pos]).astype(np.int64)
         u_reset = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step)
@@ -517,12 +537,40 @@ class GraphShard:
         order = np.argsort(dest, kind="stable")
         wid, start, nxt, dest = wid[order], start[order], nxt[order], dest[order]
         prev_out = prev_out[order]
+        if self._walk_track_paths:
+            paths = [paths[i] for i in order]
         bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
-        return [
-            (wid[bounds[q]:bounds[q + 1]], start[bounds[q]:bounds[q + 1]],
-             nxt[bounds[q]:bounds[q + 1]], prev_out[bounds[q]:bounds[q + 1]])
-            for q in range(self.num_parts)
-        ]
+        out = []
+        for q in range(self.num_parts):
+            lo, hi = bounds[q], bounds[q + 1]
+            payload = (wid[lo:hi], start[lo:hi], nxt[lo:hi], prev_out[lo:hi])
+            if self._walk_track_paths:
+                payload = payload + (paths[lo:hi],)
+            out.append(payload)
+        return out
+
+    def _walk_empty_payload(self):
+        empty = (np.empty(0, np.int64),) * 4
+        return empty + ([],) if self._walk_track_paths else empty
+
+    def walk_top_paths_table(self, top_k: int) -> pa.Table:
+        """(vertex, path, count) — top-k paths ending at each owned vertex
+        (``DirectedPathCollection.topPathsTill``: count desc, shorter path
+        first on ties; we add lexicographic path order as the final
+        deterministic tie-break). Counts are complete per shard because a
+        visit to v is always processed by v's owner."""
+        per_node: dict[int, list] = {}
+        for (node, path), count in self._walk_path_counts.items():
+            per_node.setdefault(node, []).append((-count, len(path), path))
+        verts, paths_col, counts = [], [], []
+        for node in sorted(per_node):
+            for negc, _, path in sorted(per_node[node])[:top_k]:
+                verts.append(node)
+                paths_col.append(list(path))
+                counts.append(-negc)
+        return pa.table({"vertex": pa.array(verts, pa.int64()),
+                         "path": pa.array(paths_col, pa.list_(pa.int64())),
+                         "count": pa.array(counts, pa.int64())})
 
     def walk_prev_counts_table(self) -> pa.Table:
         """(vertex, prev, count) — the ``PrevNbrCounter`` aggregation
@@ -552,6 +600,7 @@ class GraphShard:
         if "walk_csr" in self.__dict__:
             self._walk_visits[:] = 0
         self._walk_prev_pairs = []
+        self._walk_path_counts = {}
         self._walkers = None
 
     # -- HITS (needs reverse layout; ``Hits.scala:79-103``) ----------------
@@ -888,7 +937,8 @@ class ShardedGraph:
 
     def random_walks(self, starts: list[int] | dict[int, int], num_steps: int,
                      *, reset_prob: float = 0.0, seed: int = 1,
-                     max_out_deg: int | None = None, track_prev: bool = False):
+                     max_out_deg: int | None = None, track_prev: bool = False,
+                     track_paths: bool = False):
         """Monte-Carlo random walks → visit counts.
 
         ``GraphUtils.randomWalk`` semantics (``GraphUtils.scala:106-130`` via
@@ -912,7 +962,7 @@ class ShardedGraph:
             wid = np.arange(len(starts), dtype=np.int64)
             st = np.asarray(starts, dtype=np.int64)
         ray.get([s.walk_reset_counts.remote() for s in self.shards])
-        ray.get([s.walk_seed.remote(wid, st, track_prev) for s in self.shards])
+        ray.get([s.walk_seed.remote(wid, st, track_prev, track_paths) for s in self.shards])
         P = self.num_parts
         # per step: every shard advances its walkers; payload q of shard p
         # feeds shard q next step. Chained by object refs, one barrier per
@@ -932,6 +982,18 @@ class ShardedGraph:
             [s.walk_visits_table.remote() for s in self.shards]
         )
         return visits.sort(["visits", "vertex"], descending=[True, False])
+
+    def walk_top_paths(self, top_k: int = 2):
+        """After ``random_walks(..., track_paths=True)``: top-k paths ending
+        at each node with frequencies — the ``PathsCounter`` output
+        (``PathsCounter.scala:29-61``; the reference's RandomWalk example
+        prints top-10 visited with top-2 paths). Returns
+        ``Dataset(vertex, path: list<int64>, count)``."""
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [s.walk_top_paths_table.remote(top_k) for s in self.shards]
+        )
 
     def walk_prev_neighbor_counts(self, top_k: int | None = None):
         """After a ``random_walks(..., track_prev=True)`` run: per-vertex

@@ -68,8 +68,13 @@ def _table(sf_dir: str, name: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+LAYOUT_FORMAT_VERSION = 2  # bump when layout.py changes its on-disk format
+
+
 def _layout_dir(sf_dir: str, variant: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{variant}|{GRAPH_MOD}|{ENGINE_PARTS}".encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{sf_dir}|{variant}|{GRAPH_MOD}|{ENGINE_PARTS}|v{LAYOUT_FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
     return os.path.join("/tmp/cassovary_ray_layouts", key)
 
 

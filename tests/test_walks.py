@@ -90,3 +90,41 @@ def test_prev_neighbor_counts(tmp_dir):
         df = g.walk_prev_neighbor_counts().to_pandas()
     got = {(r.vertex, r.prev): r.count for r in df.itertuples()}
     assert got == {(2, 1): 2, (1, 2): 1}
+
+
+def test_paths_counter_two_cycle(tmp_dir):
+    """`GraphUtilsSpec.scala:49-55`: 2-cycle, resetProb 0, 2 steps from 1 →
+    path counts {1: [((1,), 1)], 2: [((1,2), 1)]}."""
+    import os
+
+    from cassovary_ray.corpus import TOY_GRAPHS
+    from cassovary_ray.engine import ShardedGraph
+    from tests.util import build_toy_layout
+
+    lay = os.path.join(tmp_dir, "paths")
+    build_toy_layout(TOY_GRAPHS["g2_mutual"], lay, 2)
+    with ShardedGraph(lay) as g:
+        g.random_walks([1], 2, reset_prob=0.0, track_paths=True)
+        df = g.walk_top_paths(top_k=2).to_pandas()
+    got = {(r.vertex, tuple(r.path)): r.count for r in df.itertuples()}
+    assert got == {(1, (1,)): 1, (2, (1, 2)): 1}
+
+
+def test_paths_counter_top_k_ordering(tmp_dir):
+    """Longer walk on the 2-cycle: node 1's paths are (1) repeated (reset at
+    home each revisit... resetProb 0 so only the home-visit rule applies:
+    every visit to 1 resets the path). 6 steps: visits 1,2,1,2,1,2 →
+    node 1 paths: (1,)x3; node 2 paths: (1,2)x3."""
+    import os
+
+    from cassovary_ray.corpus import TOY_GRAPHS
+    from cassovary_ray.engine import ShardedGraph
+    from tests.util import build_toy_layout
+
+    lay = os.path.join(tmp_dir, "paths2")
+    build_toy_layout(TOY_GRAPHS["g2_mutual"], lay, 2)
+    with ShardedGraph(lay) as g:
+        g.random_walks([1], 6, reset_prob=0.0, track_paths=True)
+        df = g.walk_top_paths(top_k=1).to_pandas()
+    got = {(r.vertex, tuple(r.path)): r.count for r in df.itertuples()}
+    assert got == {(1, (1,)): 3, (2, (1, 2)): 3}
