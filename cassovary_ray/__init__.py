@@ -24,3 +24,18 @@ fixture) owns the Ray session.
 __version__ = "0.1.0"
 
 from cassovary_ray.hashing import hash64, hash64_batch, splitmix64  # noqa: F401
+
+
+def __getattr__(name):  # lazy re-exports; keep import light for workers
+    public = {
+        "ShardedGraph": ("cassovary_ray.engine", "ShardedGraph"),
+        "build_edge_layout": ("cassovary_ray.layout", "build_edge_layout"),
+        "pages_to_edges": ("cassovary_ray.extract", "pages_to_edges"),
+        "pages_to_vertices": ("cassovary_ray.extract", "pages_to_vertices"),
+    }
+    if name in public:
+        import importlib
+
+        mod, attr = public[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
