@@ -2,24 +2,40 @@
 
 Semantics cloned from ``graph/bipartite/IterativeLinkAnalyzer.scala:36-184``:
 starting from supplied left-side nodes with initial weights, iterations
-alternate direction (iteration 0 flows left→right, 1 flows right→left, ...);
+alternate direction (pass 1 flows left→right, pass 2 flows right→left, ...);
 each pass sets
 
     dest.weight = resetProb · dest.initialWeight
                 + Σ_src (src.weight / src.numNeighbors) · (1 − resetProb)
 
-where ``numNeighbors`` is the degree within the induced bipartite subgraph,
-``resetProb`` is ``reset_prob_left`` for left→right passes and
-``reset_prob_right`` for right→left, right-side nodes have initial weight 0,
-and the LAST pass records each destination's top-k contributor sources by
-contributed weight (``SmallBoundedPriorityQueue`` top-k, contribution desc,
-id asc ties).
+where the graph is the bipartite subgraph **induced by the supplied left
+nodes** (the reference discovers right nodes lazily from the supplied lefts'
+neighbor lists, ``IterativeLinkAnalyzer.scala:78-91``, so right in-degrees
+count only supplied-left edges and the left output contains exactly the
+supplied nodes), right-side nodes have initial weight 0, and the last TWO
+passes record each destination's top-k contributor sources
+(``isLastIterOnEitherSide``, ``IterativeLinkAnalyzer.scala:158``) so both
+sides carry contributors in the output.
+
+Reset-prob pairing follows the reference **code**
+(``IterativeLinkAnalyzer.scala:152-156``): left→right passes apply
+``reset_prob_right`` on the right-side destinations and right→left passes
+apply ``reset_prob_left`` — the opposite of what the reference's class doc
+comment (``:32-33``) says; we match the code.
+
+Deliberate divergence: contributor top-k is ranked by **contributed share**
+(desc, source id asc on ties), not by the source's end-of-run total weight.
+The reference stores mutable NodeInfo refs in a bounded queue and sorts at
+output time by whatever the source's weight then is
+(``IterativeLinkAnalyzer.scala:44-52``) — an artifact of shared mutation that
+is non-deterministic under re-ranking and unreproducible in a distributed
+setting; contributed share is the documented, order-stable choice.
 
 Execution shape: the reference runs this per request on small induced
 subgraphs (``cassovary-server/src/main/scala/CassovaryServer.scala:36-59``),
 so after the distributed edge dedup the flow itself is vectorized pandas on
-the driver. For corpus-scale bipartite flow, the ShardedGraph PageRank
-machinery with a ``side`` column is the path (SURVEY §2.5 bipartite row).
+the driver. For corpus-scale bipartite flow, use
+``engine.ShardedGraph.bipartite_link_analysis`` (same contract, BSP engine).
 """
 
 from __future__ import annotations
@@ -40,26 +56,32 @@ def iterative_link_analysis(
     num_partitions: int | None = None,
 ):
     """Run the alternating flow over ``edges`` = Dataset(src,dst) left→right
-    links. Returns (left_df, right_df): ``(vertex, weight, contributors)``
-    sorted weight desc (the analyze() output shape,
-    ``IterativeLinkAnalyzer.scala:136-178``)."""
+    links, restricted to the subgraph induced by ``left_init``. Returns
+    (left_df, right_df): ``(vertex, weight, contributors)`` sorted weight
+    desc (the analyze() output shape, ``IterativeLinkAnalyzer.scala:136-178``)."""
     P = _auto_partitions(num_partitions)
     edf = _join_safe(distinct_edges(edges), P).to_pandas()
+    # Induced subgraph: only edges out of supplied left nodes — the reference
+    # never touches a left node it wasn't given (IterativeLinkAnalyzer.scala:78).
+    edf = edf[edf["src"].isin(left_init)].reset_index(drop=True)
 
     left_deg = edf.groupby("src").size()
     right_deg = edf.groupby("dst").size()
-    lw = pd.Series(left_init, dtype=float)
+    linit = pd.Series(left_init, dtype=float)
+    lw = linit.copy()  # lefts start at their initial weight (:145-148)
     rw = pd.Series(0.0, index=right_deg.index)
-    contributors: dict[int, list[int]] = {}
+    left_contrib: dict[int, list[int]] = {}
+    right_contrib: dict[int, list[int]] = {}
 
-    for it in range(num_iterations):
-        last = it == num_iterations - 1
-        flow_reverse = it % 2 == 1
-        reset = reset_prob_right if flow_reverse else reset_prob_left
+    for it in range(1, num_iterations + 1):
+        record = it in (num_iterations - 1, num_iterations)  # :158
+        flow_reverse = it % 2 == 0
+        # Reference-code pairing (:152-156): forward pass → resetProbOnRight.
+        reset = reset_prob_left if flow_reverse else reset_prob_right
         if flow_reverse:
             src_col, dst_col = "dst", "src"
             src_w, src_deg = rw, right_deg
-            base = pd.Series(left_init, dtype=float).reindex(lw.index, fill_value=0.0) * reset
+            base = linit * reset  # every supplied left resets (:72-75)
         else:
             src_col, dst_col = "src", "dst"
             src_w, src_deg = lw, left_deg
@@ -72,17 +94,22 @@ def iterative_link_analysis(
             lw = new
         else:
             rw = new
-        if last:
+        if record:
             ranked = flows.sort_values(["share", src_col], ascending=[False, True])
             top = ranked.groupby(dst_col)[src_col].apply(
                 lambda s: s.head(num_top_contributors).tolist()
             )
-            contributors = top.to_dict()
+            if flow_reverse:
+                left_contrib = top.to_dict()
+            else:
+                right_contrib = top.to_dict()
 
-    def frame(weights: pd.Series) -> pd.DataFrame:
+    def frame(weights: pd.Series, contributors: dict[int, list[int]]) -> pd.DataFrame:
         df = weights.rename("weight").rename_axis("vertex").reset_index()
         df = df.sort_values(["weight", "vertex"], ascending=[False, True]).reset_index(drop=True)
         df["contributors"] = df["vertex"].map(lambda v: contributors.get(v, []))
         return df
 
-    return frame(lw), frame(rw)
+    return frame(lw.reindex(linit.index, fill_value=0.0), left_contrib), frame(
+        rw, right_contrib
+    )

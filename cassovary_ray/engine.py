@@ -344,7 +344,7 @@ class GraphShard:
                 ids = t["vertex"].to_numpy(zero_copy_only=False)
                 vals = t["label"].to_numpy(zero_copy_only=False)
                 mine = (ids % self.num_parts) == self.part
-                pos = np.searchsorted(self.verts, ids[mine])
+                pos = self._validated_positions(ids[mine], "LP seed")
                 lab[pos] = vals[mine]
                 clamp[pos] = True
             self._lp_clamped = clamp
@@ -352,6 +352,22 @@ class GraphShard:
             lab = self.verts.astype(np.int64).copy()
             self._lp_clamped = np.zeros(len(self.verts), dtype=bool)
         self.state["label"] = lab
+
+    def _validated_positions(self, ids: np.ndarray, what: str) -> np.ndarray:
+        """searchsorted with membership validation: an id absent from this
+        shard's vertex set would otherwise silently alias a neighboring
+        vertex (or IndexError at the boundary)."""
+        pos = np.searchsorted(self.verts, ids)
+        if len(self.verts):
+            ok = (pos < len(self.verts)) & (
+                self.verts[np.minimum(pos, len(self.verts) - 1)] == ids
+            )
+        else:
+            ok = np.zeros(len(ids), dtype=bool)
+        if not ok.all():
+            bad = ids[~ok][:5].tolist()
+            raise ValueError(f"{what} vertex id(s) not in graph: {bad}")
+        return pos
 
     def lp_restore_clamps(self, seed_tables: list[pa.Table] | None) -> None:
         """Rebuild the clamp mask after a checkpoint restore (labels come
@@ -362,7 +378,7 @@ class GraphShard:
             for t in seed_tables:
                 ids = t["vertex"].to_numpy(zero_copy_only=False)
                 mine = (ids % self.num_parts) == self.part
-                clamp[np.searchsorted(self.verts, ids[mine])] = True
+                clamp[self._validated_positions(ids[mine], "LP seed")] = True
         self._lp_clamped = clamp
 
     def lp_scatter(self):
@@ -455,18 +471,36 @@ class GraphShard:
         self.walk_csr = True
 
     def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray,
-                  track_prev: bool = False, track_paths: bool = False):
-        """Accept the walkers whose start vertex this shard owns."""
+                  track_prev: bool = False, track_paths: bool = False,
+                  filter_home_by_num_edges: bool = False) -> int:
+        """Accept the walkers whose start vertex this shard owns.
+
+        Walkers whose start vertex does not exist in the graph are dropped
+        (the reference's ``GraphUtils.randomWalk`` checks ``existsNodeId``
+        and returns empty counters, ``GraphUtils.scala:110-113``); returns
+        the number of dropped walkers so the driver can surface it."""
         self.walk_build()
         self._walk_track_prev = track_prev
         self._walk_track_paths = track_paths
+        self._walk_filter_home = filter_home_by_num_edges
         self._walk_prev_pairs: list[tuple[np.ndarray, np.ndarray]] = []
         self._walk_path_counts: dict[tuple[int, tuple], int] = {}
         self._walk_homes = frozenset(int(v) for v in np.unique(starts))
+        self._walk_homes_arr = np.unique(starts)
         mine = (starts % self.num_parts) == self.part
-        n_mine = int(mine.sum())
-        self._walkers = (walker_ids[mine].copy(), starts[mine].copy(), starts[mine].copy(),
+        wid, st = walker_ids[mine], starts[mine]
+        # membership check: searchsorted alone maps unknown ids onto a
+        # neighboring vertex (or IndexError at the end) — validate explicitly
+        if len(self.verts):
+            pos = np.searchsorted(self.verts, st)
+            ok = (pos < len(self.verts)) & (self.verts[np.minimum(pos, len(self.verts) - 1)] == st)
+        else:
+            ok = np.zeros(len(st), dtype=bool)
+        wid, st = wid[ok], st[ok]
+        n_mine = len(wid)
+        self._walkers = (wid.copy(), st.copy(), st.copy(),
                          np.full(n_mine, -1, np.int64), [()] * n_mine)
+        return int((~ok).sum())
 
     def walk_step(self, step: int, seed: int, reset_prob: float,
                   max_out_deg: int | None, last: bool, *sender_payloads):
@@ -521,7 +555,19 @@ class GraphShard:
         u_nbr = counter_rng_uniform(seed, wid.astype(np.uint64), 2 * step + 1)
         reset = (u_reset < reset_prob) | (deg == 0)
         if max_out_deg is not None:
-            reset |= deg > max_out_deg
+            # the reference skips the degree threshold while AT a home node
+            # unless filterHomeNodeByNumEdges is set (Traverser.scala:95-98:
+            # needToFilterByNumEdges = filterHomeNodeByNumEdges ||
+            # !homeNodeIdSet.contains(currNode.id)) — otherwise a hub start
+            # would reset forever and the walk would never leave it
+            too_many = deg > max_out_deg
+            if not self._walk_filter_home:
+                at_home_pos = np.searchsorted(self._walk_homes_arr, cur)
+                at_home = (at_home_pos < len(self._walk_homes_arr)) & (
+                    self._walk_homes_arr[np.minimum(at_home_pos, len(self._walk_homes_arr) - 1)] == cur
+                )
+                too_many &= ~at_home
+            reset |= too_many
         idx = self._walk_indptr[pos] + np.minimum(
             (u_nbr * np.maximum(deg, 1)).astype(np.int64), np.maximum(deg - 1, 0)
         )
@@ -694,6 +740,8 @@ class ShardedGraph:
         self.num_parts = man["num_parts"]
         self.n_vertices = man["n_vertices"]
         self.n_edges = man["n_edges"]
+        self.undirected = bool(man.get("undirected", False))
+        self.dedup = bool(man.get("dedup", False))
         # shard_cpus=0 by default: the pool is BSP-driven (exactly P actors
         # compute per phase, P is sized to the cluster by the caller), and a
         # full reservation deadlocks any Ray Data stage sharing the cluster
@@ -860,6 +908,13 @@ class ShardedGraph:
         Exact, integer-only; rounds are idempotent min-reductions, so a
         resumed run converges to the identical fixpoint from any checkpoint.
         Returns ``Dataset(vertex, component)``."""
+        if not self.undirected:
+            raise ValueError(
+                "weakly_connected_components needs a layout built with "
+                "undirected=True (this one's manifest says undirected=False; "
+                "on a directed layout min-labels only flow along edge "
+                "direction and the result is not the weak components)"
+            )
         iteration = self._init_or_resume(
             "comp", "component", checkpoint_dir, resume,
             lambda: ray.get([s.wcc_init.remote() for s in self.shards]),
@@ -909,6 +964,14 @@ class ShardedGraph:
         (FIXTURES §4 LP rules); seeds (``Dataset(vertex,label)``) are clamped;
         runs until fixpoint or ``max_iterations``. Returns
         ``Dataset(vertex, label)``."""
+        if not (self.undirected and self.dedup):
+            raise ValueError(
+                "label_propagation needs a layout built with undirected=True "
+                "AND dedup=True (manifest says undirected="
+                f"{self.undirected}, dedup={self.dedup}); duplicate mutual "
+                "edges outvote the self-vote and reintroduce the 2-cycle "
+                "label oscillation"
+            )
         seed_tables = None
         if seeds is not None:
             seed_tables = [b for b in seeds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
@@ -938,7 +1001,8 @@ class ShardedGraph:
     def random_walks(self, starts: list[int] | dict[int, int], num_steps: int,
                      *, reset_prob: float = 0.0, seed: int = 1,
                      max_out_deg: int | None = None, track_prev: bool = False,
-                     track_paths: bool = False):
+                     track_paths: bool = False,
+                     filter_home_by_num_edges: bool = False):
         """Monte-Carlo random walks → visit counts.
 
         ``GraphUtils.randomWalk`` semantics (``GraphUtils.scala:106-130`` via
@@ -962,7 +1026,18 @@ class ShardedGraph:
             wid = np.arange(len(starts), dtype=np.int64)
             st = np.asarray(starts, dtype=np.int64)
         ray.get([s.walk_reset_counts.remote() for s in self.shards])
-        ray.get([s.walk_seed.remote(wid, st, track_prev, track_paths) for s in self.shards])
+        dropped = sum(ray.get([
+            s.walk_seed.remote(wid, st, track_prev, track_paths, filter_home_by_num_edges)
+            for s in self.shards
+        ]))
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "random_walks: dropped %d walker(s) whose start vertex is not "
+                "in the graph (GraphUtils.scala:110-113 existsNodeId check)",
+                dropped,
+            )
         P = self.num_parts
         # per step: every shard advances its walkers; payload q of shard p
         # feeds shard q next step. Chained by object refs, one barrier per

@@ -302,7 +302,7 @@ ORACLE_SQL = {
     """,
     "graph_bfs": None,  # cyclic recursive CTE enumerates paths; rows-only
     "doc_stats": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     """,
     "doc_exact_dedup": """
@@ -340,7 +340,7 @@ ORACLE_SQL = {
     "events_hourly": """
         SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
                count(*) AS n_events,
-               sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         FROM events GROUP BY 1, 2
     """,
     "events_sessions": """
@@ -356,12 +356,12 @@ ORACLE_SQL = {
                                          ROWS UNBOUNDED PRECEDING) AS session
               FROM d)
         SELECT user_id, min(ts_us) AS session_start_us,
-               count(*) AS n_events, sum(vmilli) AS value_milli
+               count(*) AS n_events, CAST(sum(vmilli) AS BIGINT) AS value_milli
         FROM s GROUP BY user_id, session
     """,
     "events_type_totals": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         FROM events GROUP BY 1
     """,
 }

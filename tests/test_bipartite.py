@@ -1,4 +1,9 @@
-"""IterativeLinkAnalyzer flow — hand-computed fixture."""
+"""IterativeLinkAnalyzer flow — hand-computed fixtures.
+
+Reset-prob pairing follows the reference CODE (IterativeLinkAnalyzer.scala:
+152-156): forward (left→right) passes apply reset_prob_right on the right
+dests, reverse passes apply reset_prob_left on the left dests.
+"""
 
 from __future__ import annotations
 
@@ -18,11 +23,12 @@ def bip_edges():
 
 
 def test_one_pass_left_to_right():
-    """Hand computation, resetL=0.2: share(l) = w_l/deg_l·0.8.
-    w(10)=0.4, w(11)=0.4+0.8=1.2, w(12)=0.8 for inits {1:1, 2:2}."""
+    """Hand computation, resetR=0.2 (forward pass applies the RIGHT reset
+    prob): share(l) = w_l/deg_l·0.8. w(10)=0.4, w(11)=1.2, w(12)=0.8 for
+    inits {1:1, 2:2}."""
     left, right = iterative_link_analysis(
         bip_edges(), {1: 1.0, 2: 2.0}, num_iterations=1,
-        reset_prob_left=0.2, num_top_contributors=2,
+        reset_prob_right=0.2, num_top_contributors=2,
     )
     rw = dict(zip(right.vertex, right.weight))
     assert rw[10] == pytest.approx(1.0 / 2 * 0.8)
@@ -33,17 +39,68 @@ def test_one_pass_left_to_right():
     # contributors of 11: node 2 contributed 0.8 > node 1's 0.4
     rc = dict(zip(right.vertex, right.contributors))
     assert rc[11] == [2, 1]
+    # lefts keep their initial weights after a single forward pass
+    lw = dict(zip(left.vertex, left.weight))
+    assert lw == {1: 1.0, 2: 2.0}
 
 
 def test_two_passes_returns_to_left():
-    """Second pass flows right→left: w(l) = resetR·init(l) +
-    Σ_r w_r/deg_r·(1−resetR)."""
+    """Pass 1 (forward) uses resetR; pass 2 (right→left) uses resetL:
+    w(l) = resetL·init(l) + Σ_r w_r/deg_r·(1−resetL)."""
     resetL, resetR = 0.2, 0.3
     left, right = iterative_link_analysis(
         bip_edges(), {1: 1.0, 2: 2.0}, num_iterations=2,
         reset_prob_left=resetL, reset_prob_right=resetR,
     )
-    w10, w11, w12 = 0.4, 1.2, 0.8  # from pass 1 (resetL=0.2)
+    w10, w11, w12 = 0.35, 1.05, 0.7  # from pass 1 (resetR=0.3)
+    rw = dict(zip(right.vertex, right.weight))
+    assert rw[10] == pytest.approx(w10)
+    assert rw[11] == pytest.approx(w11)
+    assert rw[12] == pytest.approx(w12)
     lw = dict(zip(left.vertex, left.weight))
-    assert lw[1] == pytest.approx(0.3 * 1.0 + (w10 / 1 + w11 / 2) * 0.7)
-    assert lw[2] == pytest.approx(0.3 * 2.0 + (w11 / 2 + w12 / 1) * 0.7)
+    assert lw[1] == pytest.approx(0.2 * 1.0 + (w10 / 1 + w11 / 2) * 0.8)
+    assert lw[2] == pytest.approx(0.2 * 2.0 + (w11 / 2 + w12 / 1) * 0.8)
+
+
+def test_contributors_on_both_sides():
+    """With num_iterations=2 the last TWO passes record contributors
+    (IterativeLinkAnalyzer.scala:158): rights from pass 1, lefts from pass 2."""
+    left, right = iterative_link_analysis(
+        bip_edges(), {1: 1.0, 2: 2.0}, num_iterations=2, num_top_contributors=2,
+    )
+    rc = dict(zip(right.vertex, right.contributors))
+    assert rc[11] == [2, 1] and rc[10] == [1] and rc[12] == [2]
+    lc = dict(zip(left.vertex, left.contributors))
+    # pass-2 shares (resetR=0.1 pass 1 → w10=.45, w11=1.35, w12=.9; resetL=0.1):
+    # into 1: 11 gives 1.35/2·0.9=.6075 > 10's .45·0.9=.405 → [11, 10]
+    # into 2: 12 gives .9·0.9=.81 > 11's .6075 → [12, 11]
+    assert lc[1] == [11, 10] and lc[2] == [12, 11]
+
+
+def test_induced_subgraph_restricts_to_supplied_lefts():
+    """left_init a strict subset: edges from unsupplied lefts are invisible —
+    right degrees and flows count only supplied-left edges, and the left
+    output contains exactly the supplied nodes (IterativeLinkAnalyzer.scala:
+    78-91 discovers rights only via supplied lefts)."""
+    left, right = iterative_link_analysis(
+        bip_edges(), {1: 1.0}, num_iterations=2,
+        reset_prob_left=0.2, reset_prob_right=0.3, num_top_contributors=2,
+    )
+    # induced: 1→{10,11}; right 12 never appears, right 11 has induced deg 1
+    assert set(right.vertex) == {10, 11}
+    rw = dict(zip(right.vertex, right.weight))
+    assert rw[10] == pytest.approx(1.0 / 2 * 0.7)
+    assert rw[11] == pytest.approx(1.0 / 2 * 0.7)
+    # left output is exactly the supplied set
+    assert list(left.vertex) == [1]
+    # pass 2: w(1) = 0.2·1 + (w10/1 + w11/1)·0.8  (induced right degrees = 1)
+    assert left.weight.iloc[0] == pytest.approx(0.2 + (0.35 + 0.35) * 0.8)
+
+
+def test_left_with_no_edges_keeps_reset_weight():
+    left, right = iterative_link_analysis(
+        bip_edges(), {1: 1.0, 99: 4.0}, num_iterations=2,
+        reset_prob_left=0.25, num_top_contributors=1,
+    )
+    lw = dict(zip(left.vertex, left.weight))
+    assert lw[99] == pytest.approx(0.25 * 4.0)  # reset only, no inbound flow

@@ -117,3 +117,33 @@ def test_lp_checkpoint_resume_matches_straight(tmp_dir):
     b = state_by_node(straight, adj, "label")
     assert a == b
     assert a[10] == 100 and a[14] == 200
+
+
+def test_wcc_rejects_directed_layout(tmp_dir):
+    """Manifest-flag validation (round-2 ADVICE): running WCC on a directed
+    layout silently computes the wrong components, so it raises instead."""
+    lay = os.path.join(tmp_dir, "directed_only")
+    build_toy_layout(TOY_GRAPHS["g6"], lay, 2)  # no undirected flag
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="undirected"):
+            g.weakly_connected_components()
+
+
+def test_lp_rejects_non_dedup_layout(tmp_dir):
+    lay = os.path.join(tmp_dir, "und_nodedup")
+    build_toy_layout(TOY_GRAPHS["g6"], lay, 2, undirected=True)  # dedup missing
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="dedup"):
+            g.label_propagation()
+
+
+def test_lp_unknown_seed_vertex_raises(tmp_dir):
+    lay = os.path.join(tmp_dir, "und_seed")
+    build_toy_layout(TOY_GRAPHS["g6"], lay, 2, undirected=True, dedup=True)
+    seeds = ray.data.from_arrow(
+        pa.table({"vertex": pa.array([10, 999], pa.int64()),
+                  "label": pa.array([1, 2], pa.int64())})
+    )
+    with ShardedGraph(lay) as g:
+        with pytest.raises(Exception, match="not in graph"):
+            g.label_propagation(seeds=seeds, max_iterations=2)

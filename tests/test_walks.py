@@ -65,12 +65,44 @@ def test_parallelism_invariance(tmp_dir):
     assert a == b
 
 
-def test_hub_pruning_resets(tmp_dir):
-    """max_out_deg below a hub's degree forces reset at the hub: on g6 with
-    thresh 2, node 10 (deg 3) acts dangling."""
+def test_hub_pruning_skips_home_by_default(tmp_dir):
+    """Home nodes are exempt from the out-degree threshold unless
+    filterHomeNodeByNumEdges is set (`Traverser.scala:95-98`): a walker
+    starting AT the hub still leaves it."""
     got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [10], 6,
                    reset_prob=0.0, max_out_deg=2, seed=3)
-    assert got[10] == 6  # every visit to 10 resets back to 10
+    assert sum(got.values()) == 6
+    assert got[10] < 6  # the walk left the hub start
+
+
+def test_hub_pruning_filter_home_resets(tmp_dir):
+    """With filter_home_by_num_edges=True the threshold applies at home too:
+    on g6 with thresh 2, hub start 10 (deg 3) resets forever."""
+    got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [10], 6,
+                   reset_prob=0.0, max_out_deg=2, seed=3,
+                   filter_home_by_num_edges=True)
+    assert got == {10: 6}  # every visit to 10 resets back to 10
+
+
+def test_hub_pruning_resets_at_non_home_hub(tmp_dir):
+    """A NON-home hub still triggers the reset: start at 15 (deg 2) on g6
+    with thresh 2; any arrival at hub 10 (deg 3) bounces back to 15."""
+    got = run_walk(TOY_GRAPHS["g6"], tmp_dir, [15], 60,
+                   reset_prob=0.0, max_out_deg=2, seed=3)
+    # 10 is visited (15→10 is an edge) but never expanded: 10's exclusive
+    # out-neighbor 13 is unreachable any other way
+    assert got.get(10, 0) > 0
+    assert got.get(13, 0) == 0
+
+
+def test_unknown_start_vertex_dropped(tmp_dir):
+    """A walker whose start vertex is not in the graph is dropped — the
+    reference returns empty counters for a missing start
+    (`GraphUtils.scala:110-113` existsNodeId)."""
+    got = run_walk(TOY_GRAPHS["g2_mutual"], tmp_dir, [1, 999], 4,
+                   reset_prob=0.0)
+    # only walker 1 contributes: visits 1,2,1,2
+    assert got == {1: 2, 2: 2}
 
 
 def test_prev_neighbor_counts(tmp_dir):

@@ -74,8 +74,10 @@ def main():
             status = f"ROWS {len(got)} vs {len(want)}"
         else:
             try:
+                # check_dtype=True: the driver's value hash is type-sensitive
+                # (round-1 lesson: DuckDB sum() -> HUGEINT vs Ray int64 fails it)
                 pd.testing.assert_frame_equal(
-                    got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                    got, want, check_dtype=True, check_exact=False, rtol=0, atol=1e-9
                 )
             except AssertionError as ex:
                 status = "VALUES " + str(ex).splitlines()[-1][:120]
