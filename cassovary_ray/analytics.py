@@ -309,9 +309,48 @@ def triangle_count(edges, num_partitions: int | None = None) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cooccurrence(edges, num_partitions: int):
-    """(u, w, common) — number of shared out-neighbors, u ≠ w."""
+def _cooccurrence(edges, num_partitions: int, max_in_deg: int | None = None):
+    """(u, w, common) — number of shared out-neighbors, u ≠ w.
+
+    Skew guard (``max_in_deg``): the self-join on ``dst`` emits
+    in_deg(dst)² pairs per shared neighbor, so ONE 10⁶-in-degree hub in a
+    power-law corpus produces 10¹² pairs. With ``max_in_deg`` set, dst
+    vertices whose in-degree exceeds it are EXCLUDED from co-occurrence —
+    the same hub-pruning semantic the reference applies to walks
+    (``Traverser.scala:93-102``, ``RandomWalkParams.maxNumEdgesThresh``):
+    a hub shared by "everyone" carries negligible similarity signal at
+    O(deg²) cost. The hot set is collected via a distributed filter (it is
+    tiny by the power-law assumption — vertices with in-degree > threshold)
+    and broadcast into the edge filter. ``None`` (default) = exact."""
     e = _join_safe(distinct_edges(edges), num_partitions)
+    if max_in_deg is not None:
+        import ray
+
+        ind = in_degrees(e)
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            keep = batch["in_deg"].to_numpy(zero_copy_only=False) > max_in_deg
+            return pa.table({"vertex": batch["vertex"].filter(pa.array(keep))})
+
+        hot = np.sort(
+            np.array(
+                [r["vertex"] for r in
+                 ind.map_batches(only_hot, batch_format="pyarrow").take_all()],
+                dtype=np.int64,
+            )
+        )
+        if len(hot):
+            href = ray.put(hot)
+
+            def drop_hot(batch: pa.Table) -> pa.Table:
+                h = ray.get(href)
+                d = batch["dst"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(h, d)
+                is_hot = (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == d)
+                return batch.filter(pa.array(~is_hot))
+
+            e = _join_safe(e.map_batches(drop_hot, batch_format="pyarrow"),
+                           num_partitions)
     pairs = e.join(e, "inner", num_partitions, on=("dst",),
                    left_suffix="_l", right_suffix="_r").materialize()
 
@@ -330,7 +369,8 @@ def _cooccurrence(edges, num_partitions: int):
 
 
 def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     max_in_deg: int | None = None):
     """Top-k most similar vertices per vertex by out-neighbor-set similarity.
 
     Semantics from ``Similarity.scala:56-89`` + ``JaccardSimilarity.scala:25-36``
@@ -338,9 +378,14 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
     only), jaccard = |∩|/|∪|, cosine = |∩|/√(du·dw); ordering: score desc,
     then **lower vertex id** (``SimilarNodes.compare``, ``Similarity.scala:20-24``).
     Returns ``Dataset(u, w, score, rank)``.
+
+    ``max_in_deg``: optional hub-pruning skew guard — see
+    :func:`_cooccurrence`. Degrees in the score denominators still count
+    ALL out-edges; only a hub's *contribution to the intersection* is
+    dropped, so scores involving hub-sharing pairs are lower bounds.
     """
     num_partitions = _auto_partitions(num_partitions)
-    co = _join_safe(_cooccurrence(edges, num_partitions), num_partitions)
+    co = _join_safe(_cooccurrence(edges, num_partitions, max_in_deg), num_partitions)
     deg = _join_safe(
         out_degrees(distinct_edges(edges)).rename_columns({"out_deg": "deg"}),
         num_partitions,
@@ -382,16 +427,74 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
 def adjacency_lists(edges, sort_neighbors: bool = True):
     """``Dataset(src, neighbors: list<int64>)`` — the grouped adjacency form
     (``AdjacencyListGraphReader`` output shape; neighbor sort mirrors
-    ``SortWhileReading``, ``ArrayBasedDirectedGraph.scala:42-48``)."""
+    ``SortWhileReading``, ``ArrayBasedDirectedGraph.scala:42-48``).
+
+    Execution shape (round-2, replacing a one-row-DataFrame-per-vertex
+    ``map_groups``): global ``sort`` by (src[, dst]) range-partitions the
+    edges, then each whole BLOCK is folded in one vectorized pass — segment
+    boundaries via flatnonzero, neighbor lists emitted as an Arrow
+    ``ListArray`` over reduceat-style offsets, zero per-key Python. A src
+    whose run touches a block edge may span blocks, so each block's FIRST
+    and LAST src group is diverted to a boundary path (≤2 rows per block)
+    and merged with a tiny groupby — O(num_blocks) rows, not O(vertices).
+    """
+
+    def fold(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "src": pa.array([], pa.int64()),
+            "neighbors": pa.array([], pa.list_(pa.int64())),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(src) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        uniq = src[starts]
+        n = len(uniq)
+        bounds = np.r_[starts, len(src)]
+        tables = []
+        if n > 2:
+            # interior groups 1..n-2 are contiguous in dst: one ListArray
+            values = dst[starts[1]:starts[n - 1]]
+            offsets = (bounds[1:n] - starts[1]).astype(np.int64)
+            lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), pa.array(values, pa.int64())).cast(pa.list_(pa.int64()))
+            tables.append(pa.table({
+                "src": pa.array(uniq[1:-1], pa.int64()),
+                "neighbors": lists,
+                "boundary": pa.array(np.zeros(n - 2, bool)),
+            }))
+        for gi in ({0, n - 1} if n > 1 else {0}):
+            nbrs = dst[bounds[gi]:bounds[gi + 1]]
+            tables.append(pa.table({
+                "src": pa.array([int(uniq[gi])], pa.int64()),
+                "neighbors": pa.array([nbrs.tolist()], pa.list_(pa.int64())),
+                "boundary": pa.array([True]),
+            }))
+        return pa.concat_tables(tables) if tables else empty
+
+    keys = ["src", "dst"] if sort_neighbors else "src"
+    folded = edges.sort(keys).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep)).drop_columns(["boundary"])
+
+        return folded.map_batches(f, batch_format="pyarrow")
+
     import pandas as pd
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        nbrs = g["dst"].to_numpy()
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["neighbors"]])
         if sort_neighbors:
             nbrs = np.sort(nbrs)
         return pd.DataFrame({"src": [int(g["src"].iloc[0])], "neighbors": [nbrs.tolist()]})
 
-    return edges.groupby("src").map_groups(fold, batch_format="pandas")
+    merged = split(True).groupby("src").map_groups(merge, batch_format="pandas")
+    return split(False).union(merged)
 
 
 def all_paths_visit_counts(edges, sources: list[int], max_depth: int,
@@ -476,7 +579,8 @@ def closeness_centrality(edges, sources: list[int] | None = None,
 
 
 def bfs(edges, sources: list[int], max_depth: int | None = None,
-        num_partitions: int | None = None):
+        num_partitions: int | None = None,
+        max_num_edges_thresh: int | None = None):
     """Multi-source BFS over out-edges → ``Dataset(vertex, depth)`` with
     first-visit depth (``DepthTracker`` semantics, ``Traverser.scala:401-415``).
 
@@ -484,9 +588,29 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
     min-depth dedup. Frontier/visited stay Datasets; the driver holds only
     round counters. At 10^12-vertex scale the visited anti-join is the
     expensive step — partition both sides on vertex (documented assumption).
+
+    ``max_num_edges_thresh``: the ``Walk.Limits`` enqueue filter
+    (``Traverser.scala:202-205``, ``Limit.isLimitReached`` ``:143-148``):
+    a vertex whose out-degree ≥ the threshold is still VISITED (gets a
+    depth) but its children are not enqueued — hub pruning for power-law
+    graphs, applied as an anti-join of the frontier against the
+    (small) hub set before expansion.
     """
     num_partitions = _auto_partitions(num_partitions)
     edges = edges.materialize()
+    hubs = None
+    if max_num_edges_thresh is not None:
+        def only_hubs(batch: pa.Table) -> pa.Table:
+            keep = (batch["out_deg"].to_numpy(zero_copy_only=False)
+                    >= max_num_edges_thresh)
+            return pa.table({"vertex": batch["vertex"].filter(pa.array(keep))})
+
+        hubs = _join_safe(
+            out_degrees(edges).map_batches(only_hubs, batch_format="pyarrow"),
+            num_partitions,
+        )
+        if hubs.count() == 0:
+            hubs = None
     frontier = ray.data.from_arrow(
         pa.table({"vertex": pa.array(sorted(set(sources)), pa.int64())})
     )
@@ -496,14 +620,28 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
     ).materialize()
     depth = 0
     while max_depth is None or depth < max_depth:
-        nxt = frontier.join(edges, "inner", num_partitions,
-                            on=("vertex",), right_on=("src",))
+        expand = frontier
+        if hubs is not None:
+            expand = _join_safe(
+                _join_safe(frontier, num_partitions)
+                .join(hubs, "left_anti", num_partitions, on=("vertex",)),
+                num_partitions,
+            )
+            if expand.count() == 0:
+                break
+        nxt = expand.join(edges, "inner", num_partitions,
+                          on=("vertex",), right_on=("src",))
         nxt = (
             nxt.select_columns(["dst"]).rename_columns({"dst": "vertex"})
             .groupby("vertex").aggregate(Count(alias_name="_c"))
             .select_columns(["vertex"])
         )
         nxt = _join_safe(nxt, num_partitions)  # one join operator live at a time
+        if nxt.count() == 0:
+            # short-circuit BEFORE the anti-join: a fully-empty aggregate
+            # output has no schema at all, which even _join_safe cannot
+            # restore, and acero rejects a schema-less join side
+            break
         nxt = nxt.join(visited, "left_anti", num_partitions, on=("vertex",))
         nxt = _join_safe(nxt, num_partitions)  # next round's join input
         if nxt.count() == 0:

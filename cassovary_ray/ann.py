@@ -4,14 +4,25 @@ embedding: list<float>, label)``).
 - :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
   once (``ray.put``), every batch does one float64 matmul against it, emits
   per-batch top-k partials, and a final small top-k merge runs per query.
-  This is the baseline and the oracle-matchable path.
+  This is the baseline and the oracle-matchable path. Query vectors are
+  fetched with a DISTRIBUTED filter (only the ≤Q matching rows cross to the
+  driver), never a full-table scan.
 - :func:`lsh_knn` — the scale path: random-hyperplane LSH buckets (sign-bit
   codes from a deterministic projection matrix); candidates are restricted
-  to the query's bucket (plus optional multi-probe neighbors), so the
-  per-batch work is a small fraction of brute force. Approximate — no SQL
-  oracle.
+  to the buckets the queries land in. The bucket of a row is a PURE FUNCTION
+  of its embedding, so the restriction is recomputed inside the filter stage
+  from the broadcast (tiny) wanted-bucket set — no per-row driver state, no
+  shuffle join, nothing materialized. Approximate — no SQL oracle.
 - :func:`embedding_dup_pairs` — embedding-cosine near-duplicate pairs
-  (cos ≥ threshold, a < b).
+  (cos ≥ threshold, a < b) via broadcast corpus matrix: exact, bounded to
+  ~10^6 vectors (documented).
+- :func:`embedding_dup_pairs_lsh` — the LSH-BLOCKED near-dup variant for
+  corpus scale: per band, rows are grouped by their sign-bit bucket
+  (``groupby`` — a hash shuffle on the bucket key, never all-pairs) and
+  verified with exact cosine INSIDE the bucket group, where both vectors are
+  already co-located; bands are unioned and pairs deduped with a groupby.
+  Oversized buckets are star-linked (see docstring) so one degenerate bucket
+  cannot emit O(n²) pairs.
 
 All kernels compute in float64 with the same expression the DuckDB oracle
 uses (dot/(|a||b|)) so scores agree to fp determinism per row (no
@@ -20,6 +31,8 @@ reduction-order sensitivity: each score is one dot product).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -27,69 +40,96 @@ import ray
 
 from cassovary_ray.hashing import splitmix64
 
+# Stage functions below are TASK pools, not actor pools, on purpose: their
+# only per-worker state is (a) the lru-cached projection matrix — a pure
+# function of (n_planes, seed, dim), cached per worker process — and (b) a
+# ray.get of a broadcast ref, which is a zero-copy local plasma read after
+# the first pull on each node. Actor pools with num_cpus=1 PIN their CPUs
+# for the pipeline's lifetime and starve downstream groupby/aggregate stages
+# on small clusters (measured round 1; see also engine.py's num_cpus=0
+# shard-actor note) — tasks release CPUs between batches.
+
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-major float64 matrix) — zero-ish-copy: flatten the Arrow
+    list column's value buffer and reshape (uniform-length embeddings)."""
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-    m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-    return ids, m
+    col = batch["embedding"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # zero chunks edge case
+        return ids, np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if len(ids) == 0:
+        return ids, flat.reshape(0, 0)
+    dim = len(flat) // len(ids)
+    return ids, flat.reshape(len(ids), dim)
 
 
 def _load_queries(emb, query_ids: list[int]):
-    qset = set(query_ids)
-    rows = [
-        r for r in emb.select_columns(["vec_id", "embedding"]).iter_rows()
-        if r["vec_id"] in qset
-    ]
+    """Fetch the query vectors with a distributed filter: each batch keeps
+    only vec_id ∈ query set, so exactly ≤len(query_ids) rows reach the
+    driver (the round-1 version full-scanned the table through driver
+    ``iter_rows`` — a scale-killer on the ingest side)."""
+    qarr = np.sort(np.asarray(list(set(query_ids)), dtype=np.int64))
+    qref = ray.put(qarr)
+
+    def keep_queries(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(q, ids)
+        ok = (pos < len(q)) & (q[np.minimum(pos, len(q) - 1)] == ids)
+        return batch.filter(pa.array(ok))
+
+    rows = (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(keep_queries, batch_format="pyarrow")
+        .take(len(qarr))
+    )
     rows.sort(key=lambda r: r["vec_id"])
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     qm = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return qids, qm
 
 
-def knn_bruteforce(emb, query_ids: list[int], k: int = 5):
+def knn_bruteforce(emb, query_ids: list[int], k: int = 5,
+                   _queries: tuple | None = None):
     """Exact cosine top-k neighbors for each query id (self excluded).
 
     Returns ``Dataset(query_id, neighbor_id, rank)`` with rank 1..k ordered
     by (cosine desc, neighbor_id asc) — same tie-break as the similarity
     operators (lower id wins, ``Similarity.scala:20-24``).
     """
-    qids, qm = _load_queries(emb, query_ids)
+    qids, qm = _queries if _queries is not None else _load_queries(emb, query_ids)
     qnorm = np.linalg.norm(qm, axis=1)
     ref = ray.put((qids, qm, qnorm))
 
-    class Partial:
-        def __init__(self):
-            self.qids, self.qm, self.qnorm = ray.get(ref)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        bqids, bqm, bqnorm = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (bqm @ m.T) / np.maximum(bqnorm[:, None] * norms[None, :], 1e-300)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(bqids):
+            s = sims[qi]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], s[mask]
+            top = min(k, len(cand_ids))
+            if top == 0:
+                continue
+            sel = np.argsort(-cand_s, kind="stable")[:top]
+            out_q.append(np.full(top, qid, np.int64))
+            out_n.append(cand_ids[sel])
+            out_s.append(cand_s[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            norms = np.linalg.norm(m, axis=1)
-            sims = (self.qm @ m.T) / np.maximum(self.qnorm[:, None] * norms[None, :], 1e-300)
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                s = sims[qi]
-                mask = ids != qid
-                cand_ids, cand_s = ids[mask], s[mask]
-                top = min(k, len(cand_ids))
-                if top == 0:
-                    continue
-                sel = np.argsort(-cand_s, kind="stable")[:top]
-                out_q.append(np.full(top, qid, np.int64))
-                out_n.append(cand_ids[sel])
-                out_s.append(cand_s[sel])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                             "neighbor_id": pa.array(np.concatenate(out_n)),
-                             "sim": pa.array(np.concatenate(out_s), pa.float64())})
-
-    partials = emb.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow")
 
     def final_topk(group):
-        import pandas as pd
-
         g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
@@ -98,62 +138,73 @@ def knn_bruteforce(emb, query_ids: list[int], k: int = 5):
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+@functools.lru_cache(maxsize=32)
+def _planes(n_planes: int, seed: int, dim: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix — a pure function of
+    (seed, n_planes, dim); lru-cached per worker process, never shipped."""
+    raw = splitmix64(np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed))
+    return ((raw.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, dim)
+
+
+def _sign_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    # pack sign bits into an int64 bucket key
+    return (bits.astype(np.int64) << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
 def lsh_codes(emb, n_planes: int = 12, seed: int = 1234, dim: int = 64):
     """``(vec_id, bucket)`` — random-hyperplane sign codes. The projection
     matrix is a pure function of (seed, n_planes, dim) built per actor."""
 
-    class Code:
-        def __init__(self):
-            raw = splitmix64(
-                np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed)
-            )
-            self.planes = ((raw.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, dim)
+    def code(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        c = _sign_codes(m, _planes(n_planes, seed, dim)) if len(ids) else np.empty(0, np.int64)
+        return pa.table({"vec_id": pa.array(ids), "bucket": pa.array(c)})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            bits = (m @ self.planes.T) > 0
-            code = np.zeros(len(ids), dtype=np.int64)
-            for b in range(n_planes):
-                code |= bits[:, b].astype(np.int64) << b
-            return pa.table({"vec_id": pa.array(ids), "bucket": pa.array(code)})
-
-    return emb.map_batches(Code, batch_format="pyarrow", concurrency=2)
+    return emb.map_batches(code, batch_format="pyarrow")
 
 
 def lsh_knn(emb, query_ids: list[int], k: int = 5, n_planes: int = 8,
             seed: int = 1234):
-    """Approximate top-k: brute-force only within the query's LSH bucket.
+    """Approximate top-k: brute-force only within the queries' LSH buckets.
 
-    The bucketing is the scale path: at 10^12 vectors the per-bucket
-    candidate set is ~n/2^planes; buckets are a ``groupby`` key so the full
-    matrix never sits in one place. Recall is approximate by construction.
+    Scale shape: the query vectors are fetched with a distributed filter,
+    their buckets computed on the driver (Q tiny), and the ≤Q wanted bucket
+    ids broadcast; the corpus restriction stage recomputes each row's bucket
+    from its embedding (pure function of the broadcast projection seed) and
+    keeps matching rows — ONE streaming pass, no per-row driver state, no
+    join, no materialization. At 10^12 vectors the candidate set is
+    ~n·Q/2^planes. Recall is approximate by construction.
     Returns ``Dataset(query_id, neighbor_id, rank)``.
     """
-    dim = len(emb.take(1)[0]["embedding"])
-    codes = lsh_codes(emb, n_planes, seed, dim).materialize()
-    code_map = {r["vec_id"]: r["bucket"] for r in codes.iter_rows()}
     qids, qm = _load_queries(emb, query_ids)
-    qbuckets = {int(q): code_map[int(q)] for q in qids}
-    wanted = set(qbuckets.values())
-
-    # restrict corpus to the buckets any query lands in, then brute-force
-    bref = ray.put((wanted, code_map))
+    dim = qm.shape[1]
+    wanted = np.unique(_sign_codes(qm, _planes(n_planes, seed, dim)))
+    wref = ray.put(wanted)
 
     def in_buckets(batch: pa.Table) -> pa.Table:
-        w, cm = ray.get(bref)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        keep = np.array([cm[int(i)] in w for i in ids], dtype=bool)
-        return batch.filter(pa.array(keep))
+        w = ray.get(wref)
+        ids, m = _emb_matrix(batch)
+        if not len(ids):
+            return batch
+        code = _sign_codes(m, _planes(n_planes, seed, dim))
+        pos = np.searchsorted(w, code)
+        ok = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == code)
+        return batch.filter(pa.array(ok))
 
     sub = emb.map_batches(in_buckets, batch_format="pyarrow")
-    return knn_bruteforce(sub, query_ids, k)
+    return knn_bruteforce(sub, query_ids, k, _queries=(qids, qm))
 
 
 def embedding_dup_pairs(emb, threshold: float = 0.95):
     """``(a, b)`` pairs (a < b) with cosine ≥ threshold — embedding-space
-    near-duplicate detection. Each batch matmuls against the broadcast
-    corpus matrix (fine to ~10^6 vectors; beyond that use lsh_codes buckets
-    as the blocking key)."""
+    near-duplicate detection, EXACT via a broadcast corpus matrix.
+
+    The corpus matrix is collected once through ``iter_batches`` and
+    broadcast (``ray.put``); each batch matmuls against it. This is the
+    exact/oracle path and is bounded to ~10^6 vectors × dim floats of
+    driver+object-store memory — beyond that use
+    :func:`embedding_dup_pairs_lsh`, which never co-locates the corpus."""
     ids_all, m_all = [], []
     for b in emb.select_columns(["vec_id", "embedding"]).iter_batches(
         batch_size=1 << 16, batch_format="pyarrow"
@@ -166,17 +217,100 @@ def embedding_dup_pairs(emb, threshold: float = 0.95):
     norm_all = np.linalg.norm(m_all, axis=1)
     ref = ray.put((ids_all, m_all, norm_all))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.m, self.norm = ray.get(ref)
+    def pairs(batch: pa.Table) -> pa.Table:
+        cids, cm, cnorm = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ cm.T) / np.maximum(norms[:, None] * cnorm[None, :], 1e-300)
+        keep = (sims >= threshold) & (ids[:, None] < cids[None, :])
+        bi, bj = np.nonzero(keep)
+        return pa.table({"a": pa.array(ids[bi], pa.int64()),
+                         "b": pa.array(cids[bj], pa.int64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(emb, threshold: float = 0.95, *,
+                            n_planes: int = 16, n_bands: int = 4,
+                            seed: int = 99, max_bucket: int = 10_000):
+    """LSH-blocked near-duplicate pairs — the corpus-scale path.
+
+    Per band r (independent projection seed), every row is keyed by its
+    sign-bit bucket and shuffled by ``groupby("bucket")``; within a bucket
+    group both vectors are co-located, so candidate pairs are verified with
+    EXACT cosine right there — no broadcast corpus, no second join, no
+    driver state. Bands are unioned and (a, b) pairs deduped by a final
+    groupby.
+
+    Recall: a pair with cosine ≥ t collides in one band with probability
+    (1 − θ(t)/π)^n_planes where θ = arccos(t); across B independent bands
+    miss probability is (1 − p)^B — e.g. t=0.95, n_planes=16, B=4 → >99.9%.
+    Exactness *within* a bucket means precision is 1.0.
+
+    Skew guard: a bucket larger than ``max_bucket`` (degenerate mass of
+    near-identical vectors) would emit O(n²) pairs; it is instead
+    STAR-LINKED — every member is paired with (and verified against) the
+    bucket's minimum vec_id only, which preserves connected components for
+    downstream dedup while bounding output to O(n) per bucket (mirrors the
+    reference's hub pruning discipline, ``Traverser.scala:93-102``).
+    """
+    import ray.data
+
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+
+    def pairs_in_bucket(g):
+        import pandas as pd
+
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        m = np.array(list(g["embedding"]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        norm = np.linalg.norm(m, axis=1)
+        if len(ids) > max_bucket:
+            sims = (m @ m[0]) / np.maximum(norm * norm[0], 1e-300)
+            keep = (sims >= threshold) & (ids != ids[0])
+            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0], np.int64),
+                                 "b": ids[keep].astype(np.int64)})
+        sims = (m @ m.T) / np.maximum(norm[:, None] * norm[None, :], 1e-300)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[hit]].astype(np.int64),
+                             "b": ids[ju[hit]].astype(np.int64)})
+
+    def band_key_fn(band_seed: int):
+        def band_key(batch: pa.Table) -> pa.Table:
             ids, m = _emb_matrix(batch)
-            norms = np.linalg.norm(m, axis=1)
-            sims = (m @ self.m.T) / np.maximum(norms[:, None] * self.norm[None, :], 1e-300)
-            keep = (sims >= threshold) & (ids[:, None] < self.ids[None, :])
-            bi, bj = np.nonzero(keep)
-            return pa.table({"a": pa.array(ids[bi], pa.int64()),
-                             "b": pa.array(self.ids[bj], pa.int64())})
+            if not len(ids):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "bucket": pa.array([], pa.int64()),
+                                 "embedding": batch["embedding"]})
+            code = _sign_codes(m, _planes(n_planes, band_seed, m.shape[1]))
+            return pa.table({"vec_id": pa.array(ids),
+                             "bucket": pa.array(code),
+                             "embedding": batch["embedding"]})
 
-    return emb.map_batches(Pairs, batch_format="pyarrow", concurrency=2)
+        return band_key
+
+    per_band = []
+    for band in range(n_bands):
+        keyed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+            band_key_fn(seed + 7919 * band), batch_format="pyarrow"
+        )
+        pairs = keyed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+        per_band.append(_join_safe(pairs, P))
+
+    allp = per_band[0]
+    for p in per_band[1:]:
+        allp = allp.union(p)
+    from ray.data.aggregate import Count
+
+    return (
+        allp.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )

@@ -759,6 +759,20 @@ class ShardedGraph:
         if self.n_vertices is None:
             self.n_vertices = sum(c[0] for c in counts)
         self.metrics: list[RoundMetrics] = []
+        from cassovary_ray.labels import NodeLabels
+
+        #: named typed per-node label columns (graph/labels/Labels.scala:19-36)
+        self.labels = NodeLabels()
+
+    # -- node labels (DirectedGraph.labelOfNode, DirectedGraph.scala:74-77) --
+
+    def attach_label(self, name: str, ds) -> None:
+        """Register a named ``Dataset(vertex, label)`` column (int or string,
+        LabelsReader.scala:32-35)."""
+        self.labels.add(name, ds)
+
+    def label_of_node(self, name: str, vertex_id: int, expected_type: str | None = None):
+        return self.labels.label_of_node(name, vertex_id, expected_type)
 
     def shutdown(self) -> None:
         """Kill the shard actors, releasing their CPU reservations.
@@ -972,6 +986,12 @@ class ShardedGraph:
                 "edges outvote the self-vote and reintroduce the 2-cycle "
                 "label oscillation"
             )
+        if isinstance(seeds, str):
+            # seed from a named attached label (int-typed; Labels.get check)
+            name = seeds
+            seeds = self.labels.get(name, expected_type="int")
+            if seeds is None:
+                raise KeyError(f"no attached label named {name!r}")
         seed_tables = None
         if seeds is not None:
             seed_tables = [b for b in seeds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]

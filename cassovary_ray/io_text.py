@@ -230,17 +230,23 @@ def write_adjacency(edges, directory: str, *, separator: str = " "):
     """Edge table → adjacency-format part files (grouped by src; the
     ``reverseParseNode`` layout ``id<sep>count\\n<nbr>\\n...``,
     ``AdjacencyListGraphReader.scala:116-120``); round-trips through
-    :func:`read_adjacency_graph`."""
-    import pandas as pd
+    :func:`read_adjacency_graph`.
 
-    def fmt(g: pd.DataFrame) -> pd.DataFrame:
-        src = int(g["src"].iloc[0])
-        nbrs = g["dst"].tolist()
-        block = f"{src}{separator}{len(nbrs)}\n" + "\n".join(str(n) for n in nbrs)
-        return pd.DataFrame({"text": [block]})
+    Grouping runs through :func:`analytics.adjacency_lists` (sort + per-block
+    vectorized segment fold — no per-vertex ``map_groups``); only the final
+    text formatting is per-row."""
+    from cassovary_ray.analytics import adjacency_lists
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        srcs = batch["src"].to_numpy(zero_copy_only=False)
+        lines = [
+            f"{s}{separator}{len(nbrs)}\n" + "\n".join(str(n) for n in nbrs)
+            for s, nbrs in zip(srcs, batch["neighbors"].to_pylist())
+        ]
+        return pa.table({"text": pa.array(lines, pa.string())})
 
     return _write_text_parts(
-        edges.groupby("src").map_groups(fmt, batch_format="pandas"),
+        adjacency_lists(edges).map_batches(fmt, batch_format="pyarrow"),
         directory,
         "adj",
     )

@@ -312,9 +312,15 @@ def minhash_lsh_pairs(docs, *, num_hashes: int = 64, bands: int = 16,
 
     shingle → minhash (per-actor salts) → band buckets → ``groupby(band,key)``
     candidate pairs → verify true shingle Jaccard ≥ threshold. Returns
-    ``(a, b, jaccard)`` with a < b. The verify step re-shingles both docs
-    from a broadcast id→text map — at 10^12 docs this becomes a join of the
-    candidate pairs against the corpus instead (documented scale path).
+    ``(a, b, jaccard)`` with a < b.
+
+    The verify step JOINS the candidate pairs back to the documents table
+    (once on ``a``, once on ``b``) and re-shingles inside the join output
+    batches — the 2-pass shuffle discipline of SURVEY §7.2. Only texts of
+    docs that appear in candidate pairs move, each shipped once per pair it
+    appears in; nothing is broadcast or collected on the driver, so the
+    stage scales with the candidate count, not the corpus size (the round-1
+    version ``ray.put`` the ENTIRE id→text corpus map — a scale-killer).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle, concurrency).materialize()
@@ -345,42 +351,58 @@ def minhash_lsh_pairs(docs, *, num_hashes: int = 64, bands: int = 16,
         i, j = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-    cand = (
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+    cand = _join_safe(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
+        .select_columns(["a", "b"]),
+        P,
+    )
+    if cand.count() == 0:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    texts = docs.select_columns(["doc_id", "text"])
+    with_a = _join_safe(
+        cand.join(texts, "inner", P, on=("a",), right_on=("doc_id",))
+        .rename_columns({"text": "text_a"})
+        .select_columns(["a", "b", "text_a"]),
+        P,
+    )
+    both = (
+        with_a.join(texts, "inner", P, on=("b",), right_on=("doc_id",))
+        .rename_columns({"text": "text_b"})
+        .select_columns(["a", "b", "text_a", "text_b"])
     )
 
-    import ray
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        cache: dict[int, np.ndarray] = {}
 
-    texts_ref = ray.put(
-        {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).iter_rows()}
-    )
+        def sh(doc_id: int, text: str) -> np.ndarray:
+            if doc_id not in cache:
+                cache[doc_id] = _shingle_hashes(text, shingle)
+            return cache[doc_id]
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.cache: dict[int, np.ndarray] = {}
+        jac = np.empty(len(a))
+        for i in range(len(a)):
+            sa, sb = sh(int(a[i]), ta[i]), sh(int(b[i]), tb[i])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= jaccard_threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
 
-        def _sh(self, d):
-            if d not in self.cache:
-                self.cache[d] = _shingle_hashes(self.texts[d], shingle)
-            return self.cache[d]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            jac = np.empty(len(a))
-            for i in range(len(a)):
-                sa, sb = self._sh(int(a[i])), self._sh(int(b[i]))
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jac[i] = inter / union if union else 1.0
-            keep = jac >= jaccard_threshold
-            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                             "jaccard": pa.array(jac[keep], pa.float64())})
-
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return both.map_batches(verify, batch_format="pyarrow")

@@ -139,3 +139,26 @@ def test_bfs_depth_limit_and_chain():
     adj = {0: [1], 1: [2], 2: [3], 3: []}
     df = bfs(edges_ds_for_graph(adj), [0], max_depth=2).to_pandas()
     assert dict(zip(df.vertex, df.depth)) == {0: 0, 1: 1, 2: 2}
+
+
+def test_cooccurrence_hub_guard_bounds_fanout():
+    """Skew guard (round-2): a high-in-degree hub dst is excluded from the
+    co-occurrence self-join when max_in_deg is set, bounding the deg² pair
+    fan-out; pairs through normal vertices are unaffected."""
+    from cassovary_ray.analytics import _cooccurrence, similarity_top_k
+
+    # 20 spokes all point at hub 100; spokes 0 and 1 also share neighbor 50
+    adj = {i: [100] for i in range(20)}
+    adj[0] = [100, 50]
+    adj[1] = [100, 50]
+    e = edges_ds_for_graph(adj)
+    exact = _cooccurrence(e, 4).to_pandas()
+    assert len(exact) == 20 * 19  # every ordered spoke pair shares the hub
+    guarded = _cooccurrence(e, 4, max_in_deg=5).to_pandas()
+    got = {(r.u, r.w): r.common for r in guarded.itertuples()}
+    assert got == {(0, 1): 1, (1, 0): 1}  # only the pairs via vertex 50
+    # public surface: similarity rows collapse the same way, but degrees in
+    # the denominator still count all out-edges (deg 2 each, common 1)
+    sim = similarity_top_k(e, k=3, max_in_deg=5).to_pandas()
+    assert set(zip(sim.u, sim.w)) == {(0, 1), (1, 0)}
+    assert sim.score.tolist() == pytest.approx([1 / 3, 1 / 3])

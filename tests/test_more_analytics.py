@@ -51,3 +51,29 @@ def test_pagerank_partition_invariance(tmp_dir):
     assert results[1].keys() == results[4].keys()
     for v in results[1]:
         assert results[1][v] == pytest.approx(results[4][v], abs=1e-12)
+
+
+def test_adjacency_lists_hub_spans_blocks():
+    """Boundary-merge path: a hub src whose neighbor run crosses sorted-block
+    boundaries must still emit ONE complete, sorted row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cassovary_ray.analytics import adjacency_lists
+
+    rng = np.random.default_rng(3)
+    hub_nbrs = rng.permutation(np.arange(1000, 1500))
+    srcs = np.r_[np.full(500, 7), np.arange(100, 160)]
+    dsts = np.r_[hub_nbrs, np.arange(2000, 2060)]
+    perm = rng.permutation(len(srcs))
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(srcs[perm], pa.int64()),
+        "dst": pa.array(dsts[perm], pa.int64()),
+    })).repartition(8)
+    df = adjacency_lists(ds).to_pandas()
+    assert len(df) == 61  # hub + 60 singles, exactly one row each
+    hub = df[df.src == 7].neighbors.iloc[0]
+    assert list(hub) == list(range(1000, 1500))
+    single = df[df.src == 120].neighbors.iloc[0]
+    assert list(single) == [2020]
