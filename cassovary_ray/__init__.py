@@ -32,6 +32,12 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "build_edge_layout": ("cassovary_ray.layout", "build_edge_layout"),
         "pages_to_edges": ("cassovary_ray.extract", "pages_to_edges"),
         "pages_to_vertices": ("cassovary_ray.extract", "pages_to_vertices"),
+        "NodeLabels": ("cassovary_ray.labels", "NodeLabels"),
+        "flag_label": ("cassovary_ray.labels", "flag_label"),
+        "MapNodeNumberer": ("cassovary_ray.numberer", "MapNodeNumberer"),
+        "Limits": ("cassovary_ray.traversal", "Limits"),
+        "dfs": ("cassovary_ray.traversal", "dfs"),
+        "bfs_exact": ("cassovary_ray.traversal", "bfs_exact"),
     }
     if name in public:
         import importlib

@@ -129,6 +129,20 @@ class _Scatter:
             return (self.uniq_dst[lo:hi], sums[lo:hi])
         return sums[lo:hi]
 
+    def edge_range_for_part(self, q: int) -> tuple[int, int]:
+        """[lo, hi) edge-index range whose dst lives in partition q (edges
+        are (dst%P, dst)-sorted, so the range is contiguous)."""
+        lo_seg, hi_seg = self.part_ptr[q], self.part_ptr[q + 1]
+        n_seg = len(self.seg_starts)
+        lo = self.seg_starts[lo_seg] if lo_seg < n_seg else self.n_edges
+        hi = self.seg_starts[hi_seg] if hi_seg < n_seg else self.n_edges
+        return int(lo), int(hi)
+
+    def per_edge_dst(self) -> np.ndarray:
+        """dst id per edge (segment expansion; built on demand)."""
+        seg_len = np.diff(np.r_[self.seg_starts, self.n_edges])
+        return np.repeat(self.uniq_dst, seg_len)
+
     def per_part(self, sums: np.ndarray, with_ids: bool) -> list:
         """All P per-destination payload slices, returned as ONE task-return
         object ("packed" exchange). Receivers pick ``payloads[self.part]``.
@@ -649,6 +663,136 @@ class GraphShard:
         self._walk_path_counts = {}
         self._walkers = None
 
+    # -- bipartite iterative link analysis (IterativeLinkAnalyzer.scala:
+    #    36-184 on the BSP engine; bipartite.py pandas is the small-subgraph
+    #    fallback). Same contract as bipartite.iterative_link_analysis:
+    #    induced subgraph of supplied lefts, reference-code reset pairing,
+    #    contributors by share on the last two passes. --------------------
+
+    def bila_init(self, seed_table: pa.Table) -> None:
+        n = len(self.verts)
+        supplied = np.zeros(n, dtype=bool)
+        init = np.zeros(n)
+        ids = seed_table["vertex"].to_numpy(zero_copy_only=False)
+        vals = seed_table["weight"].to_numpy(zero_copy_only=False)
+        mine = (ids % self.num_parts) == self.part
+        pos = self._validated_positions(ids[mine], "bipartite left")
+        supplied[pos] = True
+        init[pos] = vals[mine]
+        self.state["bila_supplied"] = supplied
+        self.state["bila_init"] = init
+        self.state["bila_lw"] = init.copy()  # lefts start at init (:145-148)
+        self.state["bila_rw"] = np.zeros(n)
+        self._bila_contrib: dict[str, dict[int, np.ndarray]] = {"left": {}, "right": {}}
+
+    def bila_rightdeg_scatter(self, first_round: bool):
+        """Induced right in-degree: count only edges out of supplied lefts
+        (the reference counts numNeighbors while discovering rights from the
+        supplied lefts' edges, :78-85)."""
+        coef = self.state["bila_supplied"].astype(np.float64)
+        return self.fwd.per_part(self.fwd.coef_scatter_sums(coef), first_round)
+
+    def bila_rightdeg_apply(self, *sender_payloads) -> float:
+        return self._sum_apply("fwd", "bila_rdeg", sender_payloads)
+
+    def _bila_share(self, direction: str, reset: float) -> tuple[np.ndarray, np.ndarray]:
+        """(per-vertex share, valid-source mask) for one pass: share(v) =
+        weight(v)/deg(v)·(1−reset); sources are supplied lefts (forward) or
+        induced rights (reverse)."""
+        if direction == "fwd":
+            w, deg = self.state["bila_lw"], self.fwd.out_deg.astype(np.float64)
+            valid = self.state["bila_supplied"] & (deg > 0)
+        else:
+            w, deg = self.state["bila_rw"], self.state["bila_rdeg"]
+            valid = deg > 0
+        share = np.where(valid, w / np.maximum(deg, 1e-300) * (1.0 - reset), 0.0)
+        return share, valid
+
+    def bila_fwd_scatter(self, reset_right: float, first_round: bool):
+        share, _ = self._bila_share("fwd", reset_right)
+        return self.fwd.per_part(self.fwd.coef_scatter_sums(share), first_round)
+
+    def bila_fwd_apply(self, *sender_payloads) -> float:
+        # rights reset to 0 each pass (initial weight 0, :72-75)
+        return self._sum_apply("fwd", "bila_rw", sender_payloads)
+
+    def bila_rev_scatter(self, reset_left: float, first_round: bool):
+        share, _ = self._bila_share("rev", reset_left)
+        return self.rev.per_part(self.rev.coef_scatter_sums(share), first_round)
+
+    def bila_rev_apply(self, reset_left: float, *sender_payloads) -> float:
+        r = self._sum_apply("rev", "_bila_flow", sender_payloads)
+        self.state["bila_lw"] = (
+            reset_left * self.state["bila_init"] + self.state.pop("_bila_flow")
+        )
+        return r
+
+    def bila_contrib_scatter(self, direction: str, reset: float):
+        """Per-part (dst, src, share) triples for valid-source edges — the
+        last-two-pass contributor recording (:158)."""
+        sc = self.fwd if direction == "fwd" else self.rev
+        share, valid = self._bila_share(direction, reset)
+        per_edge_share = share[sc.src_pos]
+        per_edge_valid = valid[sc.src_pos]
+        src_ids = self.verts[sc.src_pos]
+        dst_ids = sc.per_edge_dst()
+        out = []
+        for q in range(self.num_parts):
+            lo, hi = sc.edge_range_for_part(q)
+            keep = per_edge_valid[lo:hi]
+            out.append((dst_ids[lo:hi][keep], src_ids[lo:hi][keep],
+                        per_edge_share[lo:hi][keep]))
+        return out
+
+    def bila_contrib_apply(self, direction: str, k: int, *sender_payloads) -> int:
+        """Top-k contributors per owned destination: share desc, src id asc
+        (``SmallBoundedPriorityQueue`` ordering; ranking by contributed share
+        is the documented divergence — see bipartite.py docstring)."""
+        incoming = [pl[self.part] for pl in sender_payloads]
+        dst = np.concatenate([p[0] for p in incoming])
+        src = np.concatenate([p[1] for p in incoming])
+        share = np.concatenate([p[2] for p in incoming])
+        side = "right" if direction == "fwd" else "left"
+        if side == "left":
+            # only supplied lefts carry output contributors
+            pos = np.searchsorted(self.verts, dst)
+            keep = self.state["bila_supplied"][pos]
+            dst, src, share = dst[keep], src[keep], share[keep]
+        contrib: dict[int, np.ndarray] = {}
+        if len(dst):
+            order = np.lexsort((src, -share, dst))
+            d, s = dst[order], src[order]
+            new_grp = np.r_[True, d[1:] != d[:-1]]
+            grp_start = np.flatnonzero(new_grp)
+            rank = np.arange(len(d)) - np.repeat(grp_start, np.diff(np.r_[grp_start, len(d)]))
+            keep = rank < k
+            d, s = d[keep], s[keep]
+            new_grp = np.r_[True, d[1:] != d[:-1]]
+            starts = np.flatnonzero(new_grp)
+            for i, st in enumerate(starts):
+                en = starts[i + 1] if i + 1 < len(starts) else len(d)
+                contrib[int(d[st])] = s[st:en]
+        self._bila_contrib[side] = contrib
+        return len(contrib)
+
+    def bila_side_table(self, side: str) -> pa.Table:
+        if side == "left":
+            mask = self.state["bila_supplied"]
+            w = self.state["bila_lw"]
+        else:
+            mask = self.state["bila_rdeg"] > 0
+            w = self.state["bila_rw"]
+        verts = self.verts[mask]
+        contrib = self._bila_contrib[side]
+        return pa.table({
+            "vertex": pa.array(verts, pa.int64()),
+            "weight": pa.array(w[mask], pa.float64()),
+            "contributors": pa.array(
+                [contrib.get(int(v), np.empty(0, np.int64)).tolist() for v in verts],
+                pa.list_(pa.int64()),
+            ),
+        })
+
     # -- HITS (needs reverse layout; ``Hits.scala:79-103``) ----------------
 
     def hits_init(self, n_total: int) -> None:
@@ -812,7 +956,7 @@ class ShardedGraph:
         P = self.num_parts
         outs = [
             getattr(s, scatter_method).remote(*scatter_args)
-            if scatter_method in ("lp_scatter",)
+            if scatter_method in ("lp_scatter", "bila_contrib_scatter")
             else getattr(s, scatter_method).remote(*scatter_args, first_round)
             for s in self.shards
         ]
@@ -1132,6 +1276,69 @@ class ShardedGraph:
         ds = self.random_walks(starts, steps, reset_prob=reset_prob, seed=seed,
                                max_out_deg=max_out_deg)
         return ds.limit(top_k) if top_k else ds
+
+    def bipartite_link_analysis(self, left_init: dict[int, float], *,
+                                num_iterations: int = 2,
+                                reset_prob_left: float = 0.1,
+                                reset_prob_right: float = 0.1,
+                                num_top_contributors: int = 2):
+        """Alternating bipartite flow on the BSP engine — the corpus-scale
+        variant of ``bipartite.iterative_link_analysis`` (same contract:
+        ``IterativeLinkAnalyzer.scala:36-184`` semantics, induced subgraph of
+        the supplied lefts, reference-code reset pairing, contributors by
+        share on the last two passes; see bipartite.py for the documented
+        divergences). Requires a reverse layout (the right→left pass gathers
+        along in-edges). Left/right id spaces must be globally distinct —
+        the engine's single vertex universe (hash ids guarantee this),
+        unlike the reference's two overlapping int spaces
+        (``BipartiteGraph.scala:24-100``).
+
+        Returns ``(left Dataset, right Dataset)`` of
+        ``(vertex, weight, contributors)`` sorted weight desc, vertex asc.
+        """
+        import ray.data
+
+        if not self.has_reverse:
+            raise ValueError(
+                "bipartite_link_analysis() needs a ShardedGraph built with "
+                "reverse_layout_dir"
+            )
+        seed = pa.table({
+            "vertex": pa.array(sorted(left_init), pa.int64()),
+            "weight": pa.array([left_init[v] for v in sorted(left_init)], pa.float64()),
+        })
+        ray.get([s.bila_init.remote(seed) for s in self.shards])
+        # induced right degrees (one fwd exchange; also seeds the fwd id cache)
+        self._exchange("bila_rightdeg_scatter", "bila_rightdeg_apply", True)
+        rev_first = True
+        for it in range(1, num_iterations + 1):
+            record = it in (num_iterations - 1, num_iterations)
+            t0 = time.perf_counter()
+            if it % 2 == 1:  # forward: left→right, resetProbOnRight (:152-156)
+                self._exchange("bila_fwd_scatter", "bila_fwd_apply", False,
+                               scatter_args=(reset_prob_right,))
+                if record:
+                    self._exchange("bila_contrib_scatter", "bila_contrib_apply", False,
+                                   scatter_args=("fwd", reset_prob_right),
+                                   apply_args=("fwd", num_top_contributors))
+            else:  # reverse: right→left, resetProbOnLeft
+                self._exchange("bila_rev_scatter", "bila_rev_apply", rev_first,
+                               scatter_args=(reset_prob_left,),
+                               apply_args=(reset_prob_left,))
+                rev_first = False
+                if record:
+                    self._exchange("bila_contrib_scatter", "bila_contrib_apply", False,
+                                   scatter_args=("rev", reset_prob_left),
+                                   apply_args=("rev", num_top_contributors))
+            self.metrics.append(RoundMetrics(it, float("nan"),
+                                             time.perf_counter() - t0,
+                                             {"algo": "bipartite"}))
+        left = ray.data.from_arrow_refs(
+            [s.bila_side_table.remote("left") for s in self.shards])
+        right = ray.data.from_arrow_refs(
+            [s.bila_side_table.remote("right") for s in self.shards])
+        return (left.sort(["weight", "vertex"], descending=[True, False]),
+                right.sort(["weight", "vertex"], descending=[True, False]))
 
     def hits(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8,
              normalize: bool = True):

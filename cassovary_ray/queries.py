@@ -166,6 +166,116 @@ def q_graph_bfs(sf_dir: str):
     return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
 
 
+def q_graph_adjacency_stats(sf_dir: str):
+    """Exercises the vectorized adjacency fold: per-src neighbor-list stats
+    recomputed FROM the list column (so a wrong fold breaks the values)."""
+    adj = analytics.adjacency_lists(derived_edges(sf_dir))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        srcs = batch["src"].to_numpy(zero_copy_only=False)
+        col = batch["neighbors"].combine_chunks() if isinstance(
+            batch["neighbors"], pa.ChunkedArray) else batch["neighbors"]
+        n, mn, mx, sm = [], [], [], []
+        for lst in col.to_pylist():
+            a = np.asarray(lst, dtype=np.int64)
+            n.append(len(a))
+            mn.append(int(a.min()))
+            mx.append(int(a.max()))
+            sm.append(int(a.sum()))
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "n_neighbors": pa.array(n, pa.int64()),
+                         "min_nbr": pa.array(mn, pa.int64()),
+                         "max_nbr": pa.array(mx, pa.int64()),
+                         "sum_nbr": pa.array(sm, pa.int64())})
+
+    return adj.map_batches(stats, batch_format="pyarrow")
+
+
+def q_graph_labels(sf_dir: str):
+    """Typed node-labels surface: attach label = vertex % 7 and join it onto
+    the degree table (labels.with_label left-outer join)."""
+    from cassovary_ray.labels import NodeLabels
+
+    deg = analytics.degrees(derived_edges(sf_dir))
+    lab = deg.map_batches(
+        lambda b: pa.table({
+            "vertex": b["vertex"],
+            "label": pa.array(b["vertex"].to_numpy(zero_copy_only=False) % 7,
+                              pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    labs = NodeLabels()
+    labs.add("community", lab)
+    return labs.with_label(deg, "community").select_columns(
+        ["vertex", "out_deg", "in_deg", "community"]
+    )
+
+
+def q_graph_numberer(sf_dir: str):
+    """MapNodeNumberer round-trip: name every vertex 'n<id>', rename the edge
+    endpoints to names, translate back through the numberer (join path) —
+    output must equal graph_edges."""
+    from cassovary_ray.numberer import MapNodeNumberer
+
+    e = derived_edges(sf_dir)
+    verts = analytics.degrees(e).select_columns(["vertex"])
+    mapping = verts.map_batches(
+        lambda b: pa.table({
+            "name": pa.array(["n%d" % v for v in
+                              b["vertex"].to_numpy(zero_copy_only=False)],
+                             pa.string()),
+            "id": b["vertex"],
+        }),
+        batch_format="pyarrow",
+    )
+    named = e.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(["n%d" % v for v in
+                             b["src"].to_numpy(zero_copy_only=False)], pa.string()),
+            "dst": pa.array(["n%d" % v for v in
+                             b["dst"].to_numpy(zero_copy_only=False)], pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+    n = MapNodeNumberer(mapping, broadcast_limit=1)  # force the join path
+    return n.translate_edges(named)
+
+
+def q_graph_dfs(sf_dir: str):
+    """Driver-side DFS fallback with discovery/finish times (rows-only)."""
+    from cassovary_ray.traversal import dfs
+
+    return dfs(derived_edges(sf_dir), [0])
+
+
+def q_graph_bipartite(sf_dir: str):
+    """Engine bipartite flow over the derived graph: supplied lefts are the
+    20 smallest src vertices, weight 1.0 (rows-only)."""
+    e = derived_edges(sf_dir)
+    srcs = [r["vertex"] for r in
+            analytics.out_degrees(e).select_columns(["vertex"])
+            .sort("vertex").take(20)]
+    fwd = _ensure_layout(sf_dir, "directed")
+    rev = _ensure_layout(sf_dir, "reversed")
+    with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
+        left, right = g.bipartite_link_analysis(
+            {v: 1.0 for v in srcs}, num_iterations=2
+        )
+        ldf = left.to_pandas()
+        rdf = right.to_pandas()
+    ldf["side"] = "left"
+    rdf["side"] = "right"
+    import pandas as pd
+
+    out = pd.concat([ldf, rdf], ignore_index=True)
+    # list column -> sortable/hashable string for the driver's value compare
+    out["contributors"] = out["contributors"].map(
+        lambda l: ",".join(str(int(x)) for x in l)
+    )
+    return out
+
+
 def q_doc_stats(sf_dir: str):
     return textops.doc_stats(_table(sf_dir, "documents"))
 
@@ -239,6 +349,11 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_walk_visits": q_graph_walk_visits,
     "graph_bfs": q_graph_bfs,
+    "graph_adjacency_stats": q_graph_adjacency_stats,
+    "graph_labels": q_graph_labels,
+    "graph_numberer": q_graph_numberer,
+    "graph_dfs": q_graph_dfs,
+    "graph_bipartite": q_graph_bipartite,
     "doc_stats": q_doc_stats,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
@@ -301,6 +416,22 @@ ORACLE_SQL = {
         SELECT u, w, score, rank FROM ranked WHERE rank <= 3
     """,
     "graph_bfs": None,  # cyclic recursive CTE enumerates paths; rows-only
+    "graph_adjacency_stats": f"""
+        WITH e AS ({DERIVED_EDGES_CTE})
+        SELECT src, count(*) AS n_neighbors, min(dst) AS min_nbr,
+               max(dst) AS max_nbr, CAST(sum(dst) AS BIGINT) AS sum_nbr
+        FROM e GROUP BY src
+    """,
+    "graph_labels": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1),
+        i AS (SELECT dst AS vertex, count(*) AS c FROM e GROUP BY 1)
+        SELECT v.vertex, coalesce(o.c, 0) AS out_deg, coalesce(i.c, 0) AS in_deg,
+               v.vertex % 7 AS community
+        FROM v LEFT JOIN o USING (vertex) LEFT JOIN i USING (vertex)
+    """,
+    "graph_numberer": f"WITH e AS ({DERIVED_EDGES_CTE}) SELECT src, dst FROM e",
     "doc_stats": """
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang

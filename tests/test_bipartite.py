@@ -104,3 +104,76 @@ def test_left_with_no_edges_keeps_reset_weight():
     )
     lw = dict(zip(left.vertex, left.weight))
     assert lw[99] == pytest.approx(0.25 * 4.0)  # reset only, no inbound flow
+
+
+# -- engine path (ShardedGraph.bipartite_link_analysis) ----------------------
+
+
+def run_engine_bila(tmp_dir, adj, left_init, P, tag, **kw):
+    import os
+
+    from cassovary_ray.engine import ShardedGraph
+    from tests.util import build_toy_layout
+
+    fwd = os.path.join(tmp_dir, f"bila_f_{tag}_{P}")
+    rev = os.path.join(tmp_dir, f"bila_r_{tag}_{P}")
+    build_toy_layout(adj, fwd, P)
+    build_toy_layout(adj, rev, P, reverse=True)
+    with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
+        left, right = g.bipartite_link_analysis(left_init, **kw)
+        return left.to_pandas(), right.to_pandas()
+
+
+def assert_bila_match(engine_df, pandas_df):
+    e = {r.vertex: (r.weight, list(r.contributors)) for r in engine_df.itertuples()}
+    p = {r.vertex: (r.weight, list(r.contributors)) for r in pandas_df.itertuples()}
+    assert set(e) == set(p)
+    for v in p:
+        assert e[v][0] == pytest.approx(p[v][0]), f"weight mismatch at {v}"
+        assert e[v][1] == p[v][1], f"contributors mismatch at {v}"
+
+
+BIP_ADJ = {1: [10, 11], 2: [11, 12]}
+
+
+@pytest.mark.parametrize("P", [1, 4])
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_engine_matches_pandas_fixture(tmp_dir, P, iters):
+    kw = dict(num_iterations=iters, reset_prob_left=0.2, reset_prob_right=0.3,
+              num_top_contributors=2)
+    pl, pr = iterative_link_analysis(bip_edges(), {1: 1.0, 2: 2.0}, **kw)
+    el, er = run_engine_bila(tmp_dir, BIP_ADJ, {1: 1.0, 2: 2.0}, P, f"i{iters}", **kw)
+    assert_bila_match(el, pl)
+    assert_bila_match(er, pr)
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_engine_induced_subset(tmp_dir, P):
+    """left_init a strict subset: engine must also restrict flows/degrees to
+    the induced subgraph."""
+    kw = dict(num_iterations=2, reset_prob_left=0.2, reset_prob_right=0.3)
+    pl, pr = iterative_link_analysis(bip_edges(), {1: 1.0}, **kw)
+    el, er = run_engine_bila(tmp_dir, BIP_ADJ, {1: 1.0}, P, "sub", **kw)
+    assert_bila_match(el, pl)
+    assert_bila_match(er, pr)
+
+
+def test_engine_left_without_edges(tmp_dir):
+    adj = {1: [10, 11], 2: [11, 12], 99: []}
+    kw = dict(num_iterations=2, reset_prob_left=0.25)
+    pl, _ = iterative_link_analysis(bip_edges(), {1: 1.0, 99: 4.0}, **kw)
+    el, _ = run_engine_bila(tmp_dir, adj, {1: 1.0, 99: 4.0}, 2, "noedge", **kw)
+    assert_bila_match(el, pl)
+
+
+def test_engine_requires_reverse_layout(tmp_dir):
+    import os
+
+    from cassovary_ray.engine import ShardedGraph
+    from tests.util import build_toy_layout
+
+    lay = os.path.join(tmp_dir, "bila_fwd_only")
+    build_toy_layout(BIP_ADJ, lay, 2)
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="reverse"):
+            g.bipartite_link_analysis({1: 1.0})
