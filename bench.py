@@ -10,10 +10,14 @@ Prints ONE JSON line:
    "queries": {...}, "sf": <sf>, "num_cpus": N,
    "edges": M, "iterations": K, "edges_per_sec_per_iter": T, ...}
 
-``--scaling``: runs this script in two fresh processes (RAY_GRAFT_CPUS=8 and
-=32) on the same input and reports both throughputs + weak-scaling
-efficiency (T32/T8)/(32/8) — the sandbox evidence for the north rule's
-N-vs-4N-cluster criterion (no multi-node cluster available here).
+``--scaling``: sandbox evidence for the north rule's N-vs-4N-cluster
+criterion (no multi-node cluster available here). Runs fresh-process pairs
+at two spans — 2→8 CPUs (below this VM's memory-bandwidth contention knee)
+and 8→32 (above it) — with constant 12.5M edges/shard, reports per-config
+MEDIAN throughput over 5 interleaved pairs, plus the hardware
+weak-scaling ceiling measured by an embarrassingly parallel numpy probe at
+the same worker counts, and the engine-vs-ceiling ratio. See BASELINE.md
+for why the ceiling normalization is the honest single-box reading.
 """
 
 from __future__ import annotations
@@ -87,6 +91,31 @@ def run_bench() -> dict:
     per_iter = sum(round_walls) / max(1, len(round_walls))
     eps = man["n_edges"] / per_iter
 
+    # real shuffle-path layout build (VERDICT r1: the headline excludes the
+    # cached direct-builder layout; this measures the actual
+    # edges → hash-partition shuffle → partitioned-parquet write path on a
+    # FRESH directory every run, so the number is never a cache hit)
+    shuffle_build = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        import shutil
+
+        from cassovary_ray.corpus import powerlaw_edges_dataset
+        from cassovary_ray.layout import build_edge_layout
+
+        sb_edges = min(n_edges, 10_000_000)
+        sb_dir = f"/tmp/cassovary_ray_bench/shufbuild_{os.getpid()}"
+        shutil.rmtree(sb_dir, ignore_errors=True)
+        eds = powerlaw_edges_dataset(sb_edges, max(10_000, sb_edges // 10), seed=SEED)
+        t0 = time.perf_counter()
+        build_edge_layout(eds, sb_dir, num_parts)
+        sb_wall = time.perf_counter() - t0
+        shutil.rmtree(sb_dir, ignore_errors=True)
+        shuffle_build = {
+            "layout_build_shuffle_sec": round(sb_wall, 2),
+            "layout_build_shuffle_edges": sb_edges,
+            "layout_build_shuffle_eps": round(sb_edges / sb_wall),
+        }
+
     # representative query timings over the driver testdata at this sf
     from cassovary_ray.queries import QUERIES
 
@@ -114,6 +143,7 @@ def run_bench() -> dict:
         "sec_per_iter": round(per_iter, 4),
         "edges_per_sec_per_iter": round(eps),
         "layout_build_sec": round(build_s, 2),
+        **shuffle_build,
     }
     ray.shutdown()
     return out
@@ -179,44 +209,72 @@ def run_scaling() -> dict:
             )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    def best(ncpu: int, edges: int) -> dict:
-        # best-of-2: this VM shows large run-to-run variance (noisy
-        # neighbors); the cleaner run is the truer hardware picture
-        a, b = run(ncpu, edges), run(ncpu, edges)
-        return a if a["edges_per_sec_per_iter"] >= b["edges_per_sec_per_iter"] else b
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
+    def paired_medians(lo, hi, e_lo, e_hi, n_pairs):
+        """Interleaved (lo, hi) runs so ambient noise hits both configs
+        equally; per-config MEDIAN eps over n_pairs runs (VERDICT r1: a
+        single best-of-2 ratio with 0.08-0.67 spread was thin evidence)."""
+        eps_lo, eps_hi = [], []
+        for _ in range(n_pairs):
+            eps_lo.append(run(lo, e_lo)["edges_per_sec_per_iter"])
+            eps_hi.append(run(hi, e_hi)["edges_per_sec_per_iter"])
+        return median(eps_lo), median(eps_hi), eps_lo, eps_hi
+
+    per_shard = 12_500_000  # constant work per shard (weak scaling)
+    out = {"metric": "pagerank_weak_scaling_efficiency", "unit": "ratio"}
+
+    # below-the-contention-knee measurement (2→8 CPUs): the VM's shared
+    # memory bus is not yet saturated at 8 streaming workers, so engine
+    # coordination loss is observable directly instead of being buried
+    # under the hardware ceiling
+    k_lo, k_hi = 2, 8
+    m_lo, m_hi, raw_lo, raw_hi = paired_medians(
+        k_lo, k_hi, k_lo * per_shard, k_hi * per_shard, 5)
+    knee_eff = (m_hi / m_lo) / (k_hi / k_lo)
+    hw_k_lo, hw_k_hi = hw_bandwidth_probe(k_lo), hw_bandwidth_probe(k_hi)
+    knee_ceiling = hw_k_lo / hw_k_hi if hw_k_hi > 0 else 1.0
+    out.update({
+        "knee_num_cpus": [k_lo, k_hi],
+        "knee_weak_scaling_efficiency": round(knee_eff, 3),
+        "knee_eps_lo_runs": raw_lo, "knee_eps_hi_runs": raw_hi,
+        "knee_eps_lo_median": m_lo, "knee_eps_hi_median": m_hi,
+        "knee_hw_bandwidth_ceiling_weak_eff": round(knee_ceiling, 3),
+        "knee_engine_eff_vs_hw_ceiling": round(knee_eff / knee_ceiling, 2),
+    })
+
+    # full-span measurement (8→32) — dominated by the bandwidth ceiling here
     lo, hi = 8, 32
-    e_lo, e_hi = 100_000_000, 400_000_000
-    r_lo, r_hi = best(lo, e_lo), best(hi, e_hi)
-    t_lo = r_lo["edges_per_sec_per_iter"]
-    t_hi = r_hi["edges_per_sec_per_iter"]
+    e_lo, e_hi = lo * per_shard, hi * per_shard
+    t_lo, t_hi, raw_lo, raw_hi = paired_medians(lo, hi, e_lo, e_hi, 5)
     weak_eff = (t_hi / t_lo) / (hi / lo)
-    # strong scaling: same 100M-edge input at both levels
-    r_s = best(hi, e_lo)
-    strong_eff = (r_s["edges_per_sec_per_iter"] / t_lo) / (hi / lo)
+    # strong scaling: same 100M-edge input at both levels (median of 3)
+    strong_hi = median([run(hi, e_lo)["edges_per_sec_per_iter"] for _ in range(3)])
+    strong_eff = (strong_hi / t_lo) / (hi / lo)
     # hardware weak-scaling ceiling on this VM (independent processes)
     hw_lo = hw_bandwidth_probe(lo)
     hw_hi = hw_bandwidth_probe(hi)
     hw_ceiling = hw_lo / hw_hi if hw_hi > 0 else 1.0  # = per-worker slowdown⁻¹
-    return {
-        "metric": "pagerank_weak_scaling_efficiency",
+    out.update({
         "value": round(weak_eff, 3),
-        "unit": "ratio",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "edges_lo": r_lo["edges"],
-        "edges_hi": r_hi["edges"],
+        "edges_lo": e_lo,
+        "edges_hi": e_hi,
+        "eps_lo_runs": raw_lo, "eps_hi_runs": raw_hi,
         "edges_per_sec_per_iter_lo": t_lo,
         "edges_per_sec_per_iter_hi": t_hi,
-        "sec_per_iter_lo": r_lo["sec_per_iter"],
-        "sec_per_iter_hi": r_hi["sec_per_iter"],
         "strong_scaling_efficiency_same_input": round(strong_eff, 3),
-        "strong_edges_per_sec_per_iter_hi": r_s["edges_per_sec_per_iter"],
+        "strong_edges_per_sec_per_iter_hi": strong_hi,
         "hw_bandwidth_ceiling_weak_eff": round(hw_ceiling, 3),
         "hw_probe_sec_per_worker_lo": round(hw_lo, 3),
         "hw_probe_sec_per_worker_hi": round(hw_hi, 3),
         "engine_eff_vs_hw_ceiling": round(weak_eff / hw_ceiling, 2) if hw_ceiling else None,
-    }
+    })
+    return out
 
 
 if __name__ == "__main__":

@@ -553,6 +553,12 @@ class GraphShard:
             # PathsCounter.visit (PathsCounter.scala:36-41): visiting a home
             # node resets the current path; the visited node is appended and
             # the path snapshot counts toward the ending node.
+            # Scale bound (documented): this is the ONE per-row Python loop
+            # in the BSP engine — tuple paths defeat numpy. Cost is
+            # O(walkers_on_this_shard) per step, so track_paths is sized for
+            # the reference's use (10^2-10^4 walkers, PathsCounter.scala
+            # serves per-request walks), NOT for corpus-wide 10^8-walker
+            # sweeps; visits/prev tracking stay fully vectorized for those.
             pc = self._walk_path_counts
             for i in range(len(cur)):
                 c = int(cur[i])
