@@ -535,7 +535,8 @@ def all_paths_visit_counts(edges, sources: list[int], max_depth: int,
 
 def closeness_centrality(edges, sources: list[int] | None = None,
                          normalized: bool = True, n_vertices: int | None = None,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         max_depth: int | None = None):
     """Closeness centrality, formula cloned from
     ``ClosenessCentrality._recalc`` (``ClosenessCentrality.scala:26-39``):
 
@@ -560,22 +561,93 @@ def closeness_centrality(edges, sources: list[int] | None = None,
             srcs.union(dsts).groupby("vertex").aggregate(Count(alias_name="_c"))
             .select_columns(["vertex"]).to_pandas()["vertex"]
         )
-    out_v, out_s = [], []
-    for s in sources:
-        depths = bfs(edges, [s], num_partitions=num_partitions).to_pandas()
-        reachable = float(len(depths))
-        dsum = float(depths["depth"].sum())
-        if dsum > 0 and n_vertices > 1:
-            denom = (n_vertices - 1) / (reachable - 1) if normalized else 1.0
-            score = (reachable - 1) / (denom * dsum)
-        else:
-            score = 0.0
-        out_v.append(s)
-        out_s.append(score)
-    return ray.data.from_arrow(
-        pa.table({"vertex": pa.array(out_v, pa.int64()),
-                  "closeness": pa.array(out_s, pa.float64())})
+    # ONE tagged multi-source BFS (all sources advance together; the
+    # round-1 version looped bfs() per source on the driver — |sources|
+    # sequential BFS runs), then a per-source aggregate of the distances.
+    dist = bfs_multi(edges, sources, max_depth=max_depth,
+                     num_partitions=num_partitions)
+    agg = dist.groupby("source").aggregate(
+        Count(alias_name="reachable"), Sum("depth", alias_name="dsum")
     )
+    nv = int(n_vertices)
+    norm = bool(normalized)
+
+    def score(batch: pa.Table) -> pa.Table:
+        reach = batch["reachable"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dsum = batch["dsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (dsum > 0) & (nv > 1)
+        denom = np.where(norm, (nv - 1) * dsum, dsum)
+        num = np.where(norm, (reach - 1) * (reach - 1), reach - 1)
+        s = np.where(ok, num / np.maximum(denom, 1e-300), 0.0)
+        return pa.table({"vertex": batch["source"],
+                         "closeness": pa.array(s, pa.float64())})
+
+    scored = agg.map_batches(score, batch_format="pyarrow")
+    # sources with NOTHING reachable never appear in dist; emit their 0.0
+    have = set(scored.select_columns(["vertex"]).to_pandas()["vertex"])
+    missing = sorted(set(int(s) for s in sources) - have)
+    if missing:
+        scored = scored.union(ray.data.from_arrow(pa.table({
+            "vertex": pa.array(missing, pa.int64()),
+            "closeness": pa.array([0.0] * len(missing), pa.float64()),
+        })))
+    return scored
+
+
+def bfs_multi(edges, sources: list[int], max_depth: int | None = None,
+              num_partitions: int | None = None):
+    """Tagged multi-source BFS → ``Dataset(source, vertex, depth)`` with
+    per-source first-visit depths (same ``DepthTracker`` semantics as
+    :func:`bfs`, ``Traverser.scala:401-415``), all sources advancing in the
+    SAME frontier rounds — one distributed join per level regardless of
+    ``len(sources)``.
+
+    Scale shape: frontier and visited are ``(source, vertex)``-keyed
+    Datasets; the per-level expansion is a join on ``vertex = src`` and the
+    dedup/anti-join shuffles on the composite key. The visited set is
+    Σ per-source reachable rows, so ``sources`` should be a bounded sample at
+    corpus scale (documented — the closeness caller samples)."""
+    num_partitions = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    uniq = sorted(set(int(s) for s in sources))
+    frontier = ray.data.from_arrow(pa.table({
+        "source": pa.array(uniq, pa.int64()),
+        "vertex": pa.array(uniq, pa.int64()),
+    }))
+    visited = frontier.map_batches(
+        lambda t: t.append_column("depth", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+    frontier = frontier.materialize()
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        nxt = frontier.join(edges, "inner", num_partitions,
+                            on=("vertex",), right_on=("src",))
+        nxt = (
+            nxt.map_batches(
+                lambda t: pa.table({"source": t["source"], "vertex": t["dst"]}),
+                batch_format="pyarrow",
+            )
+            .groupby(["source", "vertex"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["source", "vertex"])
+        )
+        nxt = _join_safe(nxt, num_partitions)
+        if nxt.count() == 0:
+            break
+        nxt = nxt.join(visited.select_columns(["source", "vertex"]),
+                       "left_anti", num_partitions, on=("source", "vertex"))
+        nxt = _join_safe(nxt, num_partitions)
+        if nxt.count() == 0:
+            break
+        depth += 1
+        newly = nxt.map_batches(
+            lambda t, d=depth: t.append_column(
+                "depth", pa.array(np.full(len(t), d, np.int64))),
+            batch_format="pyarrow",
+        )
+        visited = _join_safe(visited.union(newly), num_partitions)
+        frontier = nxt
+    return visited
 
 
 def bfs(edges, sources: list[int], max_depth: int | None = None,

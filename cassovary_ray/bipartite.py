@@ -113,3 +113,113 @@ def iterative_link_analysis(
     return frame(lw.reindex(linit.index, fill_value=0.0), left_contrib), frame(
         rw, right_contrib
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite data model (two independent id spaces)
+# ---------------------------------------------------------------------------
+
+
+class BipartiteGraph:
+    """The bipartite graph data model of ``graph/bipartite/BipartiteGraph.
+    scala:24-100``: LEFT and RIGHT nodes live in **independent id spaces**
+    (left 3 and right 3 are different nodes), edges link left→right.
+
+    Ray-Data-first representation (SURVEY §1.4's side-column proposal,
+    realized): ONE edge table ``Dataset(left_id, right_id)`` — the side of
+    each endpoint is carried by the column it sits in, not by a tag field.
+    For algorithms that need a single id space (the whole analytics/engine
+    stack), :meth:`to_unipartite` encodes left k → 2k and right k → 2k+1
+    (collision-free, order-preserving per side, O(1) to invert with
+    :func:`decode_vertex`) — the distributed analogue of the reference's
+    separate leftNodesById/rightNodesById arrays.
+    """
+
+    def __init__(self, edges):
+        """``edges``: Dataset with columns (left_id, right_id) — or
+        (src, dst), renamed on ingestion."""
+        import pyarrow as pa
+
+        cols = set(edges.schema().names)
+        if {"src", "dst"} <= cols:
+            edges = edges.map_batches(
+                lambda t: pa.table({"left_id": t["src"], "right_id": t["dst"]}),
+                batch_format="pyarrow",
+            )
+        self.edges = distinct_edges(
+            edges.map_batches(
+                lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
+                batch_format="pyarrow",
+            )
+        ).map_batches(
+            lambda t: pa.table({"left_id": t["src"], "right_id": t["dst"]}),
+            batch_format="pyarrow",
+        )
+
+    def _side_degrees(self, col: str, out_name: str):
+        import pyarrow as pa
+        from ray.data.aggregate import Sum
+
+        def partial(t: pa.Table):
+            import numpy as np
+
+            ids, counts = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"vertex": pa.array(ids, pa.int64()),
+                             "_c": pa.array(counts, pa.int64())})
+
+        return (
+            self.edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("vertex").aggregate(Sum("_c", alias_name=out_name))
+        )
+
+    def left_nodes(self):
+        """``Dataset(vertex, out_deg)`` — left side, its own id space
+        (``BipartiteGraph.leftNodeCount`` / per-node ``outboundNodes``)."""
+        return self._side_degrees("left_id", "out_deg")
+
+    def right_nodes(self):
+        """``Dataset(vertex, in_deg)`` — right side, its own id space."""
+        return self._side_degrees("right_id", "in_deg")
+
+    def left_node_count(self) -> int:
+        return self.left_nodes().count()
+
+    def right_node_count(self) -> int:
+        return self.right_nodes().count()
+
+    def edge_count(self) -> int:
+        return self.edges.count()
+
+    def to_unipartite(self):
+        """``Dataset(src, dst)`` in the combined id space: left k → 2k,
+        right k → 2k+1."""
+        import numpy as np
+        import pyarrow as pa
+
+        def enc(t: pa.Table) -> pa.Table:
+            l = t["left_id"].to_numpy(zero_copy_only=False)
+            r = t["right_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(l * 2, pa.int64()),
+                             "dst": pa.array(r * 2 + 1, pa.int64())})
+
+        return self.edges.map_batches(enc, batch_format="pyarrow")
+
+    def iterative_link_analysis(self, left_init: dict[int, float], **kwargs):
+        """Alternating flow with LEFT-SPACE / RIGHT-SPACE ids in and out
+        (wraps :func:`iterative_link_analysis`; encode → flow → decode)."""
+        left, right = iterative_link_analysis(
+            self.to_unipartite(), {2 * k: v for k, v in left_init.items()},
+            **kwargs,
+        )
+        for df, parity in ((left, 0), (right, 1)):
+            df["vertex"] = (df["vertex"] - parity) // 2
+            df["contributors"] = df["contributors"].map(
+                lambda l, p=1 - parity: [(int(x) - p) // 2 for x in l]
+            )
+        return left, right
+
+
+def decode_vertex(v: int) -> tuple[str, int]:
+    """Combined-space id → ('left'|'right', side-space id)."""
+    return ("left", v // 2) if v % 2 == 0 else ("right", v // 2)

@@ -1,0 +1,277 @@
+"""Generated DuckDB oracle SQL for the iterative link-analysis queries.
+
+The driver's correctness gate runs each ``queries()`` entry AND its
+``oracle_sql()`` string side-by-side and hash-compares the values.  Round 1
+left the iterative algorithms (PageRank, WCC, LP, HITS, BFS) as rows-only
+checks; this module closes that gap by *unrolling* a pinned number of
+supersteps into chained CTEs (PageRank / LP / HITS) or expressing the exact
+fixpoint with a recursive CTE (WCC / BFS).  Equivalence arguments:
+
+- PageRank (``engine.pr_round``, semantics ``PageRank.scala:85-113``): the
+  round update is ``r'(v) = (1-d)/n + d*dangle/n + d*sum_{u->v} r(u)/out(u)``
+  with ``dangle = sum_{out(u)=0} r(u)`` from the PRE-round ranks.  The query
+  pins ``max_iterations=10, tolerance=0.0`` so both sides run exactly 10
+  rounds.  Floats: each side sums doubles in a different order, but the
+  divergence is ~1e-15 relative per round — far below the driver's 9-dp
+  value rounding.
+- WCC (``engine.wcc_apply``): hash-min over an undirected layout converges
+  to component = min vertex id reachable; the recursive CTE computes the
+  same min over the exact transitive closure (integer-only, no float risk).
+- Label propagation (``engine.lp_apply``, FIXTURES §4 rules): new label =
+  mode of (neighbor labels over the dedup'd undirected edge set + one
+  self-vote), ties -> smallest label.  The engine stops early at a fixpoint;
+  running the unrolled 10 rounds through the fixpoint is a no-op, so a
+  10-round unroll matches any early stop.  Integer-only.
+- HITS (``engine.hits_*``, semantics ``Hits.scala:79-110``): per round
+  ``auth_raw(v) = sum_{u->v} hub(u)``; ``hub_raw(u) = sum_{u->v}
+  auth_raw(v)`` (note: RAW auth, pre-rescale); both rescaled by their global
+  max; final L1 normalization.  Pinned iteration count.
+- BFS (``analytics.bfs``, ``Traverser.scala:401-415`` DepthTracker): first
+  visit depth = min path length; recursive CTE with depth < max_depth bound
+  and a min-depth group-by.
+- LSH kNN (``ann.lsh_knn``): the projection matrix is a pure function of
+  (seed, n_planes, dim) (splitmix64), so its 512 doubles are embedded as SQL
+  literals; bucket = packed sign bits of the plane dot products, candidates =
+  rows whose bucket is in the queries' bucket set, ranked by exact cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DAMPING = 0.85
+
+
+def pagerank_sql(edges_cte: str, iterations: int = 10, damping: float = DAMPING) -> str:
+    """Unrolled PageRank over the edge CTE; returns (vertex, rank)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT v.vertex, count(e2.src) AS outdeg"
+        "      FROM v LEFT JOIN e e2 ON e2.src = v.vertex GROUP BY v.vertex)",
+        "n AS (SELECT count(*) AS cnt FROM v)",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0 / n.cnt AS rank FROM v, n)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dangle"
+            f"        FROM r{p} r JOIN od ON od.vertex = r.vertex WHERE od.outdeg = 0)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex, sum(p.rank / od.outdeg) AS contrib"
+            f"        FROM e JOIN r{p} p ON p.vertex = e.src"
+            f"        JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex,"
+            f"  (1.0 - {damping}) / n.cnt + {damping} * d{k}.dangle / n.cnt"
+            f"  + {damping} * coalesce(c{k}.contrib, 0.0) AS rank"
+            f"  FROM v CROSS JOIN n CROSS JOIN d{k}"
+            f"  LEFT JOIN c{k} ON c{k}.vertex = v.vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, rank FROM r{iterations}"
+
+
+def wcc_sql(edges_cte: str) -> str:
+    """Exact WCC fixpoint: component = min vertex id in the weak component."""
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        -- DISTINCT spelled out: see closeness_sql note on UNION semantics
+        -- inside WITH RECURSIVE (duplicates would be harmless for min(),
+        -- but double every recursion input)
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+        reach(vertex, m) AS (
+            SELECT src AS vertex, src AS m FROM und
+            UNION
+            SELECT dst AS vertex, dst AS m FROM und
+            UNION
+            SELECT und.dst AS vertex, reach.m
+            FROM reach JOIN und ON und.src = reach.vertex
+            WHERE reach.m < und.dst
+        )
+        SELECT vertex, min(m) AS component FROM reach GROUP BY vertex
+    """
+
+
+def label_propagation_sql(edges_cte: str, iterations: int = 10) -> str:
+    """Unrolled synchronous LP (unseeded): start label = own id; per round
+    new label = mode of (dedup'd-undirected-neighbor labels + self-vote),
+    ties -> smallest label."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS label FROM v)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT vertex, label FROM ("
+            f"  SELECT vertex, label,"
+            f"         row_number() OVER (PARTITION BY vertex"
+            f"                            ORDER BY cnt DESC, label ASC) AS rn"
+            f"  FROM (SELECT votes.vertex, votes.label, count(*) AS cnt FROM ("
+            f"          SELECT und.dst AS vertex, prev.label"
+            f"          FROM und JOIN l{p} prev ON prev.vertex = und.src"
+            f"          UNION ALL SELECT vertex, label FROM l{p}"
+            f"        ) votes GROUP BY 1, 2)"
+            f") WHERE rn = 1)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, label FROM l{iterations}"
+
+
+def hits_sql(edges_cte: str, iterations: int = 8) -> str:
+    """Unrolled HITS with max-rescale per round and final L1 normalization;
+    returns (vertex, hubs, authorities) matching ``q_graph_hits``'s merge."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*) AS cnt FROM v)",
+        "h0 AS MATERIALIZED (SELECT vertex, 1.0 / n.cnt AS hub FROM v, n)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.x, 0.0) AS a FROM v LEFT JOIN ("
+            f"  SELECT e.dst AS vertex, sum(h.hub) AS x FROM e"
+            f"  JOIN h{p} h ON h.vertex = e.src GROUP BY e.dst) s USING (vertex))"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.x, 0.0) AS h FROM v LEFT JOIN ("
+            f"  SELECT e.src AS vertex, sum(a.a) AS x FROM e"
+            f"  JOIN ar{k} a ON a.vertex = e.dst GROUP BY e.src) s USING (vertex))"
+        )
+        parts.append(f"hm{k} AS MATERIALIZED (SELECT max(h) AS m FROM hr{k})")
+        parts.append(f"am{k} AS MATERIALIZED (SELECT max(a) AS m FROM ar{k})")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT vertex, CASE WHEN hm{k}.m > 0 THEN h / hm{k}.m"
+            f"         ELSE h END AS hub FROM hr{k}, hm{k})"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT vertex, CASE WHEN am{k}.m > 0 THEN a / am{k}.m"
+            f"         ELSE a END AS auth FROM ar{k}, am{k})"
+        )
+    K = iterations
+    parts.append(f"hsum AS (SELECT sum(hub) AS s FROM h{K})")
+    parts.append(f"asum AS (SELECT sum(auth) AS s FROM a{K})")
+    return ",\n".join(parts) + f"""
+        SELECT v.vertex,
+               CASE WHEN hsum.s > 0 THEN h.hub / hsum.s ELSE h.hub END AS hubs,
+               CASE WHEN asum.s > 0 THEN a.auth / asum.s ELSE a.auth END AS authorities
+        FROM v JOIN h{K} h USING (vertex) JOIN a{K} a USING (vertex),
+             hsum, asum
+    """
+
+
+def bfs_sql(edges_cte: str, source: int, max_depth: int) -> str:
+    """Single-source BFS first-visit depths, depth <= max_depth."""
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        reach(vertex, depth) AS (
+            SELECT CAST({source} AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS depth
+            UNION
+            SELECT e.dst, reach.depth + 1
+            FROM reach JOIN e ON e.src = reach.vertex
+            WHERE reach.depth < {max_depth}
+        )
+        SELECT vertex, min(depth) AS depth FROM reach GROUP BY vertex
+    """
+
+
+def closeness_sql(edges_cte: str, sources: list[int], max_depth: int | None = None,
+                  normalized: bool = True) -> str:
+    """Multi-source closeness over out-edge BFS distances, matching
+    ``analytics.closeness_centrality`` (``ClosenessCentrality`` semantics:
+    normalized score = (reachable-1)^2 / ((n-1) * sum_depths))."""
+    src_rows = ", ".join(f"({s})" for s in sources)
+    depth_bound = f"WHERE reach.depth < {max_depth}" if max_depth is not None else ""
+    if normalized:
+        score = ("CASE WHEN dsum > 0 AND n.cnt > 1 THEN"
+                 " CAST(reachable - 1 AS DOUBLE) * (reachable - 1)"
+                 " / ((n.cnt - 1) * dsum) ELSE 0.0 END")
+    else:
+        score = ("CASE WHEN dsum > 0 AND n.cnt > 1 THEN"
+                 " CAST(reachable - 1 AS DOUBLE) / dsum ELSE 0.0 END")
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        -- explicit DISTINCT: inside WITH RECURSIVE DuckDB 1.0 gives a
+        -- plain UNION in a non-recursive CTE UNION ALL semantics
+        v AS (SELECT DISTINCT vertex FROM
+              (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+        n AS (SELECT count(*) AS cnt FROM v),
+        s(vertex) AS (VALUES {src_rows}),
+        reach(source, vertex, depth) AS (
+            SELECT CAST(vertex AS BIGINT), CAST(vertex AS BIGINT),
+                   CAST(0 AS BIGINT) FROM s
+            UNION
+            SELECT reach.source, e.dst, reach.depth + 1
+            FROM reach JOIN e ON e.src = reach.vertex
+            {depth_bound}
+        ),
+        dist AS (SELECT source, vertex, min(depth) AS d FROM reach GROUP BY 1, 2),
+        agg AS (SELECT source AS vertex, count(*) AS reachable,
+                       CAST(sum(d) AS DOUBLE) AS dsum
+                FROM dist GROUP BY 1)
+        SELECT agg.vertex, {score} AS closeness FROM agg, n
+    """
+
+
+def lsh_knn_sql(planes: np.ndarray, n_queries: int, k: int) -> str:
+    """LSH-restricted kNN over the ``embeddings`` view: bucket = packed sign
+    bits of the literal plane dot products (planes embedded with full
+    round-trip float64 repr so both sides compute identical doubles)."""
+    n_planes, _dim = planes.shape
+    rows = ", ".join(
+        "(%d, [%s])" % (b, ", ".join(repr(float(x)) for x in planes[b]))
+        for b in range(n_planes)
+    )
+    return f"""
+        WITH pl(b, p) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        codes AS (
+            SELECT emb.vec_id,
+                   CAST(sum(CASE WHEN list_inner_product(emb.de, pl.p) > 0
+                                 THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+            FROM emb CROSS JOIN pl GROUP BY emb.vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, de AS qe FROM emb WHERE vec_id < {n_queries}),
+        wanted AS (SELECT DISTINCT bucket FROM codes
+                   WHERE vec_id IN (SELECT query_id FROM q)),
+        cand AS (SELECT emb.vec_id, emb.de FROM emb
+                 JOIN codes ON codes.vec_id = emb.vec_id
+                 WHERE codes.bucket IN (SELECT bucket FROM wanted)),
+        sims AS (SELECT q.query_id, cand.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qe, cand.de) AS sim
+                 FROM q CROSS JOIN cand WHERE cand.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def ngram_jaccard_sql(n: int = 3, max_df: int = 50, threshold: float = 0.5) -> str:
+    """Exact n-gram-Jaccard near-dup pairs over ``documents``: distinct
+    whitespace-token n-gram shingles per doc, shingles with document
+    frequency > max_df dropped (the df-cut skew guard both sides share),
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) over the kept shingle universe."""
+    return rf"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS s
+               FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS u(i)),
+        kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+        ksh AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ksh GROUP BY 1),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                  FROM ksh x JOIN ksh y ON x.s = y.s AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        scored AS (SELECT inter.a, inter.b,
+                          CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+                   FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                              JOIN sizes sb ON sb.doc_id = inter.b)
+        SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """

@@ -2,11 +2,14 @@
 
 This is the driver correctness surface (``__ray_entry__.queries()`` /
 ``oracle_sql()``): every graph / text / ANN / events operator is exposed as a
-callable over an ``sf_dir`` of parquet tables, and — where the computation is
-one-shot — as ANSI SQL DuckDB runs on the same tables. Iterative algorithms
-(PageRank, WCC, LP, HITS, walks) have no SQL oracle (the driver records a
-rows-only check); their numeric contracts are pinned by the golden-vector
-pytest suite instead.
+callable over an ``sf_dir`` of parquet tables, and as ANSI SQL DuckDB runs on
+the same tables. Iterative algorithms are oracle-checked too, via
+``oracles.py``: a pinned iteration count on the query side + the identical
+rounds unrolled into chained MATERIALIZED CTEs (PageRank, LP, HITS) or the
+exact fixpoint as a recursive CTE (WCC, BFS, closeness). Only the genuinely
+random (walks), order-defined (DFS), or hash-seeded (simhash/minhash
+families) operators remain rows-only; their numeric contracts are pinned by
+the golden-vector pytest suite instead.
 
 The graph queries run over a **derived edge table** built deterministically
 from ``lineitem`` (`(13·l_orderkey + l_linenumber) mod 1021 →
@@ -26,7 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
-from cassovary_ray import analytics, ann, events as events_ops, textops
+from cassovary_ray import analytics, ann, events as events_ops, oracles, textops
+from cassovary_ray.ann import _planes as _ann_planes
 from cassovary_ray.engine import ShardedGraph
 from cassovary_ray.layout import build_edge_layout, read_layout_manifest
 
@@ -129,9 +133,11 @@ def q_graph_jaccard_top3(sf_dir: str):
 
 
 def q_graph_pagerank(sf_dir: str):
+    # iteration count pinned (tolerance=0 disables early stop) so the
+    # unrolled-CTE SQL oracle runs the identical 10 rounds
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
-        return g.pagerank(max_iterations=None, tolerance=1e-8)
+        return g.pagerank(max_iterations=10, tolerance=0.0)
 
 
 def q_graph_wcc(sf_dir: str):
@@ -150,7 +156,8 @@ def q_graph_hits(sf_dir: str):
     fwd = _ensure_layout(sf_dir, "directed")
     rev = _ensure_layout(sf_dir, "reversed")
     with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
-        hubs, auth, _ = g.hits()
+        # pinned iterations (see q_graph_pagerank) for the unrolled oracle
+        hubs, auth, _ = g.hits(max_iterations=8, tolerance=0.0)
         h = hubs.to_pandas()
         a = auth.to_pandas()
     return h.merge(a, on="vertex")
@@ -276,6 +283,25 @@ def q_graph_bipartite(sf_dir: str):
     return out
 
 
+def q_graph_closeness(sf_dir: str):
+    """Sampled-source closeness via ONE tagged multi-source BFS (sources =
+    vertices 0..7; the all-sources variant is O(n·m) by nature). max_depth=32
+    is shared with the SQL oracle: it bounds the recursive CTE (which would
+    otherwise chase cycles to ever-larger depths before the min) and is far
+    above the derived graph's eccentricity (≤4 at sf0.01), so distances are
+    uncapped in practice."""
+    return analytics.closeness_centrality(
+        derived_edges(sf_dir), sources=list(range(8)), normalized=True,
+        max_depth=32,
+    )
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    return textops.ngram_jaccard_pairs(
+        _table(sf_dir, "documents"), n=3, max_df=50, threshold=0.5
+    )
+
+
 def q_doc_stats(sf_dir: str):
     return textops.doc_stats(_table(sf_dir, "documents"))
 
@@ -354,6 +380,8 @@ QUERIES = {
     "graph_numberer": q_graph_numberer,
     "graph_dfs": q_graph_dfs,
     "graph_bipartite": q_graph_bipartite,
+    "graph_closeness": q_graph_closeness,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_stats": q_doc_stats,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
@@ -415,7 +443,17 @@ ORACLE_SQL = {
                    FROM scored)
         SELECT u, w, score, rank FROM ranked WHERE rank <= 3
     """,
-    "graph_bfs": None,  # cyclic recursive CTE enumerates paths; rows-only
+    "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
+    "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
+    "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
+    # knn_lsh: projection planes are a pure function of (n_planes=8,
+    # seed=1234, dim=64 — the embeddings schema) embedded as literals
+    "knn_lsh": oracles.lsh_knn_sql(_ann_planes(8, 1234, 64), n_queries=10, k=5),
+    "graph_closeness": oracles.closeness_sql(
+        DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
+    "doc_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, max_df=50, threshold=0.5),
     "graph_adjacency_stats": f"""
         WITH e AS ({DERIVED_EDGES_CTE})
         SELECT src, count(*) AS n_neighbors, min(dst) AS min_nbr,

@@ -406,3 +406,98 @@ def minhash_lsh_pairs(docs, *, num_hashes: int = 64, bands: int = 16,
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return both.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram-Jaccard near-dup (inverted-index join; oracle-matchable)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs, *, n: int = 3, max_df: int = 50,
+                        threshold: float = 0.5, num_partitions: int = 16):
+    """Exact word-``n``-gram Jaccard near-duplicate pairs: ``(a, b, jaccard)``
+    with a < b and jaccard ≥ threshold, computed over the universe of
+    shingles whose document frequency is ≤ ``max_df``.
+
+    Scale shape (the inverted-index discipline, vs. minhash's probabilistic
+    one): shingle rows shuffle ONCE on the shingle key; a group with more
+    than ``max_df`` docs is dropped entirely — the df-cut is simultaneously
+    the skew guard (a boilerplate shingle shared by 10^6 docs would emit
+    10^12 pairs; cf. the hub pruning of ``Traverser.scala:93-102``) and part
+    of the operator's spec, so the DuckDB oracle applies the identical cut.
+    Candidate pair counts then aggregate by (a, b) and join per-doc kept-
+    shingle sizes — all key-partitioned shuffles, nothing driver-side.
+    Shingle keys are the literal n-gram strings (exactness vs the SQL
+    oracle; a 64-bit shingle hash halves the shuffle bytes at corpus scale
+    at the cost of a ~2^-64 merge probability — flip there when exactness
+    against SQL is not required)."""
+    from ray.data.aggregate import Count as _Count
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_s = [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split()
+            ss = {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+            out_id.extend([int(did)] * len(ss))
+            out_s.extend(ss)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "s": pa.array(out_s, pa.string())})
+
+    sh = docs.select_columns(["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow")
+
+    def keep_small(g):
+        return g if len(g) <= max_df else g.iloc[:0]
+
+    ksh = sh.groupby("s").map_groups(keep_small, batch_format="pandas").materialize()
+    sizes = ksh.groupby("doc_id").aggregate(_Count(alias_name="sz"))
+
+    def emit_pairs(g):
+        import pandas as pd
+        d = np.sort(g["doc_id"].to_numpy())
+        if len(d) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ai, bi = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[ai], "b": d[bi]})
+
+    pairs = ksh.groupby("s").map_groups(emit_pairs, batch_format="pandas")
+    inter = pairs.groupby(["a", "b"]).aggregate(_Count(alias_name="common"))
+    P = num_partitions
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    import ray.data
+
+    inter = inter.materialize()
+    if inter.count() == 0:
+        # an all-empty aggregate output has no schema at all — acero would
+        # reject it as a join side (same hazard analytics._join_safe guards)
+        return ray.data.from_arrow(empty)
+
+    def _sized(alias: str):
+        # rename via an arrow projection (map_groups upstream emits pandas
+        # blocks, which Dataset.rename_columns cannot project)
+        return sizes.map_batches(
+            lambda t, a=alias: pa.table({"doc_id": t["doc_id"], a: t["sz"]}),
+            batch_format="pyarrow",
+        ).repartition(P).materialize()
+
+    j = (
+        inter.repartition(P).materialize()
+        .join(_sized("sza"), "inner", P, on=("a",), right_on=("doc_id",))
+        .repartition(P).materialize()
+        .join(_sized("szb"), "inner", P, on=("b",), right_on=("doc_id",))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        common = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sza = batch["sza"].to_numpy(zero_copy_only=False).astype(np.float64)
+        szb = batch["szb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = common / (sza + szb - common)
+        keep = jac >= threshold
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep)),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return j.map_batches(score, batch_format="pyarrow")
