@@ -98,3 +98,35 @@ def event_type_totals(events):
         .groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("vmilli", alias_name="value_milli"))
     )
+
+
+def sliding_window_counts(events, window_minutes: int = 60, step_minutes: int = 15):
+    """``(window_start_us, n_events, value_milli)`` — SLIDING windows of
+    ``window_minutes`` advancing every ``step_minutes`` (window must be a
+    multiple of step). Each event lands in ``window/step`` windows — the
+    expansion happens vectorized per batch (``np.repeat``), then one global
+    groupby on the window key; no per-event Python, no driver state.
+    """
+    if window_minutes % step_minutes:
+        raise ValueError("window_minutes must be a multiple of step_minutes")
+    step_us = step_minutes * 60_000_000
+    k = window_minutes // step_minutes
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        base = ts // step_us  # newest window containing the event
+        offs = np.arange(k, dtype=np.int64)
+        starts = ((np.repeat(base, k) - np.tile(offs, len(ts))) * step_us)
+        return pa.table({
+            "window_start_us": pa.array(starts[starts >= 0], pa.int64()),
+            "vmilli": pa.array(np.repeat(val, k)[starts >= 0], pa.int64()),
+        })
+
+    return (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Count(alias_name="n_events"), Sum("vmilli", alias_name="value_milli"))
+    )

@@ -362,6 +362,16 @@ def q_events_type_totals(sf_dir: str):
     return events_ops.event_type_totals(_table(sf_dir, "events"))
 
 
+def q_events_sliding(sf_dir: str):
+    return events_ops.sliding_window_counts(
+        _table(sf_dir, "events"), window_minutes=60, step_minutes=15
+    )
+
+
+def q_doc_vocab(sf_dir: str):
+    return textops.token_frequencies(_table(sf_dir, "documents"))
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -396,6 +406,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_type_totals": q_events_type_totals,
+    "events_sliding": q_events_sliding,
+    "doc_vocab": q_doc_vocab,
 }
 
 
@@ -532,6 +544,22 @@ ORACLE_SQL = {
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         FROM events GROUP BY 1
+    """,
+    # sliding 60-min windows advancing every 15 min: each event belongs to 4
+    # windows (the same np.repeat expansion the Ray kernel does)
+    "events_sliding": """
+        SELECT (epoch_us(ts) // 900000000 - j.j) * 900000000 AS window_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        FROM events, unnest(generate_series(0, 3)) AS j(j)
+        WHERE (epoch_us(ts) // 900000000 - j.j) >= 0
+        GROUP BY 1
+    """,
+    "doc_vocab": r"""
+        SELECT t AS token, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        GROUP BY 1
     """,
 }
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -501,3 +501,35 @@ def ngram_jaccard_pairs(docs, *, n: int = 3, max_df: int = 50,
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+def token_frequencies(docs, min_count: int = 1):
+    """``(token, n)`` — corpus vocabulary with frequencies (the vocab-build
+    step of a tokenizer-training pipeline). Per-batch partial counts (one
+    row per distinct token per batch) pre-combine before the single global
+    groupby — a hub token like "the" arrives as ≤num_blocks partials, never
+    as raw occurrence rows, so the shuffle is bounded by vocab size × blocks."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            # mirror the oracle's regexp_split_to_array(trim(text), '\s+')
+            # exactly (same expression as token_counts)
+            c.update(_WS_SPLIT.split(t.strip(" ")))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "_c": pa.array(list(c.values()), pa.int64())})
+
+    out = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token").aggregate(_Sum("_c", alias_name="n"))
+    )
+    if min_count > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["n"], min_count)),
+            batch_format="pyarrow",
+        )
+    return out
