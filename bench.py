@@ -87,6 +87,7 @@ def run_bench() -> dict:
         pr_wall = time.perf_counter() - t0
         iters = len(g.metrics) - 1  # minus the warm round
         round_walls = [m.wall_s for m in g.metrics[1:]]
+        exch = [m.extra.get("exchange_mb", 0.0) for m in g.metrics[1:]]
 
     per_iter = sum(round_walls) / max(1, len(round_walls))
     eps = man["n_edges"] / per_iter
@@ -142,6 +143,7 @@ def run_bench() -> dict:
         "iterations_to_1e-6": iters,
         "sec_per_iter": round(per_iter, 4),
         "edges_per_sec_per_iter": round(eps),
+        "exchange_mb_per_iter": round(max(exch) if exch else 0.0, 1),
         "layout_build_sec": round(build_s, 2),
         **shuffle_build,
     }

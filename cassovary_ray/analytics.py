@@ -206,23 +206,11 @@ def undirected_canonical_edges(edges):
     return distinct_edges(edges.map_batches(canon, batch_format="pyarrow"))
 
 
-def triangle_count(edges, num_partitions: int | None = None) -> int:
-    """Exact triangle count of the undirected view of ``edges``.
-
-    Degree-ordered orientation + wedge/edge matching (Cohen's MapReduce
-    algorithm; bounds wedges by O(m^1.5)):
-
-    1. und = canonical dedup'd undirected edges
-    2. orient each edge a→b where a precedes b in (deg, id) order
-    3. wedges = oriented ⋈ oriented on a → (b, c) pairs, b < c in order
-    4. triangles = |wedges ∩ oriented| via a union-tag groupby (no join of
-       the possibly-huge wedge table against itself)
-
-    Validated against closed forms: K_n → n(n−1)(n−2)/6
-    (``TriangleCountSpec.scala:75-88``). Replaces the reference's sequential
-    reservoir *estimator* with an exact count (north rule: exact match).
-    """
-    num_partitions = _auto_partitions(num_partitions)
+def _oriented_edges(edges, num_partitions: int):
+    """(undirected degree table, degree-ordered oriented edge Dataset
+    ``(a, b, deg_b)``) — the shared front half of exact triangle counting:
+    canonical undirected dedup, per-vertex degree, and orientation a→b where
+    a precedes b in (deg, id) order (bounds wedge fan-out to O(m^1.5))."""
     und = _join_safe(undirected_canonical_edges(edges), num_partitions)
 
     # undirected degree per vertex (each canonical edge touches both ends)
@@ -257,7 +245,27 @@ def triangle_count(edges, num_partitions: int | None = None) -> int:
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
                          "deg_b": pa.array(deg_b, pa.int64())})
 
-    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+    return deg, e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+
+def triangle_count(edges, num_partitions: int | None = None) -> int:
+    """Exact triangle count of the undirected view of ``edges``.
+
+    Degree-ordered orientation + wedge/edge matching (Cohen's MapReduce
+    algorithm; bounds wedges by O(m^1.5)):
+
+    1. und = canonical dedup'd undirected edges
+    2. orient each edge a→b where a precedes b in (deg, id) order
+    3. wedges = oriented ⋈ oriented on a → (b, c) pairs, b < c in order
+    4. triangles = |wedges ∩ oriented| via a union-tag groupby (no join of
+       the possibly-huge wedge table against itself)
+
+    Validated against closed forms: K_n → n(n−1)(n−2)/6
+    (``TriangleCountSpec.scala:75-88``). Replaces the reference's sequential
+    reservoir *estimator* with an exact count (north rule: exact match).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    deg, oriented = _oriented_edges(edges, num_partitions)
 
     # wedges around a: all orientation-ordered pairs (b, c) of a's oriented
     # neighbors
@@ -302,6 +310,82 @@ def triangle_count(edges, num_partitions: int | None = None) -> int:
 
     parts = grouped.map_batches(closed, batch_format="pyarrow").to_pandas()
     return int(parts["triangles"].sum())
+
+
+def local_triangle_counts(edges, num_partitions: int | None = None):
+    """Per-vertex exact triangle counts + local clustering coefficient over
+    the undirected view: ``Dataset(vertex, triangles, lcc)`` for every vertex
+    with ≥1 undirected edge.
+
+    Same degree-ordered orientation as :func:`triangle_count`, but the wedge
+    rows KEEP their center vertex; the closing-edge check is an inner join of
+    the wedge table against the oriented edge set on the (deg,id)-ordered
+    pair, and each matched triangle credits its three corners (the per-node
+    variant of ``TriangleCount.scala``'s global count — global transitivity
+    and per-vertex lcc come from the same machinery). Wedge-table size is
+    bounded O(m^1.5) by the orientation, so the join is scale-shaped.
+    lcc = 2·t / (deg·(deg−1)), 0 when deg < 2 (deg = dedup'd undirected).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    deg, oriented = _oriented_edges(edges, num_partitions)
+
+    wedge_pairs = oriented.join(
+        oriented, "inner", num_partitions, on=("a",), left_suffix="_l", right_suffix="_r"
+    )
+
+    def wedge(batch: pa.Table) -> pa.Table:
+        ctr = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b_l"].to_numpy(zero_copy_only=False)
+        c = batch["b_r"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b_l"].to_numpy(zero_copy_only=False)
+        dc = batch["deg_b_r"].to_numpy(zero_copy_only=False)
+        keep = (db < dc) | ((db == dc) & (b < c))  # b precedes c in (deg,id)
+        return pa.table({"u": pa.array(b[keep], pa.int64()),
+                         "v": pa.array(c[keep], pa.int64()),
+                         "center": pa.array(ctr[keep], pa.int64())})
+
+    wedges = _join_safe(wedge_pairs.map_batches(wedge, batch_format="pyarrow"),
+                        num_partitions)
+    closing = oriented.map_batches(
+        lambda t: pa.table({"u": t["a"], "v": t["b"]}), batch_format="pyarrow"
+    )
+    closing = _join_safe(closing, num_partitions)
+    matched = wedges.join(closing, "inner", num_partitions, on=("u", "v"))
+
+    def corners(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays([
+            batch["u"].combine_chunks(), batch["v"].combine_chunks(),
+            batch["center"].combine_chunks()])})
+
+    tri = _join_safe(
+        _partial_counts(matched.map_batches(corners, batch_format="pyarrow"),
+                        "vertex", "t"),
+        num_partitions,
+    )
+    if tri.count() == 0:
+        # triangle-free graph: Ray's hash join can't build right-side
+        # partitions from a fully empty dataset (empty-schema blocks), so
+        # attach t=0 directly; tri is already materialized, count() is free
+        joined = deg.map_batches(
+            lambda b: b.append_column("t", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = deg.join(tri, "left_outer", num_partitions, on=("vertex",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tcol = batch["t"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        t = pc.fill_null(tcol, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lcc = np.where(d >= 2, (2.0 * t) / (d * (d - 1.0)), 0.0)
+        return pa.table({"vertex": batch["vertex"],
+                         "triangles": pa.array(t, pa.int64()),
+                         "lcc": pa.array(lcc, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -143,7 +143,10 @@ def _planes(n_planes: int, seed: int, dim: int) -> np.ndarray:
     """Deterministic random-hyperplane matrix — a pure function of
     (seed, n_planes, dim); lru-cached per worker process, never shipped."""
     raw = splitmix64(np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed))
-    return ((raw.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, dim)
+    # np.float64(2**64) keeps the array float64 (a bare python-int 2**64
+    # exceeds int64 and silently promoted the whole matrix to object dtype);
+    # 2^64 is a power of two, so the quotient values are bit-identical.
+    return ((raw.astype(np.float64) / np.float64(2**64)) - 0.5).reshape(n_planes, dim)
 
 
 def _sign_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -193,6 +196,54 @@ def lsh_knn(emb, query_ids: list[int], k: int = 5, n_planes: int = 8,
         return batch.filter(pa.array(ok))
 
     sub = emb.map_batches(in_buckets, batch_format="pyarrow")
+    return knn_bruteforce(sub, query_ids, k, _queries=(qids, qm))
+
+
+@functools.lru_cache(maxsize=32)
+def _ivf_centroids(n_centroids: int, seed: int, dim: int) -> np.ndarray:
+    """Deterministic unit-norm centroid matrix — a pure function of
+    (seed, n_centroids, dim), like :func:`_planes`. Fixed random directions
+    stand in for trained k-means cells: the partitioning guarantee (every
+    vector lands in exactly one cell, queries probe few cells) is identical,
+    recall just benefits less from data adaptation. A k-means refinement
+    would drop in here without touching the dataflow."""
+    c = _planes(n_centroids, seed, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_knn(emb, query_ids: list[int], k: int = 5, n_centroids: int = 16,
+            nprobe: int = 4, seed: int = 4242):
+    """IVF-style approximate top-k: brute-force only within the ``nprobe``
+    centroid cells nearest each query.
+
+    Scale shape mirrors :func:`lsh_knn`: a row's cell is a PURE FUNCTION of
+    its embedding (argmax inner product against the deterministic centroid
+    matrix, ties → lowest centroid id), so the corpus restriction is one
+    streaming ``map_batches`` filter against the broadcast (≤ n_centroids)
+    wanted-cell set — no shuffle join, no driver-side assignment map. At
+    10^12 vectors the candidate set is ~n·nprobe/n_centroids.
+    Returns ``Dataset(query_id, neighbor_id, rank)``.
+    """
+    qids, qm = _load_queries(emb, query_ids)
+    dim = qm.shape[1]
+    cents = _ivf_centroids(n_centroids, seed, dim)
+    # top-nprobe cells per query; stable argsort keeps lowest cid on ties
+    probes = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    wanted = np.unique(probes)
+    wref = ray.put(wanted)
+
+    def in_cells(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        ids, m = _emb_matrix(batch)
+        if not len(ids):
+            return batch
+        c = _ivf_centroids(n_centroids, seed, m.shape[1])
+        assign = np.argmax(m @ c.T, axis=1)  # first max = lowest cid on ties
+        pos = np.searchsorted(w, assign)
+        ok = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == assign)
+        return batch.filter(pa.array(ok))
+
+    sub = emb.map_batches(in_cells, batch_format="pyarrow")
     return knn_bruteforce(sub, query_ids, k, _queries=(qids, qm))
 
 

@@ -160,6 +160,19 @@ class _Scatter:
         return [self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts)]
 
 
+def _payload_nbytes(payload) -> int:
+    """Plasma bytes this sender ships per round (the exchange-volume metric
+    recorded in RoundMetrics; see BASELINE.md's dense/sparse regime note)."""
+    per_part, _dangle = payload
+    total = 0
+    for sl in per_part:
+        if isinstance(sl, tuple):
+            total += sl[0].nbytes + sl[1].nbytes
+        else:
+            total += sl.nbytes
+    return total
+
+
 # ---------------------------------------------------------------------------
 # The shard actor
 # ---------------------------------------------------------------------------
@@ -276,7 +289,8 @@ class GraphShard:
             self.state["rank"] = new
             t_apply = time.perf_counter() - t_in
         payload = self._pr_scatter_payload(damping, bootstrap)
-        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in)
+        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
+                         _payload_nbytes(payload))
 
     def checkpoint_state(self, name: str, column: str, out_dir: str, tag: str) -> dict:
         """Write this shard's state vector to parquet (tmp + atomic rename);
@@ -306,6 +320,52 @@ class GraphShard:
 
     def pr_dangling_sum(self) -> float:
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
+
+    # -- Personalized PageRank (exact power iteration) ---------------------
+
+    def ppr_init(self, seed_table: pa.Table) -> None:
+        """Reset distribution s from the (tiny, broadcast) seed table;
+        rank starts AT s. Exact-power-iteration counterpart of the
+        reference's Monte-Carlo personalized reputation
+        (``GraphUtils.scala:142-154``): the reset probability mass — and the
+        dangling mass — returns to the seed distribution instead of the
+        uniform vector, everything else is ``PageRank.scala:85-113``."""
+        s = np.zeros(len(self.verts))
+        ids = seed_table["vertex"].to_numpy(zero_copy_only=False)
+        w = seed_table["weight"].to_numpy(zero_copy_only=False)
+        mine = (ids % self.num_parts) == self.part
+        pos = self._validated_positions(ids[mine], "PPR seed")
+        s[pos] = w[mine]
+        self.state["ppr_reset"] = s
+        self.state["rank"] = s.copy()
+
+    def ppr_round(self, damping: float, bootstrap: bool, *sender_payloads):
+        """One fused PPR superstep (see ``pr_round``): per-vertex base is
+        ``s(v)·((1−d) + d·dangleSum)`` — reset AND dangling mass land on the
+        seed distribution — plus the damped contribution sums."""
+        err = float("nan")
+        t_in = time.perf_counter()
+        t_apply = 0.0
+        if not bootstrap:
+            dangle_total = sum(pl[1] for pl in sender_payloads)
+            incoming = [pl[0][self.part] for pl in sender_payloads]
+            old = self.state["rank"]
+            new = self.state["ppr_reset"] * ((1.0 - damping) + damping * dangle_total)
+            for sender, payload in enumerate(incoming):
+                if isinstance(payload, tuple):
+                    ids, sums = payload
+                    pos = self._positions("fwd", sender, ids)
+                else:
+                    sums = payload
+                    pos = self._positions("fwd", sender, None)
+                if len(sums):
+                    new[pos] += sums
+            err = float(np.abs(new - old).sum())
+            self.state["rank"] = new
+            t_apply = time.perf_counter() - t_in
+        payload = self._pr_scatter_payload(damping, bootstrap)
+        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
+                         _payload_nbytes(payload))
 
     # -- WCC (hash-min label propagation; SURVEY §2.5 WCC row) -------------
 
@@ -1035,11 +1095,55 @@ class ShardedGraph:
             extra = {"algo": "pagerank",
                      "max_apply_s": round(max(st[1] for st in stats), 3),
                      "max_scatter_s": round(max(st[2] for st in stats), 3),
-                     "task_spread_s": round(max(st[3] for st in stats) - min(st[3] for st in stats), 3)}
+                     "task_spread_s": round(max(st[3] for st in stats) - min(st[3] for st in stats), 3),
+                     "exchange_mb": round(sum(st[4] for st in stats) / 1e6, 1)}
             self.metrics.append(RoundMetrics(iteration, error, wall, extra))
             stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
             if checkpoint_dir and (iteration % checkpoint_every == 0 or stop):
                 self._write_checkpoint(checkpoint_dir, "rank", "rank", iteration, error)
+        return self._state_dataset("rank", "rank")
+
+    def personalized_pagerank(self, seeds: dict[int, float], *,
+                              damping: float = 0.85,
+                              max_iterations: int | None = 10,
+                              tolerance: float = 1e-8):
+        """Exact Personalized PageRank by power iteration over the seed
+        distribution (normalized to Σ=1). Deterministic counterpart of the
+        reference's Monte-Carlo ``calculatePersonalizedReputation``
+        (``GraphUtils.scala:142-154``); round semantics follow
+        ``PageRank.scala:85-113`` with the reset/dangling mass redirected to
+        the seeds. Returns ``Dataset(vertex, rank)``."""
+        if not seeds:
+            raise ValueError("personalized_pagerank needs at least one seed")
+        total = float(sum(seeds.values()))
+        if total <= 0:
+            raise ValueError("seed weights must sum to a positive value")
+        seed_table = pa.table({
+            "vertex": pa.array(list(seeds.keys()), pa.int64()),
+            "weight": pa.array([w / total for w in seeds.values()], pa.float64()),
+        })
+        ray.get([s.ppr_init.remote(seed_table) for s in self.shards])
+        iteration, error = 0, 100.0 + tolerance
+        stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
+        if not stop:
+            outs = [
+                s.ppr_round.options(num_returns=2).remote(damping, True)
+                for s in self.shards
+            ]
+            payloads = [o[0] for o in outs]
+        while not stop:
+            t0 = time.perf_counter()
+            outs = [
+                s.ppr_round.options(num_returns=2).remote(damping, False, *payloads)
+                for s in self.shards
+            ]
+            payloads = [o[0] for o in outs]
+            stats = ray.get([o[1] for o in outs])
+            error = sum(st[0] for st in stats)
+            iteration += 1
+            self.metrics.append(RoundMetrics(
+                iteration, error, time.perf_counter() - t0, {"algo": "ppr"}))
+            stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
         return self._state_dataset("rank", "rank")
 
     def _write_checkpoint(self, ckpt_dir: str, name: str, column: str,

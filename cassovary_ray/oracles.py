@@ -122,6 +122,112 @@ def label_propagation_sql(edges_cte: str, iterations: int = 10) -> str:
     return ",\n".join(parts) + f"\nSELECT vertex, label FROM l{iterations}"
 
 
+def ppr_sql(edges_cte: str, seeds: dict[int, float], iterations: int = 10,
+            damping: float = DAMPING) -> str:
+    """Unrolled exact Personalized PageRank (``engine.ppr_round``): reset AND
+    dangling mass return to the normalized seed distribution; rank starts at
+    the seed vector. Seed weights are embedded pre-normalized with full
+    float64 repr so both sides iterate identical doubles."""
+    total = float(sum(seeds.values()))
+    rows = ", ".join(f"({v}, {float(w) / total!r})" for v, w in seeds.items())
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT v.vertex, count(e2.src) AS outdeg"
+        "      FROM v LEFT JOIN e e2 ON e2.src = v.vertex GROUP BY v.vertex)",
+        f"sw(vertex, w) AS (VALUES {rows})",
+        "s AS MATERIALIZED (SELECT v.vertex, coalesce(sw.w, 0.0) AS w"
+        "      FROM v LEFT JOIN sw USING (vertex))",
+        "r0 AS MATERIALIZED (SELECT vertex, w AS rank FROM s)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dangle"
+            f"        FROM r{p} r JOIN od ON od.vertex = r.vertex WHERE od.outdeg = 0)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex, sum(p.rank / od.outdeg) AS contrib"
+            f"        FROM e JOIN r{p} p ON p.vertex = e.src"
+            f"        JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT s.vertex,"
+            f"  s.w * ((1.0 - {damping}) + {damping} * d{k}.dangle)"
+            f"  + {damping} * coalesce(c{k}.contrib, 0.0) AS rank"
+            f"  FROM s CROSS JOIN d{k}"
+            f"  LEFT JOIN c{k} ON c{k}.vertex = s.vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, rank FROM r{iterations}"
+
+
+def local_clustering_sql(edges_cte: str) -> str:
+    """Per-vertex exact triangle counts + local clustering coefficient over
+    the undirected view (``analytics.local_triangle_counts``): each triangle
+    {x < y < z} credits all three corners; lcc = 2·t / (deg·(deg−1)), 0 when
+    deg < 2, with deg the dedup'd undirected degree."""
+    return f"""
+        WITH e AS ({edges_cte}),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+        tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM und a JOIN und b ON b.u = a.v
+                           JOIN und c ON c.u = a.u AND c.v = b.v),
+        tv AS (SELECT x AS vertex FROM tri UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri),
+        tc AS (SELECT vertex, count(*) AS t FROM tv GROUP BY 1),
+        deg AS (SELECT vertex, count(*) AS d FROM
+                (SELECT u AS vertex FROM und UNION ALL SELECT v FROM und)
+                GROUP BY 1)
+        SELECT deg.vertex, coalesce(tc.t, 0) AS triangles,
+               CASE WHEN deg.d >= 2
+                    THEN (2.0 * coalesce(tc.t, 0)) / (deg.d * (deg.d - 1.0))
+                    ELSE 0.0 END AS lcc
+        FROM deg LEFT JOIN tc USING (vertex)
+    """
+
+
+def ivf_knn_sql(centroids: np.ndarray, n_queries: int, k: int, nprobe: int) -> str:
+    """IVF-restricted kNN over ``embeddings``: every vector is assigned to
+    its max-inner-product centroid (pre-normalized literals, so inner
+    product = cosine ranking); queries probe their ``nprobe`` best
+    centroids; exact cosine top-k within the probed cells. Tie-break on the
+    centroid ranking is lowest centroid id (measure-zero for real data —
+    same acceptance as the LSH sign bits)."""
+    n_cent, _dim = centroids.shape
+    rows = ", ".join(
+        "(%d, [%s])" % (c, ", ".join(repr(float(x)) for x in centroids[c]))
+        for c in range(n_cent)
+    )
+    return f"""
+        WITH ct(cid, c) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        asg AS (SELECT emb.vec_id, ct.cid,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                                          ORDER BY list_inner_product(emb.de, ct.c) DESC,
+                                                   ct.cid) AS rn
+                FROM emb CROSS JOIN ct),
+        assign AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, de AS qe FROM emb WHERE vec_id < {n_queries}),
+        probe AS (SELECT q.query_id, ct.cid,
+                         row_number() OVER (PARTITION BY q.query_id
+                                            ORDER BY list_inner_product(q.qe, ct.c) DESC,
+                                                     ct.cid) AS rn
+                  FROM q CROSS JOIN ct),
+        wanted AS (SELECT DISTINCT cid FROM probe WHERE rn <= {nprobe}),
+        cand AS (SELECT emb.vec_id, emb.de FROM emb
+                 JOIN assign USING (vec_id)
+                 WHERE assign.cid IN (SELECT cid FROM wanted)),
+        sims AS (SELECT q.query_id, cand.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qe, cand.de) AS sim
+                 FROM q CROSS JOIN cand WHERE cand.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
 def hits_sql(edges_cte: str, iterations: int = 8) -> str:
     """Unrolled HITS with max-rescale per round and final L1 normalization;
     returns (vertex, hubs, authorities) matching ``q_graph_hits``'s merge."""

@@ -132,6 +132,28 @@ def q_graph_jaccard_top3(sf_dir: str):
     return analytics.similarity_top_k(derived_edges(sf_dir), k=3, metric="jaccard")
 
 
+def q_graph_cosine_top3(sf_dir: str):
+    return analytics.similarity_top_k(derived_edges(sf_dir), k=3, metric="cosine")
+
+
+def q_graph_local_clustering(sf_dir: str):
+    return analytics.local_triangle_counts(derived_edges(sf_dir))
+
+
+def q_graph_ppr(sf_dir: str):
+    """Exact Personalized PageRank from seeds {0: ½, 1: ¼, 2: ¼} (exact
+    binary fractions — no decimal-literal float divergence vs the oracle);
+    iterations pinned for the unrolled-CTE oracle."""
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.personalized_pagerank(
+            PPR_SEEDS, max_iterations=10, tolerance=0.0
+        )
+
+
+PPR_SEEDS = {0: 0.5, 1: 0.25, 2: 0.25}
+
+
 def q_graph_pagerank(sf_dir: str):
     # iteration count pinned (tolerance=0 disables early stop) so the
     # unrolled-CTE SQL oracle runs the identical 10 rounds
@@ -344,6 +366,10 @@ def q_knn_lsh(sf_dir: str):
     return ann.lsh_knn(_table(sf_dir, "embeddings"), list(range(10)), k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    return ann.ivf_knn(_table(sf_dir, "embeddings"), list(range(10)), k=5)
+
+
 def q_embedding_dups(sf_dir: str):
     # 0.42 sits in a 2.7e-3-wide empty band of the sf0.01 cosine distribution
     # (boundary-flip-safe for the float comparison with the oracle)
@@ -379,7 +405,10 @@ QUERIES = {
     "graph_mutual_edges": q_graph_mutual_edges,
     "graph_triangles": q_graph_triangles,
     "graph_jaccard_top3": q_graph_jaccard_top3,
+    "graph_cosine_top3": q_graph_cosine_top3,
+    "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
+    "graph_ppr": q_graph_ppr,
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
     "graph_hits": q_graph_hits,
@@ -402,6 +431,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_top5": q_knn_top5,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_dups": q_embedding_dups,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -455,14 +485,33 @@ ORACLE_SQL = {
                    FROM scored)
         SELECT u, w, score, rank FROM ranked WHERE rank <= 3
     """,
+    "graph_cosine_top3": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
+        co AS (SELECT a.src AS u, b.src AS w, count(*) AS common
+               FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
+        scored AS (SELECT co.u, co.w,
+                          CAST(common AS DOUBLE) / sqrt(du.deg * dw.deg) AS score
+                   FROM co JOIN deg du ON du.vtx = co.u JOIN deg dw ON dw.vtx = co.w),
+        ranked AS (SELECT u, w, score,
+                          row_number() OVER (PARTITION BY u ORDER BY score DESC, w ASC) AS rank
+                   FROM scored)
+        SELECT u, w, score, rank FROM ranked WHERE rank <= 3
+    """,
+    "graph_local_clustering": oracles.local_clustering_sql(DERIVED_EDGES_CTE),
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
     # knn_lsh: projection planes are a pure function of (n_planes=8,
     # seed=1234, dim=64 — the embeddings schema) embedded as literals
     "knn_lsh": oracles.lsh_knn_sql(_ann_planes(8, 1234, 64), n_queries=10, k=5),
+    # knn_ivf: centroids are a pure function of (n_centroids=16, seed=4242,
+    # dim=64) embedded pre-normalized as literals
+    "knn_ivf": oracles.ivf_knn_sql(ann._ivf_centroids(16, 4242, 64),
+                                   n_queries=10, k=5, nprobe=4),
     "graph_closeness": oracles.closeness_sql(
         DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
     "doc_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, max_df=50, threshold=0.5),

@@ -13,6 +13,7 @@ from cassovary_ray.analytics import (
     degree_centrality,
     degrees,
     distinct_edges,
+    local_triangle_counts,
     mutual_edge_count,
     similarity_top_k,
     triangle_count,
@@ -162,3 +163,55 @@ def test_cooccurrence_hub_guard_bounds_fanout():
     sim = similarity_top_k(e, k=3, max_in_deg=5).to_pandas()
     assert set(zip(sim.u, sim.w)) == {(0, 1), (1, 0)}
     assert sim.score.tolist() == pytest.approx([1 / 3, 1 / 3])
+
+
+# -- per-vertex triangles / local clustering (analytics.local_triangle_counts)
+
+
+def brute_force_local_triangles(adj):
+    nbr = {}
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if u != v:
+                nbr.setdefault(u, set()).add(v)
+                nbr.setdefault(v, set()).add(u)
+    tri = {}
+    for v, ns in nbr.items():
+        t = 0
+        for a in ns:
+            t += len((nbr[a] & ns) - {v})
+        tri[v] = t // 2
+    return nbr, tri
+
+
+@pytest.mark.parametrize("n", [4, 6])
+def test_local_triangles_complete_graph(n):
+    """K_n: every vertex closes C(n−1, 2) triangles, lcc = 1."""
+    df = local_triangle_counts(edges_ds_for_graph(complete_graph(n))).to_pandas()
+    assert len(df) == n
+    want = (n - 1) * (n - 2) // 2
+    assert set(df.triangles) == {want}
+    assert all(abs(x - 1.0) < 1e-12 for x in df.lcc)
+
+
+def test_local_triangles_er_vs_bruteforce():
+    adj = er_graph(40, 0.15, seed=7)
+    nbr, tri = brute_force_local_triangles(adj)
+    df = local_triangle_counts(edges_ds_for_graph(adj)).to_pandas()
+    got_t = dict(zip(df.vertex, df.triangles))
+    got_l = dict(zip(df.vertex, df.lcc))
+    assert set(got_t) == set(nbr)
+    for v in nbr:
+        assert got_t[v] == tri[v], v
+        d = len(nbr[v])
+        want_lcc = (2.0 * tri[v]) / (d * (d - 1.0)) if d >= 2 else 0.0
+        assert got_l[v] == pytest.approx(want_lcc, abs=1e-12)
+    # global consistency: Σ per-vertex = 3 × total
+    assert sum(got_t.values()) == 3 * triangle_count(edges_ds_for_graph(adj))
+
+
+def test_local_triangles_triangle_free_graph():
+    """Directed 4-cycle has no triangles; every vertex deg 2, lcc 0."""
+    adj = {0: [1], 1: [2], 2: [3], 3: [0]}
+    df = local_triangle_counts(edges_ds_for_graph(adj)).to_pandas()
+    assert set(df.triangles) == {0} and set(df.lcc) == {0.0}

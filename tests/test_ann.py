@@ -115,3 +115,44 @@ def test_no_driver_scale_killers_in_ann_source():
     src = inspect.getsource(ann)
     assert ".iter_rows()" not in src
     assert "code_map" not in src
+
+
+# -- IVF kNN (ann.ivf_knn) ---------------------------------------------------
+
+
+def test_ivf_probe_all_cells_equals_bruteforce():
+    """nprobe = n_centroids probes every cell, so the candidate set is the
+    whole corpus and IVF must reproduce exact brute-force top-k."""
+    vecs = random_embeddings(80, dim=16, seed=3)
+    ds = ray.data.from_arrow(emb_table(vecs)).repartition(4)
+    got = ann.ivf_knn(ds, [0, 5, 42], k=4, n_centroids=8, nprobe=8).to_pandas()
+    for q in (0, 5, 42):
+        rows = got[got.query_id == q].sort_values("rank")
+        assert list(rows.neighbor_id) == numpy_knn(vecs, q, 4)
+        assert list(rows["rank"]) == [1, 2, 3, 4]
+
+
+def test_ivf_candidates_restricted_to_probed_cells():
+    """With nprobe < n_centroids every returned neighbor's cell must be one
+    the query probed (the filter really restricts)."""
+    vecs = random_embeddings(300, dim=16, seed=9)
+    ds = ray.data.from_arrow(emb_table(vecs)).repartition(4)
+    n_centroids, nprobe, seed = 16, 3, 4242
+    got = ann.ivf_knn(ds, [1, 2], k=5, n_centroids=n_centroids,
+                      nprobe=nprobe, seed=seed).to_pandas()
+    cents = ann._ivf_centroids(n_centroids, seed, 16)
+    m = vecs.astype(np.float64)
+    assign = np.argmax(m @ cents.T, axis=1)
+    probes = np.argsort(-(m @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    wanted = set(np.unique(probes[[1, 2]]))
+    assert len(got) > 0
+    for nb in got.neighbor_id:
+        assert assign[nb] in wanted
+
+
+def test_ivf_deterministic_across_runs():
+    vecs = random_embeddings(120, dim=8, seed=1)
+    ds = ray.data.from_arrow(emb_table(vecs)).repartition(3)
+    a = ann.ivf_knn(ds, [7], k=5).to_pandas().sort_values("rank")
+    b = ann.ivf_knn(ds, [7], k=5).to_pandas().sort_values("rank")
+    assert list(a.neighbor_id) == list(b.neighbor_id)

@@ -174,3 +174,82 @@ def test_matches_numpy_reference_on_er_graph(tmp_dir):
     got, _ = run_pr(adj, tmp_dir, num_parts=4, max_iterations=40)
     for v in verts:
         assert got[v] == pytest.approx(rank[idx[v]], abs=1e-10)
+
+
+# -- exact Personalized PageRank (engine.personalized_pagerank) -------------
+
+
+def run_ppr(adj, tmp_dir, seeds, num_parts=3, **kwargs):
+    lay = os.path.join(tmp_dir, "ppr_layout")
+    build_toy_layout(adj, lay, num_parts)
+    with ShardedGraph(lay) as g:
+        df = g.personalized_pagerank(seeds, **kwargs).to_pandas()
+    return state_by_node(df, adj, "rank")
+
+
+def test_ppr_matches_numpy_reference_on_er_graph(tmp_dir):
+    """Independent numpy implementation of the PPR recurrence (reset AND
+    dangling mass land on the normalized seed distribution) to 1e-12."""
+    import numpy as np
+
+    from cassovary_ray.corpus import er_graph, graph_vertices
+
+    adj = er_graph(120, 0.04, seed=5)
+    verts = graph_vertices(adj)
+    n = len(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    seeds = {verts[0]: 0.5, verts[3]: 0.25, verts[7]: 0.25}
+    s = np.zeros(n)
+    for v, w in seeds.items():
+        s[idx[v]] = w
+    d = 0.85
+    rank = s.copy()
+    out_deg = np.array([len(adj.get(v, [])) for v in verts], dtype=float)
+    dangling = out_deg == 0
+    for _ in range(30):
+        new = s * ((1 - d) + d * rank[dangling].sum())
+        for v, nbrs in adj.items():
+            if nbrs:
+                share = d * rank[idx[v]] / len(nbrs)
+                for w in nbrs:
+                    new[idx[w]] += share
+        rank = new
+
+    got = run_ppr(adj, tmp_dir, seeds, num_parts=4, max_iterations=30,
+                  tolerance=0.0)
+    for v in verts:
+        assert got[v] == pytest.approx(rank[idx[v]], abs=1e-10)
+
+
+def test_ppr_uniform_seeds_equals_pagerank(tmp_dir):
+    """Seeding EVERY vertex uniformly reduces PPR to standard PageRank."""
+    from cassovary_ray.corpus import graph_vertices
+
+    adj = TOY_GRAPHS["g6"]
+    verts = graph_vertices(adj)
+    seeds = {v: 1.0 for v in verts}  # normalized internally to 1/n each
+    got = run_ppr(adj, tmp_dir, seeds, max_iterations=12, tolerance=0.0)
+    want, _ = run_pr(adj, tmp_dir, max_iterations=12, tolerance=0.0)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_ppr_mass_conserved_and_localized(tmp_dir):
+    """Σrank = 1 (reset+dangling mass returns to seeds) and the seed holds
+    more mass than under uniform PageRank (localization)."""
+    adj = TOY_GRAPHS["dangling_g7"]  # has dangling nodes
+    seeds = {1: 1.0}
+    got = run_ppr(adj, tmp_dir, seeds, max_iterations=None, tolerance=1e-10)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    uniform, _ = run_pr(adj, tmp_dir, max_iterations=None, tolerance=1e-10)
+    assert got[1] > uniform[1]
+
+
+def test_ppr_unknown_seed_raises(tmp_dir):
+    with pytest.raises(ValueError, match="PPR seed"):
+        run_ppr(TOY_GRAPHS["g6"], tmp_dir, {999999: 1.0}, max_iterations=2)
+
+
+def test_ppr_empty_seeds_raises(tmp_dir):
+    with pytest.raises(ValueError, match="at least one seed"):
+        run_ppr(TOY_GRAPHS["g6"], tmp_dir, {}, max_iterations=2)
