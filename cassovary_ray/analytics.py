@@ -811,3 +811,282 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
         visited = _join_safe(visited.union(newly), num_partitions)
         frontier = nxt
     return visited
+
+
+# ---------------------------------------------------------------------------
+# reciprocity / degree histogram (graph summary statistics)
+# ---------------------------------------------------------------------------
+
+
+def reciprocity(edges, num_partitions: int | None = None):
+    """One-row ``(mutual_edges, total_edges, reciprocity)``: the fraction of
+    distinct non-loop directed edges whose reverse edge also exists —
+    ``getNumMutualEdges`` (``DirectedGraphUtils.scala:44-56``) normalized to
+    the standard reciprocity coefficient. Integer counts plus ONE division,
+    so the float is reduction-order-free (oracle-hashable)."""
+    P = _auto_partitions(num_partitions)
+    e = _join_safe(
+        distinct_edges(
+            edges.map_batches(
+                lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
+                batch_format="pyarrow",
+            )
+        ),
+        P,
+    )
+    total = e.count()
+    rev = e.map_batches(
+        lambda b: pa.table({"src": b["dst"], "dst": b["src"]}), batch_format="pyarrow"
+    )
+    mutual = e.join(rev, "left_semi", P, on=("src", "dst")).count()
+    return pa.table({
+        "mutual_edges": pa.array([mutual], pa.int64()),
+        "total_edges": pa.array([total], pa.int64()),
+        "reciprocity": pa.array([mutual / total if total else 0.0], pa.float64()),
+    })
+
+
+def degree_histogram(edges, direction: str = "out"):
+    """``(deg, n_vertices)`` — vertex count per degree value, including the
+    0-degree bucket for vertices that only appear on the other side. Two
+    chained pre-combined groupbys; the histogram is at most |V| rows and
+    typically tiny (power-law tail)."""
+    col = {"out": "out_deg", "in": "in_deg"}[direction]
+    d = degrees(edges).select_columns([col]).rename_columns({col: "deg"})
+    return _partial_counts(
+        d.rename_columns({"deg": "src"}), "src", "n_vertices"
+    ).rename_columns({"vertex": "deg"})
+
+
+# ---------------------------------------------------------------------------
+# two-hop neighborhoods (neighbor-of-neighbor reach, hub-guarded)
+# ---------------------------------------------------------------------------
+
+
+def two_hop_counts(edges, max_mid_deg: int | None = None,
+                   num_partitions: int | None = None):
+    """``(vertex, n_two_hop)`` — number of distinct vertices w ≠ v reachable
+    from v in exactly two out-hops (v → m → w).
+
+    Skew guard (part of the spec, shared with the SQL oracle): when
+    ``max_mid_deg`` is set, middle vertices m with out_deg(m) + in_deg(m) >
+    max_mid_deg are excluded from the expansion — the v→m→w join emits
+    in_deg(m)·out_deg(m) rows per middle, so one 10^6-degree hub would emit
+    10^12 pairs (the `Traverser.scala:93-102` hub-prune rationale applied to
+    a join)."""
+    P = _auto_partitions(num_partitions)
+    e = _join_safe(distinct_edges(edges), P)
+    mids = e
+    if max_mid_deg is not None:
+        # only the MIDDLE vertex's degree matters for the fan-out bound —
+        # one degree cut, two semi-joins (first hop lands ON a kept middle;
+        # second hop leaves FROM one), then the expansion join.
+        ok = degrees(e).map_batches(
+            lambda b, m=max_mid_deg: pa.table({"mid": b["vertex"].filter(
+                pc.less_equal(pc.add(b["out_deg"], b["in_deg"]), m))}),
+            batch_format="pyarrow",
+        )
+        ok = _join_safe(ok, P)
+        if ok.count() == 0:
+            # every vertex is a hub: nothing to expand through (an all-empty
+            # aggregate output is also schema-less — acero would reject it
+            # as a join side, same hazard _join_safe documents)
+            return ray.data.from_arrow(pa.table({
+                "vertex": pa.array([], pa.int64()),
+                "n_two_hop": pa.array([], pa.int64()),
+            }))
+        mids = _join_safe(e.join(ok, "left_semi", P, on=("src",), right_on=("mid",)), P)
+        first = _join_safe(e.join(ok, "left_semi", P, on=("dst",), right_on=("mid",)), P)
+    else:
+        first = e
+    hop2 = first.join(
+        mids.rename_columns({"src": "mid", "dst": "w"}), "inner", P,
+        on=("dst",), right_on=("mid",),
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b["src"], b["w"]))
+        return pa.table({"vertex": b["src"].filter(keep), "w": b["w"].filter(keep)})
+
+    pairs = hop2.map_batches(project, batch_format="pyarrow")
+    return _distinct_counts_by_key(pairs, "vertex", "w", "n_two_hop")
+
+
+def _distinct_counts_by_key(pairs, key: str, val: str, out: str):
+    """``(key, out=count(DISTINCT val))`` via ONE global sort + vectorized
+    per-block segment fold (the ``adjacency_lists`` discipline — distinct
+    counts are not additive across partials, so a two-key hash aggregate
+    followed by a count costs TWO all-to-all passes and, in Ray's hash
+    aggregate, an order of magnitude more wall time than one range sort).
+    Key groups touching a block edge (≤2 per block) divert their distinct
+    val-SET to a tiny boundary merge; interior groups emit pure counts."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "vals": pa.array([], pa.list_(pa.int64())),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(k) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uniq = k[starts]
+        n = len(uniq)
+        bounds = np.r_[starts, len(k)]
+        # sorted by (key, val): a new distinct val wherever key or val changes
+        newpair = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        tables = []
+        if n > 2:
+            counts = np.add.reduceat(newpair, starts)[1:-1]
+            tables.append(pa.table({
+                key: pa.array(uniq[1:-1], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "vals": pa.nulls(n - 2, pa.list_(pa.int64())),
+                "boundary": pa.array(np.zeros(n - 2, bool)),
+            }))
+        for gi in ({0, n - 1} if n > 1 else {0}):
+            vs = np.unique(v[bounds[gi]:bounds[gi + 1]])
+            tables.append(pa.table({
+                key: pa.array([int(uniq[gi])], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "vals": pa.array([vs.tolist()], pa.list_(pa.int64())),
+                "boundary": pa.array([True]),
+            }))
+        return pa.concat_tables(tables) if tables else empty
+
+    folded = pairs.sort([key, val]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep))
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    interior = split(False).map_batches(
+        lambda b: pa.table({key: b[key], out: b["n"]}), batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.unique(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in g["vals"]]))
+        return pd.DataFrame({key: [int(g[key].iloc[0])], out: [len(vs)]})
+
+    merged = split(True).select_columns([key, "vals"]).groupby(key).map_groups(
+        merge, batch_format="pandas")
+    return interior.union(merged)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def k_core(edges, k: int, max_rounds: int = 64,
+           num_partitions: int | None = None):
+    """Vertices of the undirected ``k``-core: ``(vertex, degree)`` where
+    degree is the vertex's degree *within* the core subgraph (every row has
+    degree ≥ k by definition of the fixpoint).
+
+    Iterative peeling as Dataset rounds: per round one pre-combined degree
+    groupby + two semi-joins dropping edges incident to any vertex of degree
+    < k; terminates when a round removes nothing. Round count is bounded by
+    the peeling depth (≤ |V|, in practice a handful); raises RuntimeError at
+    ``max_rounds`` so a pinned-round SQL unroll is guaranteed to cover the
+    fixpoint whenever this returns."""
+    P = _auto_partitions(num_partitions)
+    und = undirected_canonical_edges(edges)
+    # both-direction edge list: src-degree == undirected degree
+    both = und.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(), b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(), b["src"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    e = _join_safe(both, P)
+    for _ in range(max_rounds):
+        deg = _partial_counts(e, "src", "deg")
+        n_before = deg.count()
+        if n_before == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64())})
+        good = deg.map_batches(
+            lambda b, kk=k: pa.table(
+                {"vertex": b["vertex"].filter(pc.greater_equal(b["deg"], kk))}),
+            batch_format="pyarrow",
+        )
+        good = _join_safe(good, P)
+        n_good = good.count()
+        if n_good == n_before:
+            return deg.rename_columns({"deg": "degree"})
+        if n_good == 0:
+            # everything peeled; an all-empty `good` is schema-less and
+            # acero would reject it as a semi-join side
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64())})
+        e = _join_safe(e.join(good, "left_semi", P, on=("src",), right_on=("vertex",)), P)
+        e = _join_safe(e.join(good, "left_semi", P, on=("dst",), right_on=("vertex",)), P)
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# connected components over a pair Dataset (hash-min, no layout build)
+# ---------------------------------------------------------------------------
+
+
+def components_from_pairs(pairs, max_rounds: int = 50,
+                          num_partitions: int | None = None):
+    """``(vertex, component)`` for every vertex appearing in ``pairs``
+    (Dataset with columns (a, b)); component = min vertex id in the weak
+    component — the hash-min discipline of ``engine.weakly_connected_
+    components`` expressed directly over a pair Dataset, for component
+    problems whose edge set is itself a pipeline product (near-dup pairs →
+    dup clusters) and far smaller than the corpus, where a partitioned
+    layout build would cost more than the iteration.
+
+    Termination: labels are monotonically non-increasing, so Σ(component)
+    strictly decreases every non-fixpoint round — one Sum aggregate per
+    round detects convergence without a diff join."""
+    P = _auto_partitions(num_partitions)
+    und = pairs.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([
+                pc.cast(b["a"].combine_chunks(), pa.int64()),
+                pc.cast(b["b"].combine_chunks(), pa.int64())]),
+            "dst": pa.concat_arrays([
+                pc.cast(b["b"].combine_chunks(), pa.int64()),
+                pc.cast(b["a"].combine_chunks(), pa.int64())]),
+        }),
+        batch_format="pyarrow",
+    )
+    und = _join_safe(distinct_edges(und), P)
+    labels = _join_safe(
+        und.map_batches(
+            lambda b: pa.table({"vertex": b["src"], "component": b["src"]}),
+            batch_format="pyarrow",
+        ).groupby("vertex").aggregate(Min("component", alias_name="component")),
+        P,
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = und.join(labels, "inner", P, on=("src",), right_on=("vertex",))
+        prop = prop.map_batches(
+            lambda b: pa.table({"vertex": b["dst"], "component": b["component"]}),
+            batch_format="pyarrow",
+        )
+        labels = _join_safe(
+            labels.union(_join_safe(prop, P))
+            .groupby("vertex").aggregate(Min("component", alias_name="component")),
+            P,
+        )
+        s = labels.aggregate(Sum("component"))["sum(component)"]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+    raise RuntimeError(f"components_from_pairs did not converge in {max_rounds} rounds")

@@ -381,3 +381,146 @@ def ngram_jaccard_sql(n: int = 3, max_df: int = 50, threshold: float = 0.5) -> s
                               JOIN sizes sb ON sb.doc_id = inter.b)
         SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
     """
+
+
+def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
+                  reset_right: float = 0.1, k: int = 2) -> str:
+    """Two-iteration bipartite alternating flow (``bipartite.iterative_link_
+    analysis`` / ``engine.bipartite_link_analysis``, semantics
+    ``IterativeLinkAnalyzer.scala:36-184``): supplied lefts = the ``n_lefts``
+    smallest distinct srcs with weight 1.0, induced-subgraph degrees, pass 1
+    left→right with reset_prob_right on rights (base 0), pass 2 right→left
+    with reset_prob_left (base = reset·w0 for every supplied left).
+    Contributors (both sides — passes 1 and 2 are the last two) are the
+    top-``k`` sources by contributed share desc / src asc, emitted as the
+    same comma-joined string the query side produces. Per-edge shares are
+    identical doubles on both sides ((w/deg)·(1−reset), same literal
+    association); only the summed weights differ at ~1e-16 — below the
+    driver's 9-dp rounding."""
+    return f"""
+        WITH ea AS MATERIALIZED ({edges_cte}),
+        linit AS MATERIALIZED (
+            SELECT vertex, 1.0 AS w0 FROM (
+                SELECT DISTINCT src AS vertex FROM ea ORDER BY vertex LIMIT {n_lefts})),
+        e AS MATERIALIZED (
+            SELECT ea.src, ea.dst FROM ea JOIN linit ON linit.vertex = ea.src),
+        ldeg AS MATERIALIZED (SELECT src, count(*) AS c FROM e GROUP BY 1),
+        rdeg AS MATERIALIZED (SELECT dst, count(*) AS c FROM e GROUP BY 1),
+        f1 AS MATERIALIZED (
+            SELECT e.src, e.dst, linit.w0 / ldeg.c * (1.0 - {reset_right}) AS share
+            FROM e JOIN linit ON linit.vertex = e.src JOIN ldeg ON ldeg.src = e.src),
+        rw AS MATERIALIZED (SELECT dst, sum(share) AS weight FROM f1 GROUP BY 1),
+        rc AS (SELECT dst, string_agg(CAST(src AS VARCHAR), ','
+                                      ORDER BY share DESC, src ASC) AS contributors
+               FROM (SELECT dst, src, share,
+                            row_number() OVER (PARTITION BY dst
+                                               ORDER BY share DESC, src ASC) AS rn
+                     FROM f1)
+               WHERE rn <= {k} GROUP BY dst),
+        f2 AS MATERIALIZED (
+            SELECT e.dst AS s, e.src AS d, rw.weight / rdeg.c * (1.0 - {reset_left}) AS share
+            FROM e JOIN rw ON rw.dst = e.dst JOIN rdeg ON rdeg.dst = e.dst),
+        lsum AS (SELECT d, sum(share) AS ws FROM f2 GROUP BY 1),
+        lw AS (SELECT linit.vertex, {reset_left} * linit.w0 + coalesce(lsum.ws, 0.0) AS weight
+               FROM linit LEFT JOIN lsum ON lsum.d = linit.vertex),
+        lc AS (SELECT d, string_agg(CAST(s AS VARCHAR), ','
+                                    ORDER BY share DESC, s ASC) AS contributors
+               FROM (SELECT d, s, share,
+                            row_number() OVER (PARTITION BY d
+                                               ORDER BY share DESC, s ASC) AS rn
+                     FROM f2)
+               WHERE rn <= {k} GROUP BY d)
+        SELECT lw.vertex, lw.weight, coalesce(lc.contributors, '') AS contributors,
+               'left' AS side
+        FROM lw LEFT JOIN lc ON lc.d = lw.vertex
+        UNION ALL
+        SELECT rw.dst AS vertex, rw.weight, coalesce(rc.contributors, '') AS contributors,
+               'right' AS side
+        FROM rw LEFT JOIN rc ON rc.dst = rw.dst
+    """
+
+
+def langid_sql(markers: dict[str, set[str]]) -> str:
+    """The stopword-marker language-ID heuristic (``textops.LangIdStage``) in
+    SQL: tokens = RE2 ``[a-zà-ÿ]+`` over lower(text) (same regex both
+    sides); per-language score = marker-token occurrence count; winner = max
+    score, ties → lexicographically smallest language, no hits → 'und'."""
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in sorted(markers) for w in sorted(markers[lang])
+    )
+    return f"""
+        WITH markers(lang, w) AS (VALUES {rows}),
+        toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS w
+                 FROM documents),
+        sc AS (SELECT toks.doc_id, m.lang, count(*) AS c
+               FROM toks JOIN markers m USING (w) GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang FROM (
+                     SELECT doc_id, lang,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY c DESC, lang ASC) AS rn
+                     FROM sc) WHERE rn = 1)
+        SELECT d.doc_id, coalesce(best.lang, 'und') AS lang_pred
+        FROM documents d LEFT JOIN best USING (doc_id)
+    """
+
+
+def dedup_clusters_sql(n: int = 3, max_df: int = 50, threshold: float = 0.5) -> str:
+    """Near-dup clustering over ``documents``: the exact n-gram-Jaccard pair
+    graph (same CTEs as :func:`ngram_jaccard_sql`) + recursive-CTE hash-min
+    components; canonical = min doc_id in the cluster, singletons map to
+    themselves (``textops.dedup_clusters``)."""
+    return rf"""
+        WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS s
+               FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS u(i)),
+        kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+        ksh AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ksh GROUP BY 1),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                  FROM ksh x JOIN ksh y ON x.s = y.s AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        p AS (SELECT inter.a, inter.b
+              FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                         JOIN sizes sb ON sb.doc_id = inter.b
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}),
+        -- DISTINCT spelled out: inside WITH RECURSIVE a plain UNION in a
+        -- non-recursive CTE gets UNION ALL semantics (see wcc_sql)
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p)),
+        reach(vertex, m) AS (
+            SELECT src AS vertex, src AS m FROM und
+            UNION
+            SELECT und.dst AS vertex, reach.m
+            FROM reach JOIN und ON und.src = reach.vertex
+            WHERE reach.m < und.dst
+        ),
+        comp AS (SELECT vertex, min(m) AS canonical FROM reach GROUP BY vertex)
+        SELECT d.doc_id, coalesce(comp.canonical, d.doc_id) AS canonical
+        FROM documents d LEFT JOIN comp ON comp.vertex = d.doc_id
+    """
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peeling (``analytics.k_core``): canonical undirected
+    dedup'd edges mirrored to both directions, then ``rounds`` rounds of
+    (degree, keep deg≥k, drop edges touching a dropped vertex). The Ray side
+    raises if it hasn't converged within its own round bound, so a
+    ``rounds`` ≥ that bound unroll always covers the fixpoint (extra rounds
+    are no-ops). Integer-only."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e WHERE src <> dst)",
+        "u0 AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT src AS vertex, count(*) AS c"
+            f" FROM u{r} GROUP BY 1)")
+        parts.append(f"g{r} AS MATERIALIZED (SELECT vertex FROM d{r} WHERE c >= {k})")
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT u.src, u.dst FROM u{r} u"
+            f" JOIN g{r} a ON a.vertex = u.src JOIN g{r} b ON b.vertex = u.dst)")
+    return ",\n".join(parts) + (
+        f"\nSELECT src AS vertex, count(*) AS degree FROM u{rounds} GROUP BY 1")

@@ -398,6 +398,41 @@ def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
 
+def q_graph_reciprocity(sf_dir: str):
+    return analytics.reciprocity(derived_edges(sf_dir))
+
+
+def q_graph_degree_hist(sf_dir: str):
+    return analytics.degree_histogram(derived_edges(sf_dir), "out")
+
+
+def q_graph_two_hop(sf_dir: str):
+    """Two-hop neighborhood sizes with the shared hub guard (middles of
+    total degree > 120 excluded — the spec'd skew cut, see
+    ``analytics.two_hop_counts``)."""
+    return analytics.two_hop_counts(derived_edges(sf_dir), max_mid_deg=120)
+
+
+def q_graph_kcore(sf_dir: str):
+    """90-core of the derived graph (nonempty with real peeling at sf0.01:
+    3 peel rounds drop 28 of 1021 vertices). max_rounds=10 matches the
+    oracle's 10-round unroll — the query raises rather than silently
+    mismatching if peeling ever needs more."""
+    return analytics.k_core(derived_edges(sf_dir), k=90, max_rounds=10)
+
+
+def q_doc_dedup_clusters(sf_dir: str):
+    """Full near-dup clustering: n-gram-Jaccard pairs → hash-min components
+    → canonical doc per cluster (every doc_id mapped)."""
+    return textops.dedup_clusters(
+        _table(sf_dir, "documents"), n=3, max_df=50, threshold=0.5)
+
+
+def q_doc_curation(sf_dir: str):
+    """End-to-end corpus curation: quality filter + exact dedup."""
+    return textops.curate_corpus(_table(sf_dir, "documents"), min_tokens=10)
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -438,6 +473,12 @@ QUERIES = {
     "events_type_totals": q_events_type_totals,
     "events_sliding": q_events_sliding,
     "doc_vocab": q_doc_vocab,
+    "graph_reciprocity": q_graph_reciprocity,
+    "graph_degree_hist": q_graph_degree_hist,
+    "graph_two_hop": q_graph_two_hop,
+    "graph_kcore": q_graph_kcore,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_curation": q_doc_curation,
 }
 
 
@@ -609,6 +650,49 @@ ORACLE_SQL = {
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
               FROM documents)
         GROUP BY 1
+    """,
+    "graph_bipartite": oracles.bipartite_sql(DERIVED_EDGES_CTE, n_lefts=20,
+                                             reset_left=0.1, reset_right=0.1, k=2),
+    "doc_langid": oracles.langid_sql(textops._LANG_MARKERS),
+    "graph_reciprocity": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        ne AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        m AS (SELECT count(*) AS mutual FROM ne a
+              JOIN ne b ON b.src = a.dst AND b.dst = a.src),
+        t AS (SELECT count(*) AS total FROM ne)
+        SELECT mutual AS mutual_edges, total AS total_edges,
+               CAST(mutual AS DOUBLE) / total AS reciprocity FROM m, t
+    """,
+    "graph_degree_hist": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1)
+        SELECT coalesce(o.c, 0) AS deg, count(*) AS n_vertices
+        FROM v LEFT JOIN o USING (vertex) GROUP BY 1
+    """,
+    "graph_two_hop": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        d AS (SELECT vertex, sum(o) AS od, sum(i) AS idg FROM (
+                  SELECT src AS vertex, 1 AS o, 0 AS i FROM e
+                  UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY 1),
+        ok AS (SELECT vertex FROM d WHERE od + idg <= 120),
+        mids AS (SELECT e.src, e.dst FROM e JOIN ok a ON a.vertex = e.src),
+        fst AS (SELECT e.src, e.dst FROM e JOIN ok ON ok.vertex = e.dst)
+        SELECT f.src AS vertex, count(DISTINCT m.dst) AS n_two_hop
+        FROM fst f JOIN mids m ON m.src = f.dst
+        WHERE m.dst <> f.src GROUP BY 1
+    """,
+    "graph_kcore": oracles.k_core_sql(DERIVED_EDGES_CTE, k=90, rounds=10),
+    "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
+    "doc_curation": r"""
+        WITH f AS (SELECT doc_id, md5(text) AS m,
+                          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                          length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                          length(text) AS n_chars
+                   FROM documents),
+        kept AS (SELECT * FROM f WHERE n_tokens >= 10 AND 2 * n_alpha >= n_chars),
+        canon AS (SELECT m, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+        SELECT k.doc_id, k.n_tokens FROM kept k JOIN canon USING (doc_id)
     """,
 }
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min, Sum
 
@@ -533,3 +534,90 @@ def token_frequencies(docs, min_count: int = 1):
             batch_format="pyarrow",
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# composite corpus pipelines: dedup clustering + curation
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(docs, *, n: int = 3, max_df: int = 50,
+                   threshold: float = 0.5, num_partitions: int | None = None):
+    """``(doc_id, canonical)`` for EVERY document: canonical = smallest
+    doc_id in the document's near-duplicate cluster (connected components
+    over the exact n-gram-Jaccard pair graph; singleton docs map to
+    themselves). ``keep = (doc_id == canonical)`` is the deduplicated corpus.
+
+    This is the full large-corpus dedup recipe as one composition: pair
+    generation is the df-cut inverted-index join (:func:`ngram_jaccard_pairs`),
+    clustering is hash-min components over the PAIR Dataset
+    (``analytics.components_from_pairs``) — the pair graph is orders of
+    magnitude smaller than the corpus, so no corpus-wide layout build or
+    shuffle happens beyond the shingle join itself."""
+    from cassovary_ray.analytics import _auto_partitions, _join_safe, components_from_pairs
+
+    P = _auto_partitions(num_partitions)
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, max_df=max_df, threshold=threshold, num_partitions=P
+    ).select_columns(["a", "b"]).materialize()
+    ids = docs.select_columns(["doc_id"])
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "canonical": b["doc_id"]}),
+            batch_format="pyarrow",
+        )
+    comp = components_from_pairs(pairs, num_partitions=P)
+    joined = _join_safe(ids, P).join(
+        comp, "left_outer", P, on=("doc_id",), right_on=("vertex",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "canonical": pc.coalesce(b["component"], b["doc_id"]),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def curate_corpus(docs, *, min_tokens: int = 10):
+    """End-to-end curation: quality filter then exact dedup. Returns
+    ``(doc_id, n_tokens)`` for kept documents — a doc survives iff
+    (a) n_tokens ≥ min_tokens, (b) 2·n_alpha ≥ n_chars (alpha ratio ≥ ½ as
+    an exact integer comparison — no float boundary), and (c) it is the
+    smallest doc_id among surviving docs with byte-identical text.
+
+    One vectorized pass computes md5 + the integer quality features and
+    filters; the dedup is the hash-partitioned ``groupby(md5).min`` of
+    :func:`exact_dedup`; one semi-join recovers the kept docs' features."""
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+
+    def features(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        n_tok = [len(_WS_SPLIT.split(t.strip(" "))) for t in texts]
+        n_alpha = [len(_NON_ALPHA.sub("", t)) for t in texts]
+        n_chars = [len(t) for t in texts]
+        keep = [t >= min_tokens and 2 * a >= c
+                for t, a, c in zip(n_tok, n_alpha, n_chars)]
+        karr = pa.array(keep)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(karr),
+            "text_md5": pa.array(md5, pa.string()).filter(karr),
+            "n_tokens": pa.array(n_tok, pa.int64()).filter(karr),
+        })
+
+    kept = _join_safe(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            features, batch_format="pyarrow"),
+        P,
+    )
+    canon = _join_safe(
+        kept.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"]),
+        P,
+    )
+    return kept.join(canon, "left_semi", P, on=("doc_id",)).select_columns(
+        ["doc_id", "n_tokens"])

@@ -1,0 +1,149 @@
+"""reciprocity / degree histogram / two-hop / k-core / components-from-pairs
+— brute-force-verified on hand fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cassovary_ray import analytics
+
+
+def _edges(pairs):
+    s, d = zip(*pairs) if pairs else ((), ())
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(list(s), pa.int64()),
+        "dst": pa.array(list(d), pa.int64()),
+    }))
+
+
+def test_reciprocity_fixture():
+    # 1<->2 mutual, 1->3 and 3->2 one-way, self-loop 4->4 dropped, dup edge
+    t = analytics.reciprocity(
+        _edges([(1, 2), (2, 1), (1, 3), (3, 2), (4, 4), (1, 3)]))
+    d = t.to_pydict()
+    assert d["mutual_edges"] == [2]
+    assert d["total_edges"] == [4]
+    assert d["reciprocity"] == [0.5]
+
+
+def test_degree_histogram_fixture():
+    # out-degrees: 1->2, 1->3 (deg 2); 2->3 (deg 1); 3 (deg 0)
+    out = analytics.degree_histogram(_edges([(1, 2), (1, 3), (2, 3)]), "out")
+    got = {r["deg"]: r["n_vertices"] for r in out.take_all()}
+    assert got == {2: 1, 1: 1, 0: 1}
+    inn = analytics.degree_histogram(_edges([(1, 2), (1, 3), (2, 3)]), "in")
+    got = {r["deg"]: r["n_vertices"] for r in inn.take_all()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _brute_two_hop(pairs, max_mid_deg=None):
+    from collections import defaultdict
+
+    e = sorted(set(pairs))
+    outn, deg = defaultdict(set), defaultdict(int)
+    for s, d in e:
+        outn[s].add(d)
+        deg[s] += 1
+        deg[d] += 1
+    expect = {}
+    for v in outn:
+        reach = set()
+        for m in outn[v]:
+            if max_mid_deg is not None and deg[m] > max_mid_deg:
+                continue
+            reach |= outn.get(m, set())
+        reach.discard(v)
+        if reach:
+            expect[v] = len(reach)
+    return expect
+
+
+@pytest.mark.parametrize("guard", [None, 3])
+def test_two_hop_counts_vs_brute(guard):
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 20, (120, 2)) if a != b}
+    # add a hub: vertex 99 pointed at by many, pointing at many
+    pairs |= {(i, 99) for i in range(8)} | {(99, 10 + i) for i in range(8)}
+    got = {r["vertex"]: r["n_two_hop"]
+           for r in analytics.two_hop_counts(_edges(sorted(pairs)),
+                                             max_mid_deg=guard).take_all()}
+    assert got == _brute_two_hop(pairs, guard)
+
+
+def test_two_hop_hub_guard_bounds_expansion():
+    # star through one hub: without guard every leaf sees all other leaves;
+    # with the guard the hub is never used as a middle -> no output rows
+    pairs = [(i, 100) for i in range(10)] + [(100, 200 + i) for i in range(10)]
+    no_guard = analytics.two_hop_counts(_edges(pairs)).take_all()
+    assert {r["vertex"]: r["n_two_hop"] for r in no_guard} == {
+        i: 10 for i in range(10)}
+    guarded = analytics.two_hop_counts(_edges(pairs), max_mid_deg=5).take_all()
+    assert guarded == []
+
+
+def _brute_k_core(pairs, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    a = {v: set(ns) for v, ns in adj.items()}
+    while True:
+        bad = [v for v, ns in a.items() if len(ns) < k]
+        if not bad:
+            return {v: len(ns) for v, ns in a.items()}
+        for v in bad:
+            for w in a[v]:
+                a[w].discard(v)
+            a.pop(v)
+
+
+def test_k_core_k4_with_pendants():
+    # K4 on {0,1,2,3} plus pendant chain 3-10-11: 3-core == K4 exactly
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = k4 + [(3, 10), (10, 11)]
+    t = analytics.k_core(_edges(pairs), k=3)
+    got = dict(zip(t["vertex"].to_pylist(), t["degree"].to_pylist())) \
+        if isinstance(t, pa.Table) else {
+            r["vertex"]: r["degree"] for r in t.take_all()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_empty_and_whole():
+    tri = [(0, 1), (1, 2), (2, 0)]
+    whole = analytics.k_core(_edges(tri), k=2)
+    got = dict(zip(whole["vertex"].to_pylist(), whole["degree"].to_pylist())) \
+        if isinstance(whole, pa.Table) else {
+            r["vertex"]: r["degree"] for r in whole.take_all()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    empty = analytics.k_core(_edges(tri), k=3)
+    n = len(empty) if isinstance(empty, pa.Table) else empty.count()
+    assert n == 0
+
+
+def test_k_core_vs_brute_random():
+    rng = np.random.default_rng(3)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (200, 2))
+                    if a != b})
+    for k in (2, 4, 6):
+        t = analytics.k_core(_edges(pairs), k=k)
+        got = dict(zip(t["vertex"].to_pylist(), t["degree"].to_pylist())) \
+            if isinstance(t, pa.Table) else {
+                r["vertex"]: r["degree"] for r in t.take_all()}
+        assert got == _brute_k_core(pairs, k)
+
+
+def test_components_from_pairs_chain_and_islands():
+    # chain 1-2-3-4, island {10,11}, singleton pair graph never sees 99
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 10], pa.int64()),
+        "b": pa.array([2, 3, 4, 11], pa.int64()),
+    }))
+    got = {r["vertex"]: r["component"]
+           for r in analytics.components_from_pairs(pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
