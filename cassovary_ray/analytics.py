@@ -1090,3 +1090,145 @@ def components_from_pairs(pairs, max_rounds: int = 50,
             return labels
         prev_sum = s
     raise RuntimeError(f"components_from_pairs did not converge in {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (forward-max coloring + backward sweep)
+# ---------------------------------------------------------------------------
+
+
+def scc(edges, max_rounds: int = 64, num_partitions: int | None = None):
+    """``(vertex, component)`` — strongly connected components over the
+    directed edge set; component = min vertex id in the SCC (the WCC id
+    convention).
+
+    Algorithm (Orzan's coloring, the standard distributed SCC shape —
+    FW-BW needs per-pivot reachability queries, Tarjan is inherently
+    sequential): per outer round over the remaining subgraph,
+    (1) forward-max color propagation to fixpoint — color(v) = max id u
+    that reaches v (monotone increasing ⇒ Σ-stability detects the fixpoint
+    with one Sum per inner round, no diff join);
+    (2) every color class's pivot is the vertex c with color(c) = c; one
+    tag-carrying BACKWARD traversal from all pivots simultaneously,
+    restricted to same-color vertices, finds {v : color(v) = c, v → c}
+    = SCC(c) for every class in parallel;
+    (3) found SCCs are assigned and peeled; isolated remainder vertices are
+    their own SCCs. Outer rounds are bounded by the longest pivot-blocked
+    chain in the condensation, not |V|."""
+    P = _auto_partitions(num_partitions)
+    e = _join_safe(distinct_edges(
+        edges.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
+            batch_format="pyarrow")), P)
+    verts = _join_safe(
+        e.map_batches(
+            lambda b: pa.table({"vertex": pa.concat_arrays(
+                [b["src"].combine_chunks(), b["dst"].combine_chunks()])}),
+            batch_format="pyarrow",
+        ).groupby("vertex").aggregate(Count(alias_name="_c"))
+        .select_columns(["vertex"]),
+        P,
+    )
+    out_parts: list[pa.Table] = []
+
+    def _self_scc(vds) -> pa.Table:
+        t = pa.concat_tables([pa.table({"vertex": b["vertex"]})
+                              for b in vds.iter_batches(batch_format="pyarrow")]) \
+            if vds.count() else pa.table({"vertex": pa.array([], pa.int64())})
+        return pa.table({"vertex": t["vertex"],
+                         "component": t["vertex"]})
+
+    for _ in range(max_rounds):
+        if verts.count() == 0:
+            break
+        if e.count() == 0:
+            out_parts.append(_self_scc(verts))
+            break
+        # (1) forward-max coloring to fixpoint
+        labels = verts.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "color": b["vertex"]}),
+            batch_format="pyarrow",
+        )
+        labels = _join_safe(labels, P)
+        prev = None
+        for _ in range(max_rounds * 4):
+            prop = e.join(labels, "inner", P, on=("src",), right_on=("vertex",))
+            prop = _join_safe(prop.map_batches(
+                lambda b: pa.table({"vertex": b["dst"], "color": b["color"]}),
+                batch_format="pyarrow"), P)
+            labels = _join_safe(
+                labels.union(prop).groupby("vertex")
+                .aggregate(Max("color", alias_name="color")),
+                P,
+            )
+            s = labels.aggregate(Sum("color"))["sum(color)"]
+            if s == prev:
+                break
+            prev = s
+        else:
+            raise RuntimeError("scc: coloring did not converge")
+        # (2) backward sweep from all pivots, same-color-restricted.
+        # member table M(vertex, pivot); frontier starts at the pivots.
+        member = _join_safe(labels.map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"].filter(pc.equal(b["vertex"], b["color"])),
+                "pivot": b["color"].filter(pc.equal(b["vertex"], b["color"]))}),
+            batch_format="pyarrow"), P)
+        frontier = member
+        while frontier.count() > 0:
+            # predecessors of the frontier: u -> v edges with v in frontier
+            pred = e.join(frontier, "inner", P, on=("dst",), right_on=("vertex",))
+            pred = _join_safe(pred.map_batches(
+                lambda b: pa.table({"vertex": b["src"], "pivot": b["pivot"]}),
+                batch_format="pyarrow"), P)
+            if pred.count() == 0:
+                break
+            # restrict to same-color vertices: color(u) must equal the pivot
+            pred = pred.join(labels.rename_columns({"vertex": "v2"}),
+                             "inner", P, on=("vertex",), right_on=("v2",))
+            pred = _join_safe(pred.map_batches(
+                lambda b: pa.table({
+                    "vertex": b["vertex"].filter(pc.equal(b["pivot"], b["color"])),
+                    "pivot": b["pivot"].filter(pc.equal(b["pivot"], b["color"]))}),
+                batch_format="pyarrow"), P)
+            pred = _join_safe(
+                pred.groupby(["vertex", "pivot"]).aggregate(Count(alias_name="_c"))
+                .select_columns(["vertex", "pivot"]), P)
+            if pred.count() == 0:
+                break
+            newly = pred.join(member, "left_anti", P, on=("vertex",))
+            newly = _join_safe(newly, P)
+            if newly.count() == 0:
+                break
+            member = _join_safe(member.union(newly), P)
+            frontier = newly
+        # (3) component id = min vertex per pivot group; assign and peel
+        mins = _join_safe(
+            member.groupby("pivot").aggregate(Min("vertex", alias_name="component")),
+            P,
+        )
+        assigned = member.join(mins, "inner", P, on=("pivot",))
+        assigned = assigned.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "component": b["component"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        out_parts.append(pa.concat_tables(
+            [b for b in assigned.iter_batches(batch_format="pyarrow")]
+        ) if assigned.count() else pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+        member_v = _join_safe(member.select_columns(["vertex"]), P)
+        verts = _join_safe(verts.join(member_v, "left_anti", P, on=("vertex",)), P)
+        if verts.count() == 0:
+            break
+        e = _join_safe(
+            e.join(member_v, "left_anti", P, on=("src",), right_on=("vertex",)), P)
+        if e.count():
+            e = _join_safe(
+                e.join(member_v, "left_anti", P, on=("dst",), right_on=("vertex",)), P)
+    else:
+        raise RuntimeError(f"scc did not converge in {max_rounds} rounds")
+    empty = pa.table({"vertex": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+    return pa.concat_tables([t.select(["vertex", "component"])
+                             for t in out_parts] or [empty])

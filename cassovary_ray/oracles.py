@@ -524,3 +524,23 @@ def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
             f" JOIN g{r} a ON a.vertex = u.src JOIN g{r} b ON b.vertex = u.dst)")
     return ",\n".join(parts) + (
         f"\nSELECT src AS vertex, count(*) AS degree FROM u{rounds} GROUP BY 1")
+
+
+def scc_sql(edges_cte: str) -> str:
+    """Exact SCC fixpoint via transitive closure: component = min vertex of
+    the mutually-reachable set (``analytics.scc`` id convention). Closure is
+    O(n²) rows — an oracle for the gate graph, not a scale path."""
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        ne AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        reach(s, v) AS (
+            SELECT src, src FROM ne
+            UNION
+            SELECT dst, dst FROM ne
+            UNION
+            SELECT reach.s, ne.dst FROM reach JOIN ne ON ne.src = reach.v
+        )
+        SELECT r1.s AS vertex, min(r1.v) AS component
+        FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
+        GROUP BY 1
+    """

@@ -421,6 +421,11 @@ def q_graph_kcore(sf_dir: str):
     return analytics.k_core(derived_edges(sf_dir), k=90, max_rounds=10)
 
 
+def q_graph_scc(sf_dir: str):
+    """Strongly connected components (Orzan coloring + backward sweep)."""
+    return analytics.scc(derived_edges(sf_dir))
+
+
 def q_doc_dedup_clusters(sf_dir: str):
     """Full near-dup clustering: n-gram-Jaccard pairs → hash-min components
     → canonical doc per cluster (every doc_id mapped)."""
@@ -477,6 +482,7 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "graph_two_hop": q_graph_two_hop,
     "graph_kcore": q_graph_kcore,
+    "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
 }
@@ -683,6 +689,7 @@ ORACLE_SQL = {
         WHERE m.dst <> f.src GROUP BY 1
     """,
     "graph_kcore": oracles.k_core_sql(DERIVED_EDGES_CTE, k=90, rounds=10),
+    "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
     "doc_curation": r"""
         WITH f AS (SELECT doc_id, md5(text) AS m,

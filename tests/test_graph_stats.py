@@ -147,3 +147,93 @@ def test_components_from_pairs_chain_and_islands():
     got = {r["vertex"]: r["component"]
            for r in analytics.components_from_pairs(pairs).take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def _brute_scc(pairs):
+    """Iterative Tarjan over the directed pair set."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in sorted(set(pairs)):
+        if s != d:
+            adj[s].append(d)
+            verts |= {s, d}
+    index, low, onstk = {}, {}, {}
+    stack, out, counter = [], {}, [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if onstk.get(w):
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def test_scc_cycles_and_bridge():
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    t = analytics.scc(_edges(pairs))
+    got = dict(zip(t["vertex"].to_pylist(), t["component"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_scc_dag_all_singletons():
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    t = analytics.scc(_edges(pairs))
+    got = dict(zip(t["vertex"].to_pylist(), t["component"].to_pylist()))
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_vs_brute_random():
+    rng = np.random.default_rng(11)
+    # sparse enough for many nontrivial SCCs
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, (60, 2))
+                    if a != b})
+    t = analytics.scc(_edges(pairs))
+    got = dict(zip(t["vertex"].to_pylist(), t["component"].to_pylist()))
+    assert got == _brute_scc(pairs)
+
+
+def test_scc_chain_of_cycles():
+    # pivot-blocked chain: 3 two-cycles linked tail-to-head, ids increasing
+    # along the chain so the forward-max color floods everything each round
+    pairs = []
+    for i in range(3):
+        a, b = 10 * i, 10 * i + 1
+        pairs += [(a, b), (b, a)]
+        if i:
+            pairs.append((10 * (i - 1), a))
+    t = analytics.scc(_edges(pairs))
+    got = dict(zip(t["vertex"].to_pylist(), t["component"].to_pylist()))
+    assert got == {0: 0, 1: 0, 10: 10, 11: 10, 20: 20, 21: 20}
