@@ -1232,3 +1232,115 @@ def scc(edges, max_rounds: int = 64, num_partitions: int | None = None):
                       "component": pa.array([], pa.int64())})
     return pa.concat_tables([t.select(["vertex", "component"])
                              for t in out_parts] or [empty])
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality + degree assortativity (round-2 additions on the same
+# bfs_multi / degree machinery; Cassovary's centrality surface stops at
+# degree/closeness, AbstractCentrality.scala:24-46 is the extension contract)
+# ---------------------------------------------------------------------------
+
+# lcm(1..32): 1/d summed exactly in int64 for any BFS depth d ≤ 32, so the
+# harmonic sum is reduction-order-free (float Σ 1/d would not hash-match a
+# SQL oracle; the single final division is deterministic IEEE)
+_HARMONIC_LCM = 144403552893600
+
+
+def harmonic_centrality(edges, sources: list[int], max_depth: int = 32,
+                        num_partitions: int | None = None):
+    """Harmonic centrality over out-edge BFS distances:
+    ``score(v) = Σ_{u ≠ v, d(v,u) ≤ max_depth} 1/d(v,u)``
+    (Boldi & Vigna, "Axioms for centrality", 2014 — the reachability-robust
+    closeness variant; same O(|sources|·m) shape as
+    :func:`closeness_centrality`, so pass a bounded sample at scale).
+
+    Exact-integer discipline: depths ride as ``LCM(1..32)//d`` int64 terms
+    through the ``groupby.sum`` shuffle, divided by the LCM once per source.
+    Returns ``Dataset(vertex, harmonic)`` including 0.0 rows for sources
+    with nothing reachable.
+    """
+    if not 1 <= max_depth <= 32:
+        raise ValueError("max_depth must be in 1..32 (int64-exact 1/d terms)")
+    dist = bfs_multi(edges, sources, max_depth=max_depth,
+                     num_partitions=num_partitions)
+
+    def inv(batch: pa.Table) -> pa.Table:
+        d = batch["depth"].to_numpy(zero_copy_only=False)
+        keep = d > 0  # drop the source's own depth-0 row
+        return pa.table({
+            "source": batch["source"].filter(pa.array(keep)),
+            "inv": pa.array(_HARMONIC_LCM // d[keep], pa.int64()),
+        })
+
+    agg = dist.map_batches(inv, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("inv", alias_name="inv_sum"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["inv_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"vertex": batch["source"],
+                         "harmonic": pa.array(s / _HARMONIC_LCM, pa.float64())})
+
+    scored = agg.map_batches(score, batch_format="pyarrow")
+    have = set(scored.select_columns(["vertex"]).to_pandas()["vertex"])
+    missing = sorted(set(int(s) for s in sources) - have)
+    if missing:
+        scored = scored.union(ray.data.from_arrow(pa.table({
+            "vertex": pa.array(missing, pa.int64()),
+            "harmonic": pa.array([0.0] * len(missing), pa.float64()),
+        })))
+    return scored
+
+
+def degree_assortativity(edges, num_partitions: int | None = None) -> pa.Table:
+    """Out-in degree assortativity (Newman, PRL 89:208701, 2002): Pearson
+    correlation over directed edges of (out-degree(src), in-degree(dst)).
+
+    Scale shape: two degree groupbys + two hash joins decorate every edge
+    with (x, y); the five moments are per-batch int64 partial sums combined
+    on the driver (O(num_blocks) tiny rows — no float reduction anywhere, so
+    the result is bit-deterministic at any parallelism; all products stay
+    < 2^53 so the final double expression is exact on both engine and oracle
+    sides). Returns a 1-row ``pyarrow.Table``
+    ``(n_edges, sx, sy, sxx, syy, sxy, assortativity)``.
+    """
+    import math
+
+    P = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    od = _join_safe(out_degrees(edges), P)
+    idg = _join_safe(in_degrees(edges).rename_columns({"vertex": "dvertex"}), P)
+    j = edges.join(od, "inner", P, on=("src",), right_on=("vertex",))
+    j = j.map_batches(lambda b: pa.table({"dst": b["dst"], "od": b["out_deg"]}),
+                      batch_format="pyarrow").materialize()
+    j = j.join(idg, "inner", P, on=("dst",), right_on=("dvertex",))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["in_deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    parts = j.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    cov = float(n * sxy - sx * sy)
+    varx = float(n * sxx - sx * sx)
+    vary = float(n * syy - sy * sy)
+    r = cov / math.sqrt(varx * vary) if varx > 0 and vary > 0 else 0.0
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "syy": pa.array([syy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })

@@ -544,3 +544,30 @@ def scc_sql(edges_cte: str) -> str:
         FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
         GROUP BY 1
     """
+
+
+def harmonic_sql(edges_cte: str, sources: list[int], max_depth: int = 32) -> str:
+    """Harmonic centrality over out-edge BFS distances, matching
+    ``analytics.harmonic_centrality`` (exact-int Σ LCM(1..32)//d, one final
+    division — both sides bit-identical)."""
+    lcm = 144403552893600
+    src_rows = ", ".join(f"({s})" for s in sources)
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        s(vertex) AS (VALUES {src_rows}),
+        reach(source, vertex, depth) AS (
+            SELECT CAST(vertex AS BIGINT), CAST(vertex AS BIGINT),
+                   CAST(0 AS BIGINT) FROM s
+            UNION
+            SELECT reach.source, e.dst, reach.depth + 1
+            FROM reach JOIN e ON e.src = reach.vertex
+            WHERE reach.depth < {max_depth}
+        ),
+        dist AS (SELECT source, vertex, min(depth) AS d FROM reach GROUP BY 1, 2),
+        agg AS (SELECT source AS vertex,
+                       CAST(sum({lcm} // d) AS BIGINT) AS inv_sum
+                FROM dist WHERE d > 0 GROUP BY 1)
+        SELECT CAST(s.vertex AS BIGINT) AS vertex,
+               coalesce(CAST(agg.inv_sum AS DOUBLE) / {lcm}, 0.0) AS harmonic
+        FROM s LEFT JOIN agg ON agg.vertex = s.vertex
+    """

@@ -438,6 +438,23 @@ def q_doc_curation(sf_dir: str):
     return textops.curate_corpus(_table(sf_dir, "documents"), min_tokens=10)
 
 
+def q_graph_harmonic(sf_dir: str):
+    """Harmonic centrality from the first 8 vertices (bounded-source sample,
+    same contract as closeness — exact all-sources is O(n·m))."""
+    return analytics.harmonic_centrality(
+        derived_edges(sf_dir), sources=list(range(8)), max_depth=32)
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Out-in degree assortativity (Newman r) — one row, exact int moments."""
+    return analytics.degree_assortativity(derived_edges(sf_dir))
+
+
+def q_doc_tfidf(sf_dir: str):
+    """Top-3 tf-idf tokens per document."""
+    return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -485,6 +502,9 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
+    "graph_harmonic": q_graph_harmonic,
+    "graph_assortativity": q_graph_assortativity,
+    "doc_tfidf": q_doc_tfidf,
 }
 
 
@@ -691,6 +711,42 @@ ORACLE_SQL = {
     "graph_kcore": oracles.k_core_sql(DERIVED_EDGES_CTE, k=90, rounds=10),
     "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
+    "graph_harmonic": oracles.harmonic_sql(
+        DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
+    "graph_assortativity": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        o AS (SELECT src AS v, count(*) AS od FROM e GROUP BY 1),
+        i AS (SELECT dst AS v, count(*) AS idg FROM e GROUP BY 1),
+        xy AS (SELECT o.od AS x, i.idg AS y
+               FROM e JOIN o ON o.v = e.src JOIN i ON i.v = e.dst),
+        s AS (SELECT count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx,
+                     CAST(sum(y*y) AS BIGINT) AS syy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy
+              FROM xy)
+        SELECT n AS n_edges, sx, sy, sxx, syy, sxy,
+               CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE))
+                    ELSE 0.0 END AS assortativity
+        FROM s
+    """,
+    "doc_tfidf": r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                                                 tf.token) AS rank
+              FROM tf JOIN df USING (token), n)
+        SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3
+    """,
     "doc_curation": r"""
         WITH f AS (SELECT doc_id, md5(text) AS m,
                           length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -621,3 +621,117 @@ def curate_corpus(docs, *, min_tokens: int = 10):
     )
     return kept.join(canon, "left_semi", P, on=("doc_id",)).select_columns(
         ["doc_id", "n_tokens"])
+
+
+def tfidf_top_k(docs, k: int = 3, num_partitions: int | None = None):
+    """``(doc_id, token, tf, df, rank)`` — top-``k`` tokens per document by
+    tf·idf with ``idf = ln(N/df)`` (the standard corpus-curation keyword
+    signal; ties broken by token asc so ranking is total).
+
+    Scale shape:
+    - tf comes straight out of ``map_batches`` — a document's text is never
+      split across batches, so per-doc Counters are exact (zero shuffle);
+    - df is one vocab-sized ``groupby(token)``;
+    - tf ⋈ df hash-joins on token to decorate each (doc, token) row — the
+      corpus is never broadcast;
+    - top-k: global sort by (doc_id, score desc, token), then each block
+      folds its interior doc segments vectorized; the ≤2 doc groups touching
+      a block edge divert to a tiny per-group merge (same boundary
+      discipline as ``analytics.adjacency_lists``).
+
+    Output columns are integers + rank; the float score is only a row-wise
+    sort key (tf·ln(N/df), no float reductions), so results hash-match a
+    DuckDB oracle.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(num_partitions)
+    n_docs = docs.count()
+
+    def tf_kernel(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            c = Counter(_WS_SPLIT.split(t.strip(" ")))
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = _join_safe(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            tf_kernel, batch_format="pyarrow"),
+        P,
+    )
+    df = _join_safe(
+        tf.groupby("token").aggregate(Count(alias_name="df")), P)
+    joined = tf.join(df, "inner", P, on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # mirrors the oracle's tf * ln(CAST(N AS DOUBLE) / df) exactly
+        return batch.append_column(
+            "score", pa.array(tfv * np.log(float(n_docs) / dfv), pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    ranked = scored.sort(["doc_id", "score", "token"],
+                         descending=[False, True, False])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(did) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        bounds = np.r_[starts, len(did)]
+        lengths = np.diff(bounds)
+        n = len(starts)
+        is_boundary = np.zeros(n, bool)
+        is_boundary[0] = is_boundary[-1] = True
+        takes = np.where(is_boundary, lengths, np.minimum(lengths, k))
+        within = np.arange(int(takes.sum())) - np.repeat(
+            np.cumsum(takes) - takes, takes)
+        idx = np.repeat(bounds[:-1], takes) + within
+        sub = batch.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "token": sub["token"],
+            "tf": sub["tf"],
+            "df": sub["df"],
+            "rank": pa.array(within + 1, pa.int64()),
+            "score": sub["score"],
+            "boundary": pa.array(np.repeat(is_boundary, takes)),
+        })
+
+    folded = ranked.map_batches(fold, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep)).drop_columns(["boundary"])
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    merged = split(True).groupby("doc_id").map_groups(merge, batch_format="pandas")
+    out = split(False).union(merged)
+    return out.select_columns(["doc_id", "token", "tf", "df", "rank"])

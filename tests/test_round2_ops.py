@@ -1,0 +1,143 @@
+"""Harmonic centrality, degree assortativity, tf-idf top-k — brute-force
+oracles on small fixtures (round-2 additions; Cassovary's centrality surface
+stops at degree/closeness, AbstractCentrality.scala:24-46 is the contract
+these extend)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cassovary_ray import analytics, textops
+from cassovary_ray.corpus import TOY_GRAPHS
+
+from tests.util import edges_ds_for_graph
+
+
+def _brute_distances(adj, source):
+    """BFS depths over out-edges from source (dict vertex -> depth)."""
+    depth = {source: 0}
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def test_harmonic_path_graph():
+    # 0 -> 1 -> 2 -> 3: harmonic(0) = 1 + 1/2 + 1/3
+    adj = {0: [1], 1: [2], 2: [3], 3: []}
+    got = (
+        analytics.harmonic_centrality(edges_ds_for_graph(adj), sources=[0, 3])
+        .to_pandas().set_index("vertex")["harmonic"].to_dict()
+    )
+    assert got[0] == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-12)
+    assert got[3] == 0.0  # sink: nothing reachable
+
+
+def test_harmonic_matches_bruteforce_g6():
+    adj = TOY_GRAPHS["g6"]
+    sources = sorted(adj)
+    got = (
+        analytics.harmonic_centrality(edges_ds_for_graph(adj), sources=sources)
+        .to_pandas().set_index("vertex")["harmonic"].to_dict()
+    )
+    for s in sources:
+        depths = _brute_distances(adj, s)
+        want = sum(1.0 / d for v, d in depths.items() if d > 0)
+        assert got[s] == pytest.approx(want, abs=1e-9), s
+
+
+def test_harmonic_max_depth_cut():
+    adj = {0: [1], 1: [2], 2: [3], 3: []}
+    got = (
+        analytics.harmonic_centrality(
+            edges_ds_for_graph(adj), sources=[0], max_depth=2)
+        .to_pandas().set_index("vertex")["harmonic"].to_dict()
+    )
+    assert got[0] == pytest.approx(1 + 0.5, abs=1e-12)
+
+
+def test_assortativity_matches_bruteforce():
+    adj = TOY_GRAPHS["g6"]
+    tbl = analytics.degree_assortativity(edges_ds_for_graph(adj)).to_pandas()
+    assert len(tbl) == 1
+    # brute force: Pearson r over edges of (outdeg(src), indeg(dst))
+    edges = [(u, v) for u, nbrs in adj.items() for v in nbrs]
+    od = Counter(u for u, _ in edges)
+    idg = Counter(v for _, v in edges)
+    x = np.array([od[u] for u, _ in edges], float)
+    y = np.array([idg[v] for _, v in edges], float)
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert tbl["assortativity"].iloc[0] == pytest.approx(want, abs=1e-9)
+    assert int(tbl["n_edges"].iloc[0]) == len(edges)
+    assert int(tbl["sxy"].iloc[0]) == int((x * y).sum())
+
+
+def test_assortativity_degenerate_regular():
+    # 2-cycle: every src outdeg 1, every dst indeg 1 — zero variance => 0.0
+    adj = {0: [1], 1: [0]}
+    tbl = analytics.degree_assortativity(edges_ds_for_graph(adj)).to_pandas()
+    assert tbl["assortativity"].iloc[0] == 0.0
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def _brute_tfidf(texts, k):
+    import re
+
+    n = len(texts)
+    tf = {i: Counter(re.split(r"\s+", t.strip(" "))) for i, t in enumerate(texts)}
+    df = Counter()
+    for c in tf.values():
+        df.update(set(c))
+    rows = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((tok, cnt, df[tok], cnt * math.log(n / df[tok])) for tok, cnt in c.items()),
+            key=lambda r: (-r[3], r[0]),
+        )[:k]
+        for rank, (tok, cnt, d, _s) in enumerate(scored, 1):
+            rows.append((i, tok, cnt, d, rank))
+    return sorted(rows)
+
+
+def test_tfidf_top_k_bruteforce():
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple date date date elder",
+        "fig fig fig fig",
+        "apple banana cherry date elder fig",
+    ]
+    got = sorted(
+        tuple(r) for r in textops.tfidf_top_k(_docs_ds(texts), k=3)
+        .to_pandas()[["doc_id", "token", "tf", "df", "rank"]]
+        .itertuples(index=False)
+    )
+    assert got == _brute_tfidf(texts, 3)
+
+
+def test_tfidf_rank_bounded_and_total():
+    texts = ["a b", "a b c d e f g h i j"]
+    df = textops.tfidf_top_k(_docs_ds(texts), k=3).to_pandas()
+    per_doc = df.groupby("doc_id")["rank"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["max"] <= 3).all()
+    # doc 0 has only 2 distinct tokens
+    assert per_doc.loc[0, "count"] == 2
