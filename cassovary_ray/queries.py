@@ -29,7 +29,14 @@ import pyarrow as pa
 
 import ray.data
 
-from cassovary_ray import analytics, ann, events as events_ops, oracles, textops
+from cassovary_ray import (
+    analytics,
+    ann,
+    events as events_ops,
+    multimodal,
+    oracles,
+    textops,
+)
 from cassovary_ray.ann import _planes as _ann_planes
 from cassovary_ray.engine import ShardedGraph
 from cassovary_ray.layout import build_edge_layout, read_layout_manifest
@@ -455,6 +462,34 @@ def q_doc_tfidf(sf_dir: str):
     return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
 
 
+def _media_ids(sf_dir: str):
+    return (
+        _table(sf_dir, "documents").select_columns(["doc_id"])
+        .rename_columns({"doc_id": "media_id"})
+    )
+
+
+def q_media_image_stats(sf_dir: str):
+    """Encode every doc_id's deterministic image as a REAL 24-bit BMP, then
+    decode it back (actor-pool stage) and emit integer pixel stats — the
+    oracle recomputes the stats from the generator's closed form, so any
+    codec round-trip bug mismatches."""
+    media = multimodal.media_from_ids(_media_ids(sf_dir), "image")
+    return multimodal.decode_images(media).drop_columns(["features"])
+
+
+def q_media_audio_stats(sf_dir: str):
+    """RIFF/WAVE PCM16 round-trip (stdlib wave codec) + integer sample stats."""
+    media = multimodal.media_from_ids(_media_ids(sf_dir), "audio")
+    return multimodal.decode_audio(media).drop_columns(["rms_windows"])
+
+
+def q_media_video_frames(sf_dir: str):
+    """Raw-frame video container: sample every 2nd frame by byte slicing."""
+    media = multimodal.media_from_ids(_media_ids(sf_dir), "video")
+    return multimodal.frame_sample(media, every_n=2)
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -505,6 +540,9 @@ QUERIES = {
     "graph_harmonic": q_graph_harmonic,
     "graph_assortativity": q_graph_assortativity,
     "doc_tfidf": q_doc_tfidf,
+    "media_image_stats": q_media_image_stats,
+    "media_audio_stats": q_media_audio_stats,
+    "media_video_frames": q_media_video_frames,
 }
 
 
@@ -732,6 +770,47 @@ ORACLE_SQL = {
                                 * CAST(n*syy - sy*sy AS DOUBLE))
                     ELSE 0.0 END AS assortativity
         FROM s
+    """,
+    # media oracles: the synth generators are affine-mod functions of
+    # (media_id, x, y, ch, t) — the SQL recomputes their integer stats in
+    # closed form while the Ray side round-trips the real codec (BMP / WAV /
+    # raw-frame container); any encode/decode bug breaks the match
+    "media_image_stats": """
+        WITH g AS (SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 11 + 2 AS b,
+                          (doc_id * 13) % 256 AS c
+                   FROM documents),
+        px AS (SELECT doc_id, (a * x.x + b * y.y + c + 31 * ch.ch) % 256 AS v
+               FROM g, range(0, 40) x(x), range(0, 24) y(y), range(0, 3) ch(ch))
+        SELECT doc_id AS media_id, CAST(40 AS BIGINT) AS width,
+               CAST(24 AS BIGINT) AS height,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               min(v) AS px_min, max(v) AS px_max
+        FROM px GROUP BY doc_id
+    """,
+    "media_audio_stats": """
+        WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 100 AS n,
+                          doc_id % 13 + 3 AS k
+                   FROM documents),
+        s AS (SELECT doc_id, n, k, t.t AS t, ((t.t * k) % 2048) - 1024 AS v
+              FROM p, range(0, 1200) t(t) WHERE t.t < n)
+        SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS s_sum,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+               CAST(sum(CASE WHEN t >= 1
+                             AND v * (((t - 1) * k) % 2048 - 1024) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM s GROUP BY doc_id
+    """,
+    "media_video_frames": """
+        WITH g AS (SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 11 + 2 AS b,
+                          (doc_id * 13) % 256 AS c
+                   FROM documents)
+        SELECT doc_id AS media_id, f.f AS frame_idx,
+               CAST(sum((a * x.x + b * y.y + c + 17 * f.f) % 256) AS BIGINT)
+                   AS frame_sum
+        FROM g, range(0, 6) f(f), range(0, 16) x(x), range(0, 16) y(y)
+        WHERE f.f % 2 = 0
+        GROUP BY doc_id, f.f
     """,
     "doc_tfidf": r"""
         WITH toks AS (SELECT doc_id,

@@ -98,7 +98,7 @@ def test_multimodal_decode_plumbing():
     media = ray.data.from_arrow(synth_media_table(20))
     feats = decode_images(media, concurrency=2, batch_size=8).to_pandas()
     assert len(feats) == 20
-    assert all(len(f) == 8 for f in feats["features"])
+    assert all(len(f) == 64 for f in feats["features"])
     # deterministic across runs
     again = decode_images(ray.data.from_arrow(synth_media_table(20)),
                           concurrency=2, batch_size=8).to_pandas()
@@ -107,18 +107,24 @@ def test_multimodal_decode_plumbing():
     assert a == b
 
 
-def test_multimodal_stub_raises_without_fake():
+def test_multimodal_unsupported_mime_raises():
     from cassovary_ray.multimodal import ImageDecodeStage
 
-    stage = ImageDecodeStage(fake=None)
+    stage = ImageDecodeStage()
     if stage.pil is None:
         with pytest.raises(NotImplementedError):
-            stage(synth_media_table(1))
+            stage(pa.table({
+                "media_id": pa.array([0], pa.int64()),
+                "payload": pa.array([b"\x89PNG not a bmp"], pa.binary()),
+            }))
 
 
 def test_frame_sample():
-    media = ray.data.from_arrow(synth_media_table(30))
-    assert frame_sample(media, every_n=10).count() == 3
+    media = ray.data.from_arrow(synth_media_table(3, kind="video"))
+    # 6 frames per payload, every 2nd kept -> 3 rows per media
+    out = frame_sample(media, every_n=2).to_pandas()
+    assert len(out) == 9
+    assert sorted(out["frame_idx"].unique()) == [0, 2, 4]
 
 
 def _docs(texts):
