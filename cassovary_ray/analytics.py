@@ -1344,3 +1344,146 @@ def degree_assortativity(edges, num_partitions: int | None = None) -> pa.Table:
         "sxy": pa.array([sxy], pa.int64()),
         "assortativity": pa.array([r], pa.float64()),
     })
+
+
+def betweenness_centrality(edges, sources: list[int],
+                           max_depth: int | None = None,
+                           num_partitions: int | None = None):
+    """Betweenness centrality by Brandes dependency accumulation (Brandes,
+    J. Math. Sociol. 25:163-177, 2001) from a bounded source sample —
+    ``bc(v) = Σ_{s ∈ sources} δ_s(v)`` where ``δ_s(v) = Σ_{w: d(w)=d(v)+1,
+    (v,w) ∈ E} σ_s(v)/σ_s(w) · (1 + δ_s(w))`` over directed shortest paths.
+
+    Dataflow shape (everything keyed, nothing positional):
+    - forward: the tagged multi-source BFS of :func:`bfs_multi` extended
+      with exact int64 path counts σ (σ of a new vertex = Σ σ of its
+      frontier predecessors — a ``groupby(source, vertex).sum``);
+    - backward: one driver round per depth level, deepest first; each level
+      is two hash joins (level-d vertices ⋈ edges ⋈ level-d+1 deltas) and a
+      ``groupby(source, vertex).sum`` — O(diameter) rounds total, the same
+      cost envelope as the forward BFS.
+
+    Sampled-source betweenness is the standard scale form (exact all-source
+    is O(n·m)); δ sums are floats, so this is golden-tested (pytest brute
+    force), not SQL-oracled — same policy as the walk family. Returns
+    ``Dataset(vertex, betweenness)`` over every vertex seen in any BFS,
+    sources included (a source scores from OTHER sources' paths only).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    uniq = sorted(set(int(s) for s in sources))
+    frontier = ray.data.from_arrow(pa.table({
+        "source": pa.array(uniq, pa.int64()),
+        "vertex": pa.array(uniq, pa.int64()),
+        "sigma": pa.array([1] * len(uniq), pa.int64()),
+    })).materialize()
+    levels = [frontier]  # levels[d] = Dataset(source, vertex, sigma) at depth d
+    visited = frontier.select_columns(["source", "vertex"]).materialize()
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        nxt = frontier.join(edges, "inner", num_partitions,
+                            on=("vertex",), right_on=("src",))
+        nxt = (
+            nxt.map_batches(
+                lambda t: pa.table({"source": t["source"], "vertex": t["dst"],
+                                    "sigma": t["sigma"]}),
+                batch_format="pyarrow",
+            )
+            .groupby(["source", "vertex"]).aggregate(Sum("sigma", alias_name="sigma"))
+        )
+        nxt = _join_safe(nxt, num_partitions)
+        if nxt.count() == 0:
+            break
+        nxt = _join_safe(
+            nxt.join(visited, "left_anti", num_partitions, on=("source", "vertex")),
+            num_partitions)
+        if nxt.count() == 0:
+            break
+        depth += 1
+        visited = _join_safe(
+            visited.union(nxt.select_columns(["source", "vertex"])), num_partitions)
+        frontier = nxt
+        levels.append(nxt)
+
+    # backward sweep: delta[d] from delta[d+1]
+    delta_next = None  # deltas at level d+1 (None ⇒ deepest level, all 0)
+    acc = []  # per-level delta datasets (source, vertex, delta)
+    for d in range(len(levels) - 2, -1, -1):
+        lv = levels[d]
+        if delta_next is None:
+            succ = levels[d + 1].map_batches(
+                lambda t: pa.table({
+                    "source": t["source"], "w": t["vertex"],
+                    "w_sigma": t["sigma"],
+                    "w_delta": pa.array(np.zeros(len(t)), pa.float64()),
+                }),
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            succ = levels[d + 1].join(
+                delta_next.rename_columns({"vertex": "dvertex"}),
+                "left_outer", num_partitions,
+                on=("source", "vertex"), right_on=("source", "dvertex"))
+            succ = succ.map_batches(
+                lambda t: pa.table({
+                    "source": t["source"], "w": t["vertex"],
+                    "w_sigma": t["sigma"],
+                    "w_delta": pc.coalesce(t["delta"], pa.scalar(0.0, pa.float64())),
+                }),
+                batch_format="pyarrow",
+            )
+            succ = _join_safe(succ, num_partitions)
+        # level-d vertices ⋈ out-edges ⋈ level-d+1 successors
+        cand = lv.join(edges, "inner", num_partitions,
+                       on=("vertex",), right_on=("src",))
+        cand = _join_safe(cand.map_batches(
+            lambda t: pa.table({"source": t["source"], "vertex": t["vertex"],
+                                "sigma": t["sigma"], "w": t["dst"]}),
+            batch_format="pyarrow",
+        ), num_partitions)
+        cand = cand.join(succ, "inner", num_partitions, on=("source", "w"))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            sv = t["sigma"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sw = t["w_sigma"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dw = t["w_delta"].to_numpy(zero_copy_only=False)
+            return pa.table({"source": t["source"], "vertex": t["vertex"],
+                             "delta": pa.array(sv / sw * (1.0 + dw), pa.float64())})
+
+        delta_d = (
+            cand.map_batches(contrib, batch_format="pyarrow")
+            .groupby(["source", "vertex"]).aggregate(Sum("delta", alias_name="delta"))
+        )
+        delta_d = _join_safe(delta_d, num_partitions)
+        delta_next = delta_d
+        acc.append(delta_d)
+
+    allv = _join_safe(
+        visited.select_columns(["vertex"]).groupby("vertex").aggregate(
+            Count(alias_name="_c")).select_columns(["vertex"]),
+        num_partitions)
+    if not acc:
+        return allv.map_batches(
+            lambda t: t.append_column(
+                "betweenness", pa.array(np.zeros(len(t)), pa.float64())),
+            batch_format="pyarrow")
+    deltas = acc[0]
+    for d in acc[1:]:
+        deltas = deltas.union(d)
+    # a source takes no credit for its own paths (vertex == source rows out)
+    bc = (
+        deltas.map_batches(
+            lambda t: t.filter(pc.not_equal(t["source"], t["vertex"]))
+            .select(["vertex", "delta"]),
+            batch_format="pyarrow",
+        )
+        .groupby("vertex").aggregate(Sum("delta", alias_name="betweenness"))
+    )
+    bc = _join_safe(bc, num_partitions)
+    zero = allv.join(bc.select_columns(["vertex"]), "left_anti",
+                     num_partitions, on=("vertex",))
+    zero = zero.map_batches(
+        lambda t: t.append_column(
+            "betweenness", pa.array(np.zeros(len(t)), pa.float64())),
+        batch_format="pyarrow")
+    return bc.union(zero)

@@ -462,6 +462,13 @@ def q_doc_tfidf(sf_dir: str):
     return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
 
 
+def q_graph_betweenness(sf_dir: str):
+    """Sampled-source Brandes betweenness (float δ sums — golden-tested in
+    pytest, rows-only for the driver, same policy as the walk family)."""
+    return analytics.betweenness_centrality(
+        derived_edges(sf_dir), sources=list(range(8)))
+
+
 def _media_ids(sf_dir: str):
     return (
         _table(sf_dir, "documents").select_columns(["doc_id"])
@@ -543,6 +550,7 @@ QUERIES = {
     "media_image_stats": q_media_image_stats,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
+    "graph_betweenness": q_graph_betweenness,
 }
 
 

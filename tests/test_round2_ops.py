@@ -141,3 +141,76 @@ def test_tfidf_rank_bounded_and_total():
     assert (per_doc["max"] <= 3).all()
     # doc 0 has only 2 distinct tokens
     assert per_doc.loc[0, "count"] == 2
+
+
+def _brute_brandes(adj, sources):
+    """Pure-python Brandes over directed shortest paths (accumulation over
+    all given sources; sources earn no credit on their own paths)."""
+    from collections import defaultdict, deque
+
+    bc = defaultdict(float)
+    verts = set(adj) | {v for ns in adj.values() for v in ns}
+    for s in sources:
+        # forward BFS
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = defaultdict(float)
+        for u in reversed(order):
+            for v in adj.get(u, []):
+                if dist.get(v) == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+            if u != s:
+                bc[u] += delta[u]
+    reached = set()
+    for s in sources:
+        dist = {s}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        reached |= dist
+    return {v: bc.get(v, 0.0) for v in reached}
+
+
+@pytest.mark.parametrize("name", ["g5", "g6"])
+def test_betweenness_matches_bruteforce(name):
+    adj = TOY_GRAPHS[name]
+    sources = sorted(set(adj) | {v for ns in adj.values() for v in ns})
+    got = (
+        analytics.betweenness_centrality(edges_ds_for_graph(adj), sources)
+        .to_pandas().set_index("vertex")["betweenness"].to_dict()
+    )
+    want = _brute_brandes(adj, sources)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_diamond_split_paths():
+    # s -> a, s -> b, a -> t, b -> t: two shortest paths, each mid gets 1/2
+    adj = {0: [1, 2], 1: [3], 2: [3], 3: []}
+    got = (
+        analytics.betweenness_centrality(edges_ds_for_graph(adj), [0])
+        .to_pandas().set_index("vertex")["betweenness"].to_dict()
+    )
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == pytest.approx(0.5)
+    assert got[3] == pytest.approx(0.0)
+    assert got[0] == pytest.approx(0.0)
