@@ -1487,3 +1487,57 @@ def betweenness_centrality(edges, sources: list[int],
             "betweenness", pa.array(np.zeros(len(t)), pa.float64())),
         batch_format="pyarrow")
     return bc.union(zero)
+
+
+def eccentricity(edges, sources: list[int], max_depth: int | None = None,
+                 num_partitions: int | None = None):
+    """Per-source eccentricity over out-edge BFS: ``ecc(s) = max depth
+    reached`` (+ reachable count) — the sampled-source diameter/hop-plot
+    primitive. One tagged multi-source BFS, one groupby. Integers only.
+    Returns ``Dataset(vertex, eccentricity, reachable)``; an isolated source
+    gets (0, 1) — itself at depth 0."""
+    dist = bfs_multi(edges, sources, max_depth=max_depth,
+                     num_partitions=num_partitions)
+    return (
+        dist.groupby("source")
+        .aggregate(Max("depth", alias_name="eccentricity"),
+                   Count(alias_name="reachable"))
+        .rename_columns({"source": "vertex"})
+    )
+
+
+def degree_quantiles(edges, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     direction: str = "out") -> pa.Table:
+    """Exact discrete degree quantiles: for each q, the smallest degree d
+    with ``#{v: deg(v) ≤ d} ≥ ceil(q · n)`` over vertices WITH ≥1 edge in
+    ``direction`` — quantile_disc semantics, integer-exact on both engine
+    and oracle sides (no interpolation, no float compare).
+
+    Scale shape: the only shuffle is the degree groupby; the quantile scan
+    runs on the degree HISTOGRAM (≤ max-degree rows), collected to the
+    driver — bounded by distinct degree values, not vertices.
+
+    Quantile ranks are integer-percent math — ``need = (p·n + 99) // 100``
+    — never ``ceil(q·n)`` in floats (DuckDB parses 0.9 as DECIMAL while
+    Python uses IEEE doubles; integer ceil sidesteps the divergence)."""
+    col = {"out": "src", "in": "dst"}[direction]
+    deg = _partial_counts(edges, col, "deg")
+    hist = (
+        deg.map_batches(
+            lambda t: pa.table({"deg": t["deg"]}), batch_format="pyarrow")
+        .groupby("deg").aggregate(Count(alias_name="n_vertices"))
+        .to_pandas().sort_values("deg").reset_index(drop=True)
+    )
+    n = int(hist["n_vertices"].sum())
+    cum = hist["n_vertices"].cumsum()
+    out_q, out_d = [], []
+    for q in qs:
+        p = int(round(q * 100))
+        need = (p * n + 99) // 100
+        idx = int(np.searchsorted(cum.to_numpy(), need))
+        out_q.append(p)
+        out_d.append(int(hist["deg"].iloc[min(idx, len(hist) - 1)]))
+    return pa.table({
+        "q_pct": pa.array(out_q, pa.int64()),
+        "degree": pa.array(out_d, pa.int64()),
+    })

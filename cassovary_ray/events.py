@@ -130,3 +130,37 @@ def sliding_window_counts(events, window_minutes: int = 60, step_minutes: int = 
         .groupby("window_start_us")
         .aggregate(Count(alias_name="n_events"), Sum("vmilli", alias_name="value_milli"))
     )
+
+
+def top_users_per_type(events, k: int = 3):
+    """``(event_type, user_id, n_events, rank)`` — the ``k`` heaviest users
+    per event type (heavy-hitters). Per-batch (type, user) partial counts
+    pre-combine before ONE groupby; the top-k cut is a per-type pandas
+    ``map_groups`` over the already-aggregated (type × user) table, which is
+    cardinality-bounded (distinct pairs, not events). Ranking is total:
+    count desc, then user_id asc — integers only, so it hash-matches SQL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "user_id": batch["user_id"].to_pandas(),
+        })
+        g = df.groupby(["event_type", "user_id"], sort=False).size().reset_index(name="_c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        events.select_columns(["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("_c", alias_name="n_events"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_events", "user_id"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return totals.groupby("event_type").map_groups(topk, batch_format="pandas")

@@ -571,3 +571,27 @@ def harmonic_sql(edges_cte: str, sources: list[int], max_depth: int = 32) -> str
                coalesce(CAST(agg.inv_sum AS DOUBLE) / {lcm}, 0.0) AS harmonic
         FROM s LEFT JOIN agg ON agg.vertex = s.vertex
     """
+
+
+def eccentricity_sql(edges_cte: str, sources: list[int],
+                     max_depth: int | None = None) -> str:
+    """Per-source max BFS depth + reachable count, matching
+    ``analytics.eccentricity`` (integers only)."""
+    src_rows = ", ".join(f"({s})" for s in sources)
+    depth_bound = f"WHERE reach.depth < {max_depth}" if max_depth is not None else ""
+    return f"""
+        WITH RECURSIVE e AS ({edges_cte}),
+        s(vertex) AS (VALUES {src_rows}),
+        reach(source, vertex, depth) AS (
+            SELECT CAST(vertex AS BIGINT), CAST(vertex AS BIGINT),
+                   CAST(0 AS BIGINT) FROM s
+            UNION
+            SELECT reach.source, e.dst, reach.depth + 1
+            FROM reach JOIN e ON e.src = reach.vertex
+            {depth_bound}
+        ),
+        dist AS (SELECT source, vertex, min(depth) AS d FROM reach GROUP BY 1, 2)
+        SELECT source AS vertex, CAST(max(d) AS BIGINT) AS eccentricity,
+               count(*) AS reachable
+        FROM dist GROUP BY 1
+    """

@@ -462,6 +462,22 @@ def q_doc_tfidf(sf_dir: str):
     return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
 
 
+def q_graph_eccentricity(sf_dir: str):
+    """Sampled-source eccentricity (max BFS depth + reachable count)."""
+    return analytics.eccentricity(
+        derived_edges(sf_dir), sources=list(range(8)), max_depth=32)
+
+
+def q_graph_degree_quantiles(sf_dir: str):
+    """Exact discrete out-degree quantiles (p50/p90/p99)."""
+    return analytics.degree_quantiles(derived_edges(sf_dir))
+
+
+def q_events_top_users(sf_dir: str):
+    """Top-3 heaviest users per event type."""
+    return events_ops.top_users_per_type(_table(sf_dir, "events"), k=3)
+
+
 def q_graph_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness (float δ sums — golden-tested in
     pytest, rows-only for the driver, same policy as the walk family)."""
@@ -551,6 +567,9 @@ QUERIES = {
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
     "graph_betweenness": q_graph_betweenness,
+    "graph_eccentricity": q_graph_eccentricity,
+    "graph_degree_quantiles": q_graph_degree_quantiles,
+    "events_top_users": q_events_top_users,
 }
 
 
@@ -759,6 +778,29 @@ ORACLE_SQL = {
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
     "graph_harmonic": oracles.harmonic_sql(
         DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
+    "graph_eccentricity": oracles.eccentricity_sql(
+        DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
+    "graph_degree_quantiles": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        o AS (SELECT src AS v, count(*) AS c FROM e GROUP BY 1),
+        h AS (SELECT c AS deg, count(*) AS nv FROM o GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM o),
+        cum AS (SELECT deg, sum(nv) OVER (ORDER BY deg) AS cum FROM h),
+        q(q_pct) AS (VALUES (50), (90), (99))
+        SELECT CAST(q.q_pct AS BIGINT) AS q_pct, CAST(min(cum.deg) AS BIGINT) AS degree
+        FROM q CROSS JOIN n CROSS JOIN cum
+        WHERE cum.cum >= (q.q_pct * n.n + 99) // 100
+        GROUP BY 1
+    """,
+    "events_top_users": """
+        WITH t AS (SELECT event_type, user_id, count(*) AS n_events
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY n_events DESC, user_id ASC)
+                            AS rank
+              FROM t)
+        SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
+    """,
     "graph_assortativity": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
         o AS (SELECT src AS v, count(*) AS od FROM e GROUP BY 1),

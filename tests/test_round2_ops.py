@@ -214,3 +214,39 @@ def test_betweenness_diamond_split_paths():
     assert got[2] == pytest.approx(0.5)
     assert got[3] == pytest.approx(0.0)
     assert got[0] == pytest.approx(0.0)
+
+
+def test_eccentricity_path_graph():
+    adj = {0: [1], 1: [2], 2: [3], 3: []}
+    got = (
+        analytics.eccentricity(edges_ds_for_graph(adj), sources=[0, 2, 3])
+        .to_pandas().set_index("vertex")
+    )
+    assert got.loc[0, "eccentricity"] == 3 and got.loc[0, "reachable"] == 4
+    assert got.loc[2, "eccentricity"] == 1 and got.loc[2, "reachable"] == 2
+    assert got.loc[3, "eccentricity"] == 0 and got.loc[3, "reachable"] == 1
+
+
+def test_degree_quantiles_exact():
+    # out-degrees: v0..v3 -> 1,1,2,4 (n=4): p50 -> need 2 -> deg 1;
+    # p90 -> need 4 -> deg 4; p99 -> need 4 -> deg 4
+    adj = {0: [9], 1: [9], 2: [8, 9], 3: [5, 6, 7, 8]}
+    t = analytics.degree_quantiles(edges_ds_for_graph(adj)).to_pandas()
+    got = dict(zip(t["q_pct"], t["degree"]))
+    assert got == {50: 1, 90: 4, 99: 4}
+
+
+def test_top_users_per_type():
+    import pyarrow as pa
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 6 + ["b"] * 3, pa.string()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 7, 7, 8], pa.int64()),
+    }))
+    from cassovary_ray import events as events_ops
+
+    got = events_ops.top_users_per_type(ev, k=2).to_pandas()
+    a = got[got.event_type == "a"].sort_values("rank")
+    assert list(a["user_id"]) == [1, 2] and list(a["n_events"]) == [3, 2]
+    b = got[got.event_type == "b"].sort_values("rank")
+    assert list(b["user_id"]) == [7, 8]
