@@ -462,6 +462,25 @@ def q_doc_tfidf(sf_dir: str):
     return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
 
 
+def q_graph_dynamic(sf_dir: str):
+    """Dynamic-graph mutation log → compacted edge set: seed the log with
+    the derived edges, remove every edge with (src+dst)%5==0, then add
+    (src, (dst+1)%GRAPH_MOD) for src%7==0 — latest-op-wins compaction
+    (one groupby, two max aggregates). Oracle is the same set algebra."""
+    from cassovary_ray.dynamic import DynamicDirectedGraph
+
+    base = derived_edges(sf_dir).materialize()
+    pdf = base.to_pandas()
+    rem = pdf[(pdf.src + pdf.dst) % 5 == 0]
+    add = pdf[pdf.src % 7 == 0].copy()
+    add["dst"] = (add["dst"] + 1) % GRAPH_MOD
+    add = add[add.src != add.dst]
+    g = DynamicDirectedGraph(base_edges=base)
+    g.remove_edges(list(zip(rem.src, rem.dst)))
+    g.add_edges(list(zip(add.src, add.dst)))
+    return g.edges()
+
+
 def q_graph_eccentricity(sf_dir: str):
     """Sampled-source eccentricity (max BFS depth + reachable count)."""
     return analytics.eccentricity(
@@ -570,6 +589,7 @@ QUERIES = {
     "graph_eccentricity": q_graph_eccentricity,
     "graph_degree_quantiles": q_graph_degree_quantiles,
     "events_top_users": q_events_top_users,
+    "graph_dynamic": q_graph_dynamic,
 }
 
 
@@ -791,6 +811,15 @@ ORACLE_SQL = {
         FROM q CROSS JOIN n CROSS JOIN cum
         WHERE cum.cum >= (q.q_pct * n.n + 99) // 100
         GROUP BY 1
+    """,
+    "graph_dynamic": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        rem AS (SELECT src, dst FROM e WHERE (src + dst) % 5 = 0),
+        adds AS (SELECT src, (dst + 1) % {GRAPH_MOD} AS dst FROM e
+                 WHERE src % 7 = 0 AND src <> (dst + 1) % {GRAPH_MOD})
+        (SELECT src, dst FROM e EXCEPT SELECT src, dst FROM rem)
+        UNION
+        SELECT src, dst FROM adds
     """,
     "events_top_users": """
         WITH t AS (SELECT event_type, user_id, count(*) AS n_events
