@@ -226,7 +226,10 @@ def run_scaling() -> dict:
             eps_hi.append(run(hi, e_hi)["edges_per_sec_per_iter"])
         return median(eps_lo), median(eps_hi), eps_lo, eps_hi
 
-    per_shard = 12_500_000  # constant work per shard (weak scaling)
+    # constant work per shard (weak scaling); override to probe how
+    # efficiency moves with per-shard work — at the 100 TB design point
+    # shards carry hundreds of MB and per-round fixed overhead amortizes
+    per_shard = int(os.environ.get("BENCH_PER_SHARD", "12500000"))
     out = {"metric": "pagerank_weak_scaling_efficiency", "unit": "ratio"}
 
     # below-the-contention-knee measurement (2→8 CPUs): the VM's shared

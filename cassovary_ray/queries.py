@@ -466,7 +466,13 @@ def q_graph_dynamic(sf_dir: str):
     """Dynamic-graph mutation log → compacted edge set: seed the log with
     the derived edges, remove every edge with (src+dst)%5==0, then add
     (src, (dst+1)%GRAPH_MOD) for src%7==0 — latest-op-wins compaction
-    (one groupby, two max aggregates). Oracle is the same set algebra."""
+    (one groupby, two max aggregates). Oracle is the same set algebra.
+
+    The driver-side pandas here only FABRICATES the mutation batches for the
+    gate (the add/remove API takes explicit pair batches by design — real
+    users bring their own mutations); the scale path is the parquet edge log
+    (``checkpoint_log``) + the one-shuffle compaction, which is what this
+    query actually exercises."""
     from cassovary_ray.dynamic import DynamicDirectedGraph
 
     base = derived_edges(sf_dir).materialize()
