@@ -1541,3 +1541,29 @@ def degree_quantiles(edges, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         "q_pct": pa.array(out_q, pa.int64()),
         "degree": pa.array(out_d, pa.int64()),
     })
+
+
+def neighbor_value_aggregate(edges, values, direction: str = "out",
+                             num_partitions: int | None = None):
+    """Per-vertex aggregate of a neighbor value column — the feature-
+    smoothing / message-passing primitive (mean = sum/count on the caller's
+    side; integer sums only, so it hash-matches a SQL oracle).
+
+    ``values`` is ``Dataset(vertex, value:int64)``. One hash join decorates
+    each edge with the neighbor's value, one pre-combinable groupby folds
+    per vertex. Returns ``(vertex, n_neighbors, sum_val, min_val, max_val)``
+    over vertices with ≥1 neighbor carrying a value.
+    """
+    key, nbr = ("src", "dst") if direction == "out" else ("dst", "src")
+    P = _auto_partitions(num_partitions)
+    vals = _join_safe(values.rename_columns({"vertex": "nv"}), P)
+    j = edges.materialize().join(vals, "inner", P, on=(nbr,), right_on=("nv",))
+    j = j.map_batches(
+        lambda t, k=key: pa.table({"vertex": t[k], "value": t["value"]}),
+        batch_format="pyarrow")
+    return j.groupby("vertex").aggregate(
+        Count(alias_name="n_neighbors"),
+        Sum("value", alias_name="sum_val"),
+        Min("value", alias_name="min_val"),
+        Max("value", alias_name="max_val"),
+    )

@@ -14,8 +14,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 US_PER_HOUR = 3_600_000_000
 
@@ -164,3 +165,68 @@ def top_users_per_type(events, k: int = 3):
         return g
 
     return totals.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+def funnel(events, steps: tuple[str, str, str] = ("view", "click", "purchase")):
+    """Per-user funnel progression: first ``steps[0]`` at t1, first
+    ``steps[1]`` strictly after t1, first ``steps[2]`` strictly after that —
+    returns ``(user_id, stages, first_step_us)`` for users who reached
+    stage ≥ 1 (stages ∈ {1,2,3}; strict μs ordering, ties don't advance).
+
+    Structure mirrors the SQL oracle: one min-groupby per step + a join
+    filtering to events after the previous step's time — no per-user Python,
+    each stage is one shuffle keyed on user_id (same key every stage, so a
+    co-partitioned engine moves nothing after the first)."""
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    ev = events.select_columns(["user_id", "event_type", "ts"]).map_batches(
+        prep, batch_format="pyarrow").materialize()
+
+    def first_after(prev, step):
+        """min ts of `step` events strictly after prev (user_id, t)."""
+        j = ev.join(prev, "inner", P, on=("user_id",))
+        j = j.map_batches(
+            lambda b, s=step: b.filter(
+                pc.and_(pc.equal(b["event_type"], s),
+                        pc.greater(b["ts_us"], b["t"]))
+            ).select(["user_id", "ts_us"]),
+            batch_format="pyarrow")
+        return _join_safe(
+            j.groupby("user_id").aggregate(Min("ts_us", alias_name="t")), P)
+
+    t1 = _join_safe(
+        ev.map_batches(
+            lambda b: b.filter(pc.equal(b["event_type"], steps[0]))
+            .select(["user_id", "ts_us"]),
+            batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("ts_us", alias_name="t")), P)
+    t2 = first_after(t1, steps[1])
+    t3 = first_after(t2, steps[2])
+
+    out = t1.join(t2.rename_columns({"t": "t2", "user_id": "u2"}),
+                  "left_outer", P, on=("user_id",), right_on=("u2",))
+    out = _join_safe(out, P)
+    out = out.join(t3.rename_columns({"t": "t3", "user_id": "u3"}),
+                   "left_outer", P, on=("user_id",), right_on=("u3",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t2v = b["t2"].to_numpy(zero_copy_only=False)
+        t3v = b["t3"].to_numpy(zero_copy_only=False)
+        stages = 1 + (~np.isnan(t2v.astype(np.float64))).astype(np.int64) \
+            + (~np.isnan(t3v.astype(np.float64))).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "stages": pa.array(stages, pa.int64()),
+            "first_step_us": b["t"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

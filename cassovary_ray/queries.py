@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+from ray.data.aggregate import Count
 
 from cassovary_ray import (
     analytics,
@@ -462,6 +463,29 @@ def q_doc_tfidf(sf_dir: str):
     return textops.tfidf_top_k(_table(sf_dir, "documents"), k=3)
 
 
+def q_graph_neighbor_agg(sf_dir: str):
+    """Out-neighbor value aggregation (message-passing primitive) with the
+    deterministic vertex feature value = vertex % 97."""
+    edges = derived_edges(sf_dir).materialize()
+    verts = (
+        edges.select_columns(["src"]).rename_columns({"src": "vertex"})
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "vertex"}))
+        .groupby("vertex").aggregate(Count(alias_name="_c"))
+        .select_columns(["vertex"])
+    )
+    def with_value(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        return t.append_column("value", pa.array(v % 97, pa.int64()))
+
+    values = verts.map_batches(with_value, batch_format="pyarrow")
+    return analytics.neighbor_value_aggregate(edges, values, direction="out")
+
+
+def q_events_funnel(sf_dir: str):
+    """view→click→purchase funnel progression per user."""
+    return events_ops.funnel(_table(sf_dir, "events"))
+
+
 def q_graph_dynamic(sf_dir: str):
     """Dynamic-graph mutation log → compacted edge set: seed the log with
     the derived edges, remove every edge with (src+dst)%5==0, then add
@@ -596,6 +620,8 @@ QUERIES = {
     "graph_degree_quantiles": q_graph_degree_quantiles,
     "events_top_users": q_events_top_users,
     "graph_dynamic": q_graph_dynamic,
+    "graph_neighbor_agg": q_graph_neighbor_agg,
+    "events_funnel": q_events_funnel,
 }
 
 
@@ -817,6 +843,32 @@ ORACLE_SQL = {
         FROM q CROSS JOIN n CROSS JOIN cum
         WHERE cum.cum >= (q.q_pct * n.n + 99) // 100
         GROUP BY 1
+    """,
+    "graph_neighbor_agg": f"""
+        WITH e AS ({DERIVED_EDGES_CTE})
+        SELECT e.src AS vertex, count(*) AS n_neighbors,
+               CAST(sum(e.dst % 97) AS BIGINT) AS sum_val,
+               CAST(min(e.dst % 97) AS BIGINT) AS min_val,
+               CAST(max(e.dst % 97) AS BIGINT) AS max_val
+        FROM e GROUP BY 1
+    """,
+    "events_funnel": """
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts_us) AS t2
+              FROM ev e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts_us) AS t3
+              FROM ev e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY 1)
+        SELECT v.user_id,
+               CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS stages,
+               v.t1 AS first_step_us
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
     """,
     "graph_dynamic": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),

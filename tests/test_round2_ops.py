@@ -250,3 +250,46 @@ def test_top_users_per_type():
     assert list(a["user_id"]) == [1, 2] and list(a["n_events"]) == [3, 2]
     b = got[got.event_type == "b"].sort_values("rank")
     assert list(b["user_id"]) == [7, 8]
+
+
+def test_neighbor_value_aggregate():
+    adj = {0: [1, 2], 1: [2], 2: []}
+    vals = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([0, 1, 2], pa.int64()),
+        "value": pa.array([10, 20, 30], pa.int64()),
+    }))
+    got = (
+        analytics.neighbor_value_aggregate(edges_ds_for_graph(adj), vals)
+        .to_pandas().set_index("vertex")
+    )
+    assert got.loc[0, "sum_val"] == 50 and got.loc[0, "n_neighbors"] == 2
+    assert got.loc[0, "min_val"] == 20 and got.loc[0, "max_val"] == 30
+    assert got.loc[1, "sum_val"] == 30
+    assert 2 not in got.index  # no out-neighbors
+
+
+def test_events_funnel_stages():
+    import pandas as pd
+
+    from cassovary_ray import events as events_ops
+
+    # u1: view->click->purchase; u2: view->click, purchase BEFORE click;
+    # u3: click only (never enters); u4: view & click same instant (tie
+    # does not advance)
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "purchase", 50), (2, "view", 100), (2, "click", 200),
+        (3, "click", 100),
+        (4, "view", 100), (4, "click", 100),
+    ]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    }))
+    got = events_ops.funnel(ev).to_pandas().set_index("user_id")
+    assert got.loc[1, "stages"] == 3
+    assert got.loc[2, "stages"] == 2  # purchase before click doesn't count
+    assert 3 not in got.index
+    assert got.loc[4, "stages"] == 1  # tie at same microsecond
+    assert got.loc[1, "first_step_us"] == 100
