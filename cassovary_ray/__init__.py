@@ -38,6 +38,12 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "Limits": ("cassovary_ray.traversal", "Limits"),
         "dfs": ("cassovary_ray.traversal", "dfs"),
         "bfs_exact": ("cassovary_ray.traversal", "bfs_exact"),
+        "DynamicDirectedGraph": ("cassovary_ray.dynamic", "DynamicDirectedGraph"),
+        "BipartiteGraph": ("cassovary_ray.bipartite", "BipartiteGraph"),
+        "decode_bmp": ("cassovary_ray.multimodal", "decode_bmp"),
+        "encode_bmp": ("cassovary_ray.multimodal", "encode_bmp"),
+        "decode_images": ("cassovary_ray.multimodal", "decode_images"),
+        "decode_audio": ("cassovary_ray.multimodal", "decode_audio"),
     }
     if name in public:
         import importlib

@@ -149,11 +149,52 @@ def vertex_count(edges) -> int:
     return srcs.union(dsts).groupby("vertex").aggregate(Count(alias_name="_c")).count()
 
 
-def distinct_edges(edges):
+def _batch_dedup(batch: pa.Table) -> pa.Table:
+    """Vectorized within-batch (src,dst) dedup: lexsort + first-occurrence
+    mask — the per-block combiner every distinct path shares."""
+    s = batch["src"].to_numpy(zero_copy_only=False)
+    d = batch["dst"].to_numpy(zero_copy_only=False)
+    if len(s) == 0:
+        return batch.select(["src", "dst"])
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    first = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    return pa.table({"src": pa.array(s[first], pa.int64()),
+                     "dst": pa.array(d[first], pa.int64())})
+
+
+def distinct_edges(edges, small_domain: bool = False,
+                   num_partitions: int | None = None):
     """Exact (src,dst) dedup — ``ListOfEdgesGraphReader.prepareEdges``
-    removeDuplicates semantics (``:176-189``)."""
+    removeDuplicates semantics (``:176-189``).
+
+    Two paths, both starting with a per-batch combiner (lexsort +
+    first-occurrence mask) so a high-multiplicity edge costs ≤ num_blocks
+    shuffle rows, never its raw count:
+
+    - default: hash-partitioned ``groupby(src, dst)`` — the 10^12-edge path
+      (distinct output can be arbitrarily large; only a keyed shuffle
+      bounds per-task memory);
+    - ``small_domain=True``: two-level combine tree (per-block dedup →
+      ``repartition(P)`` → dedup → single-block final dedup), correct ONLY
+      when the caller can bound the distinct-edge cardinality to what one
+      block holds (e.g. a modulus-bounded vertex domain). 5–6× faster than
+      the sort-based Aggregate at gate scale because it never sorts blocks
+      against each other — measured interleaved same-process: 0.8–1.1 s vs
+      5–7 s on 600k rows / 64 blocks at 32 CPUs.
+    """
+    combined = edges.map_batches(_batch_dedup, batch_format="pyarrow")
+    if small_domain:
+        P = _auto_partitions(num_partitions)
+        return (
+            combined.repartition(P)
+            .map_batches(_batch_dedup, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(_batch_dedup, batch_format="pyarrow", batch_size=None)
+        )
     return (
-        edges.groupby(["src", "dst"])
+        combined
+        .groupby(["src", "dst"])
         .aggregate(Count(alias_name="_c"))
         .select_columns(["src", "dst"])
     )

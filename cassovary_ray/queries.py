@@ -73,7 +73,10 @@ def derived_edges(sf_dir: str):
         return pa.table({"src": pa.array(src[keep], pa.int64()),
                          "dst": pa.array(dst[keep], pa.int64())})
 
-    return analytics.distinct_edges(li.map_batches(kernel, batch_format="pyarrow"))
+    # small_domain: the derived graph is modulus-bounded (≤ GRAPH_MOD² ≈ 1M
+    # distinct pairs), so the combine-tree distinct applies
+    return analytics.distinct_edges(
+        li.map_batches(kernel, batch_format="pyarrow"), small_domain=True)
 
 
 def _table(sf_dir: str, name: str):

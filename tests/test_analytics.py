@@ -51,6 +51,23 @@ def test_distinct_edges_dedup():
     assert distinct_edges(e).count() == 3
 
 
+def test_distinct_edges_small_domain_matches_groupby_path():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 50, 5000)
+    dst = rng.integers(0, 50, 5000)
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(8)
+    want = set(map(tuple, np.unique(np.c_[src, dst], axis=0)))
+    for P in (1, 4):
+        df = distinct_edges(e, small_domain=True, num_partitions=P).to_pandas()
+        assert set(zip(df.src, df.dst)) == want
+        assert len(df) == len(want)
+
+
 def test_mutual_edges():
     # g7 reciprocal pairs by hand: 10↔11, 11↔14, 12↔13, 15↔16 → 4
     assert mutual_edge_count(edges_ds_for_graph(TOY_GRAPHS["g2_mutual"])) == 1
