@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 US_PER_HOUR = 3_600_000_000
 
@@ -165,6 +165,52 @@ def top_users_per_type(events, k: int = 3):
         return g
 
     return totals.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+def hourly_retention(events):
+    """``(hour, active, retained)`` — distinct users active in hour ``h``,
+    and how many of them are also active in hour ``h+1``.
+
+    Join-free tag-combine shape (scale note: retention is usually written as
+    a self-join of the distinct (user, hour) table on ``hour+1`` — a second
+    all-to-all over the same data): each event emits TWO tagged rows,
+    ``(user, hour, cur=1)`` and ``(user, hour-1, nxt=1)``, pre-deduped
+    within the batch, then ONE ``groupby(user, hour).max`` collapses them;
+    a row with ``cur=1`` is an active (user, hour) pair and its ``nxt`` bit
+    says whether the same user appears in the next hour. Max-aggregation
+    makes cross-batch duplicates harmless (no distinct pass needed). The
+    final per-hour rollup groups on the hour key alone (tiny)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        hour = ts // US_PER_HOUR
+        # within-batch dedup of (user, hour) before emitting tags
+        key = np.unique(np.c_[uid, hour], axis=0)
+        u, h = key[:, 0], key[:, 1]
+        n = len(u)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([u, u]), pa.int64()),
+            "hour": pa.array(np.concatenate([h, h - 1]), pa.int64()),
+            "cur": pa.array(np.r_[np.ones(n, np.int64), np.zeros(n, np.int64)]),
+            "nxt": pa.array(np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)]),
+        })
+
+    tagged = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Max("cur", alias_name="cur"), Max("nxt", alias_name="nxt"))
+    )
+
+    def active_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["cur"], 1))
+        return pa.table({"hour": b["hour"], "retained": b["nxt"]})
+
+    return (
+        tagged.map_batches(active_rows, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="active"), Sum("retained", alias_name="retained"))
+    )
 
 
 def funnel(events, steps: tuple[str, str, str] = ("view", "click", "purchase")):

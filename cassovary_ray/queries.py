@@ -405,6 +405,10 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_events_retention(sf_dir: str):
+    return events_ops.hourly_retention(_table(sf_dir, "events"))
+
+
 def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
@@ -625,6 +629,7 @@ QUERIES = {
     "graph_dynamic": q_graph_dynamic,
     "graph_neighbor_agg": q_graph_neighbor_agg,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 
@@ -775,6 +780,17 @@ ORACLE_SQL = {
         SELECT user_id, min(ts_us) AS session_start_us,
                count(*) AS n_events, CAST(sum(vmilli) AS BIGINT) AS value_milli
         FROM s GROUP BY user_id, session
+    """,
+    "events_retention": """
+        WITH uh AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 3600000000 AS hour
+                    FROM events)
+        SELECT a.hour, count(*) AS active,
+               CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS retained
+        FROM uh a LEFT JOIN uh b
+          ON b.user_id = a.user_id AND b.hour = a.hour + 1
+        GROUP BY a.hour
     """,
     "events_type_totals": """
         SELECT event_type, count(*) AS n,

@@ -293,3 +293,25 @@ def test_events_funnel_stages():
     assert 3 not in got.index
     assert got.loc[4, "stages"] == 1  # tie at same microsecond
     assert got.loc[1, "first_step_us"] == 100
+
+
+def test_events_hourly_retention():
+    from cassovary_ray import events as events_ops
+
+    H = 3_600_000_000  # us per hour
+    # u1 active hours {0,1,3}; u2 active {0}; u3 active {1,2}
+    rows = [(1, 0), (1, 10), (1, H), (1, 3 * H),
+            (2, 100), (3, H + 5), (3, 2 * H)]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })).repartition(3)
+    got = (events_ops.hourly_retention(ev).to_pandas()
+           .set_index("hour").sort_index())
+    # hour0: active {1,2}, retained {1}; hour1: active {1,3}, retained {3};
+    # hour2: active {3}, retained {}; hour3: active {1}, retained {}
+    assert got.loc[0].tolist() == [2, 1]
+    assert got.loc[1].tolist() == [2, 1]
+    assert got.loc[2].tolist() == [1, 0]
+    assert got.loc[3].tolist() == [1, 0]
+    assert set(got.index) == {0, 1, 2, 3}
