@@ -80,9 +80,10 @@ class _Scatter:
     """
 
     __slots__ = ("num_parts", "src_pos", "seg_starts", "uniq_dst", "part_ptr",
-                 "out_deg", "n_edges", "_vals", "_sums")
+                 "out_deg", "n_edges", "_vals", "_sums", "w_sorted", "w_out")
 
-    def __init__(self, src: np.ndarray, dst: np.ndarray, verts: np.ndarray, num_parts: int):
+    def __init__(self, src: np.ndarray, dst: np.ndarray, verts: np.ndarray,
+                 num_parts: int, weights: np.ndarray | None = None):
         self.num_parts = num_parts
         self.n_edges = len(src)
         src_pos_all = np.searchsorted(verts, src).astype(np.int32)
@@ -91,6 +92,16 @@ class _Scatter:
         order = np.lexsort((dst, dpart))
         dst_sorted = dst[order]
         self.src_pos = src_pos_all[order]
+        # optional per-edge weights (weighted layouts): kept in scatter order,
+        # plus the weighted out-degree Σw per owned vertex. Sum-type scatters
+        # (coef_scatter_sums) become weighted; segment_mins stays unweighted.
+        self.w_sorted = self.w_out = None
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) and w.min() <= 0:
+                raise ValueError("edge weights must be strictly positive")
+            self.w_sorted = w[order]
+            self.w_out = np.bincount(src_pos_all, weights=w, minlength=len(verts))
         if len(dst_sorted):
             new_seg = np.r_[True, dst_sorted[1:] != dst_sorted[:-1]]
         else:
@@ -111,10 +122,13 @@ class _Scatter:
         return np.add.reduceat(per_edge_vals, self.seg_starts)
 
     def coef_scatter_sums(self, coef: np.ndarray) -> np.ndarray:
-        """sums per uniq dst of coef[src] — buffer-reusing hot path."""
+        """sums per uniq dst of coef[src] (× edge weight when the layout is
+        weighted) — buffer-reusing hot path."""
         if len(self.seg_starts) == 0:
             return self._sums
         np.take(coef, self.src_pos, out=self._vals)
+        if self.w_sorted is not None:
+            np.multiply(self._vals, self.w_sorted, out=self._vals)
         np.add.reduceat(self._vals, self.seg_starts, out=self._sums)
         return self._sums
 
@@ -195,22 +209,22 @@ class GraphShard:
         vt = read_partition(layout_dir, "vertices", part, ["vertex"])
         # vertex files carry per-batch (not global) uniques — dedup here
         self.verts = np.unique(vt["vertex"].to_numpy(zero_copy_only=False))
-        et = read_partition(layout_dir, "edges", part, ["src", "dst"])
-        self.fwd = _Scatter(
-            et["src"].to_numpy(zero_copy_only=False),
-            et["dst"].to_numpy(zero_copy_only=False),
-            self.verts,
-            num_parts,
-        )
-        self.rev = None
-        if reverse_layout_dir is not None:
-            rt = read_partition(reverse_layout_dir, "edges", part, ["src", "dst"])
-            self.rev = _Scatter(
-                rt["src"].to_numpy(zero_copy_only=False),
-                rt["dst"].to_numpy(zero_copy_only=False),
+
+        def load_scatter(ldir: str) -> _Scatter:
+            weighted = bool(read_layout_manifest(ldir).get("weighted", False))
+            cols = ["src", "dst"] + (["weight"] if weighted else [])
+            et = read_partition(ldir, "edges", part, cols)
+            return _Scatter(
+                et["src"].to_numpy(zero_copy_only=False),
+                et["dst"].to_numpy(zero_copy_only=False),
                 self.verts,
                 num_parts,
+                weights=et["weight"].to_numpy(zero_copy_only=False)
+                if weighted else None,
             )
+
+        self.fwd = load_scatter(layout_dir)
+        self.rev = load_scatter(reverse_layout_dir) if reverse_layout_dir else None
         # vertex state vectors, keyed by name ("rank", "comp", "label", ...)
         self.state: dict[str, np.ndarray] = {}
         self._walkers = None
@@ -250,7 +264,12 @@ class GraphShard:
         lets every receiver reconstruct the global dangling sum locally, so
         no driver-side scalar barrier exists between rounds."""
         rank = self.state["rank"]
-        coef = np.where(self.fwd.out_deg > 0, damping * rank / np.maximum(self.fwd.out_deg, 1), 0.0)
+        # weighted layout: transition prob of edge e = w(e)/Σw(out-edges),
+        # so the coefficient divides by the weighted out-degree and
+        # coef_scatter_sums multiplies each edge's contribution by w(e)
+        denom = self.fwd.w_out if self.fwd.w_out is not None else self.fwd.out_deg
+        coef = np.where(self.fwd.out_deg > 0,
+                        damping * rank / np.where(self.fwd.out_deg > 0, denom, 1.0), 0.0)
         sums = self.fwd.coef_scatter_sums(coef)
         dangle = float(rank[self.fwd.out_deg == 0].sum())
         return (self.fwd.per_part(sums, with_ids), dangle)

@@ -59,6 +59,7 @@ def build_edge_layout(
     dedup: bool = False,
     drop_self_loops: bool = False,
     reverse: bool = False,
+    weighted: bool = False,
 ) -> dict:
     """Write the partitioned graph layout and return its manifest.
 
@@ -76,6 +77,12 @@ def build_edge_layout(
         drop_self_loops: drop src == dst rows.
         reverse: swap src/dst before anything else (the reference's
             ``StoredGraphDir.OnlyIn`` view of a graph — SURVEY §1.1).
+        weighted: ``edges_ds`` carries a strictly-positive ``weight: double``
+            column, stored alongside (src, dst) and loaded into the CSR
+            shards (weighted PageRank / weighted sum-scatters). Beyond the
+            reference (Cassovary graphs are unweighted); not combinable with
+            ``undirected``/``dedup`` (collapsing duplicates would need a
+            weight-combine policy the caller should apply upstream instead).
     """
     import shutil
 
@@ -87,10 +94,22 @@ def build_edge_layout(
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(layout_dir, exist_ok=True)
 
+    if weighted and (undirected or dedup):
+        raise ValueError("weighted layouts don't support undirected/dedup; "
+                         "combine weights upstream")
+
     ds = edges_ds
-    if reverse:
+    if weighted:
         ds = ds.map_batches(
-            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}), batch_format="pyarrow"
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                                "weight": b["weight"].cast(pa.float64())}),
+            batch_format="pyarrow",
+        )
+    if reverse:
+        cols = (lambda b: {"src": b["dst"], "dst": b["src"], "weight": b["weight"]}) \
+            if weighted else (lambda b: {"src": b["dst"], "dst": b["src"]})
+        ds = ds.map_batches(
+            lambda b: pa.table(cols(b)), batch_format="pyarrow"
         )
     if drop_self_loops:
         ds = ds.map_batches(_drop_self_loops, batch_format="pyarrow")
@@ -107,7 +126,8 @@ def build_edge_layout(
     # churn). After the sort each dir holds a handful of large files.
     ds = ds.sort("part")
     ds.write_parquet(edges_dir, partition_cols=["part"], min_rows_per_file=1 << 21)
-    _ensure_nonempty(edges_dir, ["src", "dst"])
+    _ensure_nonempty(edges_dir, ["src", "dst"],
+                     float_cols=["weight"] if weighted else None)
 
     # vertex universe = src ∪ dst ∪ explicit, hash-partitioned. No global
     # distinct: each batch emits its LOCAL unique endpoints (per-batch
@@ -151,6 +171,7 @@ def build_edge_layout(
         "dedup": dedup,
         "drop_self_loops": drop_self_loops,
         "reverse": reverse,
+        "weighted": weighted,
     }
     tmp = os.path.join(layout_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
@@ -159,7 +180,8 @@ def build_edge_layout(
     return manifest
 
 
-def _ensure_nonempty(table_dir: str, int_cols: list[str]) -> None:
+def _ensure_nonempty(table_dir: str, int_cols: list[str],
+                     float_cols: list[str] | None = None) -> None:
     """A Dataset with zero rows writes no files at all; materialize an empty
     hive partition so readers see a valid (empty) table instead of ENOENT."""
     import pyarrow.parquet as pq
@@ -167,7 +189,9 @@ def _ensure_nonempty(table_dir: str, int_cols: list[str]) -> None:
     if not os.path.isdir(table_dir) or not os.listdir(table_dir):
         part_dir = os.path.join(table_dir, "part=0")
         os.makedirs(part_dir, exist_ok=True)
-        empty = pa.table({c: pa.array([], pa.int64()) for c in int_cols})
+        cols = {c: pa.array([], pa.int64()) for c in int_cols}
+        cols.update({c: pa.array([], pa.float64()) for c in (float_cols or [])})
+        empty = pa.table(cols)
         pq.write_table(empty, os.path.join(part_dir, "empty.parquet"))
 
 

@@ -73,6 +73,42 @@ def pagerank_sql(edges_cte: str, iterations: int = 10, damping: float = DAMPING)
     return ",\n".join(parts) + f"\nSELECT vertex, rank FROM r{iterations}"
 
 
+def pagerank_weighted_sql(edges_cte: str, iterations: int = 10,
+                          damping: float = DAMPING) -> str:
+    """Unrolled WEIGHTED PageRank: ``edges_cte`` yields (src, dst, w) with
+    w > 0; a vertex's rank splits across out-edges proportionally to w.
+    Returns (vertex, rank)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT v.vertex, count(e2.src) AS outdeg,"
+        "      coalesce(sum(e2.w), 0.0) AS wout"
+        "      FROM v LEFT JOIN e e2 ON e2.src = v.vertex GROUP BY v.vertex)",
+        "n AS (SELECT count(*) AS cnt FROM v)",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0 / n.cnt AS rank FROM v, n)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dangle"
+            f"        FROM r{p} r JOIN od ON od.vertex = r.vertex WHERE od.outdeg = 0)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f"        sum(p.rank * e.w / od.wout) AS contrib"
+            f"        FROM e JOIN r{p} p ON p.vertex = e.src"
+            f"        JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex,"
+            f"  (1.0 - {damping}) / n.cnt + {damping} * d{k}.dangle / n.cnt"
+            f"  + {damping} * coalesce(c{k}.contrib, 0.0) AS rank"
+            f"  FROM v CROSS JOIN n CROSS JOIN d{k}"
+            f"  LEFT JOIN c{k} ON c{k}.vertex = v.vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, rank FROM r{iterations}"
+
+
 def wcc_sql(edges_cte: str) -> str:
     """Exact WCC fixpoint: component = min vertex id in the weak component."""
     return f"""

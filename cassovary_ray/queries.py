@@ -79,6 +79,47 @@ def derived_edges(sf_dir: str):
         li.map_batches(kernel, batch_format="pyarrow"), small_domain=True)
 
 
+DERIVED_WEDGES_CTE = f"""
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+    FROM (SELECT (l_orderkey * 13 + l_linenumber) % {GRAPH_MOD} AS src,
+                 (l_partkey * 31 + l_suppkey * 7) % {GRAPH_MOD} AS dst
+          FROM lineitem)
+    WHERE src <> dst GROUP BY src, dst
+"""
+
+
+def derived_weighted_edges(sf_dir: str):
+    """The derived edge table with multiplicity weights: w(src, dst) = how
+    many lineitem rows map to the pair — the natural web-graph analogue of
+    duplicate links between two pages (matches ``DERIVED_WEDGES_CTE``)."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        src = (ok * 13 + ln) % GRAPH_MOD
+        dst = (pk * 31 + sk * 7) % GRAPH_MOD
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "weight": b["w"].cast(pa.float64())})
+
+    return (
+        li.map_batches(kernel, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="w"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _table(sf_dir: str, name: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -105,8 +146,10 @@ def _ensure_layout(sf_dir: str, variant: str) -> str:
         "directed": {},
         "reversed": {"reverse": True},
         "undirected": {"undirected": True, "dedup": True},
+        "weighted": {"weighted": True},
     }[variant]
-    build_edge_layout(derived_edges(sf_dir), d, ENGINE_PARTS, **kwargs)
+    src = derived_weighted_edges if variant == "weighted" else derived_edges
+    build_edge_layout(src(sf_dir), d, ENGINE_PARTS, **kwargs)
     return d
 
 
@@ -169,6 +212,14 @@ def q_graph_pagerank(sf_dir: str):
     # iteration count pinned (tolerance=0 disables early stop) so the
     # unrolled-CTE SQL oracle runs the identical 10 rounds
     lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.pagerank(max_iterations=10, tolerance=0.0)
+
+
+def q_graph_pagerank_weighted(sf_dir: str):
+    # same pinned-10-round protocol as graph_pagerank, over the
+    # multiplicity-weighted derived graph
+    lay = _ensure_layout(sf_dir, "weighted")
     with ShardedGraph(lay) as g:
         return g.pagerank(max_iterations=10, tolerance=0.0)
 
@@ -579,6 +630,7 @@ QUERIES = {
     "graph_cosine_top3": q_graph_cosine_top3,
     "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "graph_ppr": q_graph_ppr,
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
@@ -693,6 +745,8 @@ ORACLE_SQL = {
     "graph_local_clustering": oracles.local_clustering_sql(DERIVED_EDGES_CTE),
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
+        DERIVED_WEDGES_CTE, iterations=10),
     "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),

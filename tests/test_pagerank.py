@@ -253,3 +253,70 @@ def test_ppr_unknown_seed_raises(tmp_dir):
 def test_ppr_empty_seeds_raises(tmp_dir):
     with pytest.raises(ValueError, match="at least one seed"):
         run_ppr(TOY_GRAPHS["g6"], tmp_dir, {}, max_iterations=2)
+
+
+# -- weighted PageRank (beyond the reference; multiplicity-weighted edges) --
+
+def _weighted_layout(adj, weights, tmp_dir, num_parts=3):
+    """weights: {(src, dst): w} over adj's edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cassovary_ray.layout import build_edge_layout
+
+    src, dst, w = [], [], []
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            src.append(u); dst.append(v); w.append(weights[(u, v)])
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "weight": pa.array(np.asarray(w, np.float64), pa.float64()),
+    }))
+    lay = os.path.join(tmp_dir, "wlayout")
+    build_edge_layout(eds, lay, num_parts, weighted=True)
+    return lay
+
+
+def test_weighted_unit_weights_match_unweighted(tmp_dir):
+    """All weights 1.0 → identical to the unweighted g6 golden vector."""
+    adj = TOY_GRAPHS["g6"]
+    weights = {(u, v): 1.0 for u, nbrs in adj.items() for v in nbrs}
+    lay = _weighted_layout(adj, weights, tmp_dir)
+    with ShardedGraph(lay) as g:
+        df = g.pagerank(max_iterations=None).to_pandas()
+    got = state_by_node(df, adj, "rank")
+    for n, want in G6_GOLDEN.items():
+        assert got[n] == pytest.approx(want, abs=5e-5)
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_weighted_pagerank_vs_numpy_reference(tmp_dir, num_parts):
+    """Non-uniform weights vs an independent dense numpy power iteration
+    (same dangling + damping semantics)."""
+    import numpy as np
+
+    adj = {0: [1, 2], 1: [2], 2: [0, 3], 3: []}  # 3 dangling
+    weights = {(0, 1): 3.0, (0, 2): 1.0, (1, 2): 2.5, (2, 0): 0.5, (2, 3): 1.5}
+    lay = _weighted_layout(adj, weights, tmp_dir, num_parts)
+    iters = 12
+    with ShardedGraph(lay) as g:
+        df = g.pagerank(max_iterations=iters, tolerance=0.0).to_pandas()
+    got = state_by_node(df, adj, "rank")
+
+    n, d = 4, 0.85
+    W = np.zeros((n, n))
+    for (u, v), w in weights.items():
+        W[u, v] = w
+    wout = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangle = r[wout == 0].sum()
+        contrib = np.zeros(n)
+        for u in range(n):
+            if wout[u] > 0:
+                contrib += d * r[u] * W[u] / wout[u]
+        r = (1 - d) / n + d * dangle / n + contrib
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
