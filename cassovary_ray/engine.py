@@ -937,6 +937,55 @@ class GraphShard:
         if auth_sum > 0:
             self.state["auth"] = self.state["auth"] / auth_sum
 
+    # -- SALSA (Lempel & Moran 2000) ----------------------------------------
+    # The stochastic HITS variant behind Twitter's Who-To-Follow, the service
+    # Cassovary was built for (reference README.md:9-12 names the use case;
+    # the reference itself ships only HITS + the bipartite IterativeLink-
+    # Analyzer, so this is adjacent new surface, not a port). One round:
+    #   hub(j)  = Σ_{(j,i)∈E} auth(i)/indeg(i)   (backward step on in-edges)
+    #   auth(i) = Σ_{(j,i)∈E} hub(j)/outdeg(j)   (forward step on out-edges)
+    # Both vectors are L1-normalized each half-step; the normalizer is folded
+    # into the NEXT scatter's coefficient, so each half-step costs exactly one
+    # exchange and one tiny driver scalar (same BSP shape as HITS).
+
+    def salsa_init(self, n_total: int) -> None:
+        self.state["salsa_auth"] = np.full(len(self.verts), 1.0 / n_total)
+        self.state["salsa_hub"] = np.zeros(len(self.verts))
+
+    def salsa_hub_scatter(self, auth_sum: float, first_round: bool):
+        indeg = self.rev.out_deg  # reverse layout's out-degree == in-degree
+        a = self.state["salsa_auth"]
+        norm = auth_sum if auth_sum > 0 else 1.0
+        coef = np.where(indeg > 0, a / norm / np.maximum(indeg, 1), 0.0)
+        return self.rev.per_part(self.rev.coef_scatter_sums(coef), first_round)
+
+    def salsa_hub_apply(self, *sender_payloads) -> float:
+        self._sum_apply("rev", "salsa_hub_raw", sender_payloads)
+        return float(self.state["salsa_hub_raw"].sum())
+
+    def salsa_auth_scatter(self, hub_sum: float, first_round: bool):
+        outdeg = self.fwd.out_deg
+        h = self.state["salsa_hub_raw"]
+        norm = hub_sum if hub_sum > 0 else 1.0
+        coef = np.where(outdeg > 0, h / norm / np.maximum(outdeg, 1), 0.0)
+        return self.fwd.per_part(self.fwd.coef_scatter_sums(coef), first_round)
+
+    def salsa_auth_apply(self, *sender_payloads) -> float:
+        self._sum_apply("fwd", "salsa_auth_raw", sender_payloads)
+        return float(self.state["salsa_auth_raw"].sum())
+
+    def salsa_finish_round(self, hub_sum: float, auth_sum: float) -> float:
+        """Store the L1-normalized vectors; T1 error on the auth side."""
+        old = self.state["salsa_auth"]
+        hub = self.state.pop("salsa_hub_raw")
+        auth = self.state.pop("salsa_auth_raw")
+        if hub_sum > 0:
+            hub = hub / hub_sum
+        if auth_sum > 0:
+            auth = auth / auth_sum
+        self.state["salsa_hub"], self.state["salsa_auth"] = hub, auth
+        return float(np.abs(auth - old).sum())
+
 
 # ---------------------------------------------------------------------------
 # Driver-side engine
@@ -1500,6 +1549,44 @@ class ShardedGraph:
         return (
             self._state_dataset("hubs", "hubs"),
             self._state_dataset("auth", "authorities"),
+            iteration,
+        )
+
+    def salsa(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8):
+        """SALSA hub/authority scores (see the shard-method block for the
+        recurrence and the Cassovary/Who-To-Follow lineage). Both vectors are
+        L1-normalized per half-step (the normalizer rides into the next
+        scatter coefficient — no extra exchange); error = T1 on authorities.
+        Requires a reverse layout. Returns (hubs, authorities, iterations)."""
+        if not self.has_reverse:
+            raise ValueError("salsa() needs a ShardedGraph built with reverse_layout_dir")
+        ray.get([s.salsa_init.remote(self.n_vertices) for s in self.shards])
+        auth_sum = 1.0  # init vector sums to exactly 1
+        iteration, error, first = 0, 100.0 + tolerance, True
+        while not ((max_iterations is not None and iteration >= max_iterations)
+                   or error <= tolerance):
+            t0 = time.perf_counter()
+            hub_sums = self._exchange("salsa_hub_scatter", "salsa_hub_apply",
+                                      first, scatter_args=(auth_sum,))
+            hub_sum = sum(hub_sums)
+            auth_sums = self._exchange("salsa_auth_scatter", "salsa_auth_apply",
+                                       first, scatter_args=(hub_sum,))
+            auth_sum = sum(auth_sums)
+            first = False
+            errs = ray.get([s.salsa_finish_round.remote(hub_sum, auth_sum)
+                            for s in self.shards])
+            error = sum(errs)
+            # after finish_round the stored vectors are normalized — the next
+            # hub scatter must not re-divide
+            auth_sum = 1.0 if auth_sum > 0 else 0.0
+            iteration += 1
+            self.metrics.append(
+                RoundMetrics(iteration, error, time.perf_counter() - t0,
+                             {"algo": "salsa"})
+            )
+        return (
+            self._state_dataset("salsa_hub", "hubs"),
+            self._state_dataset("salsa_auth", "authorities"),
             iteration,
         )
 

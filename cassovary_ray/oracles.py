@@ -307,6 +307,49 @@ def hits_sql(edges_cte: str, iterations: int = 8) -> str:
     """
 
 
+def salsa_sql(edges_cte: str, iterations: int = 8) -> str:
+    """Unrolled SALSA (see ``engine.GraphShard`` SALSA block): per round
+    hub(j) = Σ auth(i)/indeg(i) over in-edges, auth(i) = Σ hub(j)/outdeg(j)
+    over out-edges, each vector L1-normalized per half-step. Returns
+    (vertex, hubs, authorities) after ``iterations`` rounds."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT src AS vertex, count(*) AS outdeg FROM e GROUP BY 1)",
+        "idg AS MATERIALIZED (SELECT dst AS vertex, count(*) AS indeg FROM e GROUP BY 1)",
+        "n AS (SELECT count(*) AS cnt FROM v)",
+        "a0 AS MATERIALIZED (SELECT vertex, 1.0 / n.cnt AS a FROM v, n)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"hraw{k} AS MATERIALIZED (SELECT e.src AS vertex,"
+            f"  sum(a.a / idg.indeg) AS h"
+            f"  FROM e JOIN a{p} a ON a.vertex = e.dst"
+            f"  JOIN idg ON idg.vertex = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.vertex,"
+            f"  coalesce(hr.h, 0.0) / nullif((SELECT sum(h) FROM hraw{k}), 0.0) AS h"
+            f"  FROM v LEFT JOIN hraw{k} hr ON hr.vertex = v.vertex)"
+        )
+        parts.append(
+            f"araw{k} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f"  sum(h.h / od.outdeg) AS a"
+            f"  FROM e JOIN h{k} h ON h.vertex = e.src"
+            f"  JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.vertex,"
+            f"  coalesce(ar.a, 0.0) / nullif((SELECT sum(a) FROM araw{k}), 0.0) AS a"
+            f"  FROM v LEFT JOIN araw{k} ar ON ar.vertex = v.vertex)"
+        )
+    k = iterations
+    return (",\n".join(parts)
+            + f"\nSELECT h.vertex, h.h AS hubs, a.a AS authorities"
+            f"\nFROM h{k} h JOIN a{k} a ON a.vertex = h.vertex")
+
+
 def bfs_sql(edges_cte: str, source: int, max_depth: int) -> str:
     """Single-source BFS first-visit depths, depth <= max_depth."""
     return f"""

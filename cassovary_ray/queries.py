@@ -247,6 +247,17 @@ def q_graph_hits(sf_dir: str):
     return h.merge(a, on="vertex")
 
 
+def q_graph_salsa(sf_dir: str):
+    fwd = _ensure_layout(sf_dir, "directed")
+    rev = _ensure_layout(sf_dir, "reversed")
+    with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
+        # pinned iterations (see q_graph_pagerank) for the unrolled oracle
+        hubs, auth, _ = g.salsa(max_iterations=8, tolerance=0.0)
+        h = hubs.to_pandas()
+        a = auth.to_pandas()
+    return h.merge(a, on="vertex")
+
+
 def q_graph_walk_visits(sf_dir: str):
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
@@ -635,6 +646,7 @@ QUERIES = {
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
     "graph_hits": q_graph_hits,
+    "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
     "graph_bfs": q_graph_bfs,
     "graph_adjacency_stats": q_graph_adjacency_stats,
@@ -751,6 +763,7 @@ ORACLE_SQL = {
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
+    "graph_salsa": oracles.salsa_sql(DERIVED_EDGES_CTE, iterations=8),
     # knn_lsh: projection planes are a pure function of (n_planes=8,
     # seed=1234, dim=64 — the embeddings schema) embedded as literals
     "knn_lsh": oracles.lsh_knn_sql(_ann_planes(8, 1234, 64), n_queries=10, k=5),

@@ -54,3 +54,52 @@ def test_g6_onlyin_swaps_hubs_and_auth(tmp_dir):
     for n in hubs:
         assert hubs[n] == pytest.approx(AUTH_NORM[n], abs=5e-4)
         assert auth[n] == pytest.approx(HUBS_NORM[n], abs=5e-4)
+
+
+# -- SALSA (engine.GraphShard SALSA block; numpy cross-check) ---------------
+
+def _salsa_numpy(adj, iterations):
+    import numpy as np
+
+    verts = sorted({u for u in adj} | {v for nb in adj.values() for v in nb})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    E = [(idx[u], idx[v]) for u, nb in adj.items() for v in nb]
+    outdeg = np.zeros(n); indeg = np.zeros(n)
+    for u, v in E:
+        outdeg[u] += 1; indeg[v] += 1
+    a = np.full(n, 1.0 / n)
+    h = np.zeros(n)
+    for _ in range(iterations):
+        h = np.zeros(n)
+        for u, v in E:
+            h[u] += a[v] / indeg[v]
+        if h.sum() > 0:
+            h = h / h.sum()
+        a = np.zeros(n)
+        for u, v in E:
+            a[v] += h[u] / outdeg[u]
+        if a.sum() > 0:
+            a = a / a.sum()
+    return verts, h, a
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_salsa_matches_numpy_reference(tmp_dir, num_parts):
+    adj = TOY_GRAPHS["g6"]
+    lay = os.path.join(tmp_dir, "sfwd")
+    rev = os.path.join(tmp_dir, "srev")
+    build_toy_layout(adj, lay, num_parts)
+    build_toy_layout(adj, rev, num_parts, reverse=True)
+    with ShardedGraph(lay, reverse_layout_dir=rev) as g:
+        hubs_ds, auth_ds, iters = g.salsa(max_iterations=8, tolerance=0.0)
+        hubs = state_by_node(hubs_ds.to_pandas(), adj, "hubs")
+        auth = state_by_node(auth_ds.to_pandas(), adj, "authorities")
+    assert iters == 8
+    verts, h, a = _salsa_numpy(adj, 8)
+    for i, v in enumerate(verts):
+        assert hubs[v] == pytest.approx(h[i], abs=1e-12)
+        assert auth[v] == pytest.approx(a[i], abs=1e-12)
+    # both sides are probability vectors
+    assert sum(hubs.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(auth.values()) == pytest.approx(1.0, abs=1e-9)
