@@ -565,7 +565,8 @@ class GraphShard:
 
     def walk_seed(self, walker_ids: np.ndarray, starts: np.ndarray,
                   track_prev: bool = False, track_paths: bool = False,
-                  filter_home_by_num_edges: bool = False) -> int:
+                  filter_home_by_num_edges: bool = False,
+                  track_trace: bool = False) -> int:
         """Accept the walkers whose start vertex this shard owns.
 
         Walkers whose start vertex does not exist in the graph are dropped
@@ -575,7 +576,12 @@ class GraphShard:
         self.walk_build()
         self._walk_track_prev = track_prev
         self._walk_track_paths = track_paths
+        self._walk_track_trace = track_trace
         self._walk_filter_home = filter_home_by_num_edges
+        # trace = (walker_ids, step, vertices) array triples, appended per
+        # step — vectorized (no per-row work), distributed (each shard keeps
+        # only the steps walkers took while ON it)
+        self._walk_trace: list[tuple[np.ndarray, int, np.ndarray]] = []
         self._walk_prev_pairs: list[tuple[np.ndarray, np.ndarray]] = []
         self._walk_path_counts: dict[tuple[int, tuple], int] = {}
         self._walk_homes = frozenset(int(v) for v in np.unique(starts))
@@ -591,9 +597,34 @@ class GraphShard:
             ok = np.zeros(len(st), dtype=bool)
         wid, st = wid[ok], st[ok]
         n_mine = len(wid)
+        self._walk_replica = 0
         self._walkers = (wid.copy(), st.copy(), st.copy(),
                          np.full(n_mine, -1, np.int64), [()] * n_mine)
         return int((~ok).sum())
+
+    def walk_seed_all(self, replica: int) -> int:
+        """Seed one walker at EVERY owned vertex (shard-local — no
+        driver-side vertex list, the scale requirement for corpus-wide
+        walk generation). walker_id = start vertex; ``replica`` tags the
+        sweep in the trace and is added to the RNG seed by the driver.
+        Paths/prev tracking are off (corpus mode); hub pruning, when
+        requested, applies uniformly (every vertex is a home, so the
+        home exemption would disable it entirely)."""
+        self.walk_build()
+        self._walk_track_prev = False
+        self._walk_track_paths = False
+        self._walk_track_trace = True
+        self._walk_filter_home = True
+        self._walk_replica = replica
+        if replica == 0:
+            self._walk_trace = []
+        self._walk_prev_pairs = []
+        self._walk_path_counts = {}
+        self._walk_homes = frozenset()
+        self._walk_homes_arr = np.empty(0, np.int64)
+        self._walkers = (self.verts.copy(), self.verts.copy(), self.verts.copy(),
+                         np.full(len(self.verts), -1, np.int64), [])
+        return len(self.verts)
 
     def walk_step(self, step: int, seed: int, reset_prob: float,
                   max_out_deg: int | None, last: bool, *sender_payloads):
@@ -625,6 +656,8 @@ class GraphShard:
 
         pos = np.searchsorted(self.verts, cur)
         np.add.at(self._walk_visits, pos, 1)
+        if self._walk_track_trace:
+            self._walk_trace.append((wid, step, cur, self._walk_replica))
         if self._walk_track_prev:
             has_prev = prev >= 0
             self._walk_prev_pairs.append((cur[has_prev], prev[has_prev]))
@@ -746,7 +779,27 @@ class GraphShard:
             self._walk_visits[:] = 0
         self._walk_prev_pairs = []
         self._walk_path_counts = {}
+        self._walk_trace = []
         self._walkers = None
+
+    def walk_trace_table(self) -> pa.Table:
+        """(walker_id, walk, step, vertex) rows for steps taken on this
+        shard (walk = replica index for multi-walk corpora)."""
+        if not getattr(self, "_walk_trace", None):
+            return pa.table({"walker_id": pa.array([], pa.int64()),
+                             "walk": pa.array([], pa.int64()),
+                             "step": pa.array([], pa.int64()),
+                             "vertex": pa.array([], pa.int64())})
+        wid = np.concatenate([t[0] for t in self._walk_trace])
+        step = np.concatenate([np.full(len(t[0]), t[1], np.int64)
+                               for t in self._walk_trace])
+        cur = np.concatenate([t[2] for t in self._walk_trace])
+        rep = np.concatenate([np.full(len(t[0]), t[3], np.int64)
+                              for t in self._walk_trace])
+        return pa.table({"walker_id": pa.array(wid, pa.int64()),
+                         "walk": pa.array(rep, pa.int64()),
+                         "step": pa.array(step, pa.int64()),
+                         "vertex": pa.array(cur, pa.int64())})
 
     # -- bipartite iterative link analysis (IterativeLinkAnalyzer.scala:
     #    36-184 on the BSP engine; bipartite.py pandas is the small-subgraph
@@ -1399,6 +1452,44 @@ class ShardedGraph:
             [s.walk_visits_table.remote() for s in self.shards]
         )
         return visits.sort(["visits", "vertex"], descending=[True, False])
+
+    def walk_corpus(self, *, walks_per_vertex: int = 1, walk_length: int = 10,
+                    seed: int = 1, reset_prob: float = 0.0,
+                    max_out_deg: int | None = None):
+        """DeepWalk-style training corpus (Perozzi et al. 2014):
+        ``walks_per_vertex`` fixed-length unbiased random walks started at
+        EVERY vertex, returned in long format
+        ``Dataset(walker_id, walk, step, vertex)`` where walker_id is the
+        start vertex and walk ∈ [0, walks_per_vertex) — ready to be
+        ``groupby(walker_id, walk).sort(step)``-assembled into sequences or
+        windowed directly for skip-gram pair generation.
+
+        Scale shape: seeding is shard-local (``walk_seed_all`` — the driver
+        never materializes the vertex universe), trace recording is an
+        O(1)-per-step array append on whichever shard a walker is visiting,
+        and the result Dataset is assembled zero-copy from per-shard Arrow
+        tables. Replicas run as sequential BSP sweeps with seed+replica so
+        every walk has an independent counter-RNG stream while walker ids
+        stay equal to the start vertex. Dangling vertices restart the walk
+        at its start (the engine's standard reset), so every emitted walk
+        has exactly ``walk_length`` rows."""
+        import ray.data
+
+        ray.get([s.walk_reset_counts.remote() for s in self.shards])
+        for k in range(walks_per_vertex):
+            ray.get([s.walk_seed_all.remote(k) for s in self.shards])
+            outs = []
+            for step in range(walk_length):
+                last = step == walk_length - 1
+                outs = [
+                    s.walk_step.remote(step, seed + k, reset_prob,
+                                       max_out_deg, last, *outs)
+                    for s in self.shards
+                ]
+            ray.get(outs)
+        return ray.data.from_arrow_refs(
+            [s.walk_trace_table.remote() for s in self.shards]
+        )
 
     def walk_top_paths(self, top_k: int = 2):
         """After ``random_walks(..., track_paths=True)``: top-k paths ending

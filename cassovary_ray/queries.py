@@ -264,6 +264,16 @@ def q_graph_walk_visits(sf_dir: str):
         return g.random_walks([0] * 64, 50, reset_prob=0.15, seed=11).to_pandas()
 
 
+def q_graph_walk_corpus(sf_dir: str):
+    # DeepWalk-style corpus: deterministic given the seed, but RNG-defined
+    # (rows-only gate entry, like graph_walk_visits); sequence validity and
+    # P-invariance are pinned by test_walks.py
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        corpus = g.walk_corpus(walks_per_vertex=2, walk_length=10, seed=17)
+        return corpus.sort(["walker_id", "walk", "step"])
+
+
 def q_graph_bfs(sf_dir: str):
     return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
 
@@ -648,6 +658,7 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
+    "graph_walk_corpus": q_graph_walk_corpus,
     "graph_bfs": q_graph_bfs,
     "graph_adjacency_stats": q_graph_adjacency_stats,
     "graph_labels": q_graph_labels,

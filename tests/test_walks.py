@@ -160,3 +160,46 @@ def test_paths_counter_top_k_ordering(tmp_dir):
         df = g.walk_top_paths(top_k=1).to_pandas()
     got = {(r.vertex, tuple(r.path)): r.count for r in df.itertuples()}
     assert got == {(1, (1,)): 3, (2, (1, 2)): 3}
+
+
+# -- walk_corpus (DeepWalk-style sequence generation) -----------------------
+
+def _corpus(adj, tmp_dir, num_parts, **kwargs):
+    lay = os.path.join(tmp_dir, f"wc{num_parts}")
+    build_toy_layout(adj, lay, num_parts)
+    with ShardedGraph(lay) as g:
+        return g.walk_corpus(**kwargs).to_pandas()
+
+
+def test_walk_corpus_shape_and_validity(tmp_dir):
+    adj = TOY_GRAPHS["g6"]
+    L, W = 6, 2
+    df = _corpus(adj, tmp_dir, 3, walks_per_vertex=W, walk_length=L, seed=7)
+    verts = sorted({u for u in adj} | {v for nb in adj.values() for v in nb})
+    assert len(df) == len(verts) * W * L
+    edges = {(u, v) for u, nb in adj.items() for v in nb}
+    for (wid, walk), g in df.groupby(["walker_id", "walk"]):
+        g = g.sort_values("step")
+        assert list(g.step) == list(range(L))
+        seq = list(g.vertex)
+        assert seq[0] == wid  # step 0 visits the start
+        for a, b in zip(seq, seq[1:]):
+            # unbiased step: an out-edge, or a reset to start (dangling)
+            assert (a, b) in edges or b == wid
+
+
+def test_walk_corpus_partition_invariant_and_replicas_differ(tmp_dir):
+    adj = TOY_GRAPHS["g6"]
+    kw = dict(walks_per_vertex=2, walk_length=8, seed=11)
+    a = (_corpus(adj, tmp_dir, 1, **kw)
+         .sort_values(["walker_id", "walk", "step"]).reset_index(drop=True))
+    b = (_corpus(adj, os.path.join(tmp_dir, "p3"), 3, **kw)
+         .sort_values(["walker_id", "walk", "step"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # the two replicas are independent RNG streams: at least one start
+    # vertex must produce two different sequences
+    w0 = a[a.walk == 0].pivot(index="walker_id", columns="step", values="vertex")
+    w1 = a[a.walk == 1].pivot(index="walker_id", columns="step", values="vertex")
+    assert not w0.equals(w1)
