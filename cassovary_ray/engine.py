@@ -782,6 +782,55 @@ class GraphShard:
         self._walk_trace = []
         self._walkers = None
 
+    def walk_trace_scatter(self):
+        """Route this shard's trace rows to each walker's home shard
+        (walker_id % P) — ONE packed keyed exchange, after which every
+        walker's full trajectory is co-located for sequence assembly."""
+        if not getattr(self, "_walk_trace", None):
+            empty = (np.empty(0, np.int64),) * 4
+            return [empty] * self.num_parts
+        wid = np.concatenate([t[0] for t in self._walk_trace])
+        step = np.concatenate([np.full(len(t[0]), t[1], np.int64)
+                               for t in self._walk_trace])
+        cur = np.concatenate([t[2] for t in self._walk_trace])
+        rep = np.concatenate([np.full(len(t[0]), t[3], np.int64)
+                              for t in self._walk_trace])
+        dest = wid % self.num_parts
+        order = np.argsort(dest, kind="stable")
+        wid, rep, step, cur = wid[order], rep[order], step[order], cur[order]
+        bounds = np.searchsorted(dest[order], np.arange(self.num_parts + 1))
+        return [
+            (wid[lo:hi], rep[lo:hi], step[lo:hi], cur[lo:hi])
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+
+    def walk_sequences_table(self, walk_length: int, *sender_payloads) -> pa.Table:
+        """Assemble (walker_id, walk, seq) rows from the routed trace: lexsort
+        by (walker, replica, step) then one reshape — every walk contributes
+        exactly ``walk_length`` rows, so the sort IS the assembly."""
+        parts = [pl[self.part] for pl in sender_payloads]
+        wid = np.concatenate([p[0] for p in parts])
+        if len(wid) == 0:
+            return pa.table({
+                "walker_id": pa.array([], pa.int64()),
+                "walk": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.list_(pa.int64())),
+            })
+        rep = np.concatenate([p[1] for p in parts])
+        step = np.concatenate([p[2] for p in parts])
+        cur = np.concatenate([p[3] for p in parts])
+        order = np.lexsort((step, rep, wid))
+        wid, rep, cur = wid[order], rep[order], cur[order]
+        L = walk_length
+        if len(cur) % L:
+            raise AssertionError("trace rows not a multiple of walk_length")
+        seq = pa.FixedSizeListArray.from_arrays(pa.array(cur, pa.int64()), L)
+        return pa.table({
+            "walker_id": pa.array(wid[::L], pa.int64()),
+            "walk": pa.array(rep[::L], pa.int64()),
+            "seq": seq.cast(pa.list_(pa.int64())),
+        })
+
     def walk_trace_table(self) -> pa.Table:
         """(walker_id, walk, step, vertex) rows for steps taken on this
         shard (walk = replica index for multi-walk corpora)."""
@@ -1455,7 +1504,8 @@ class ShardedGraph:
 
     def walk_corpus(self, *, walks_per_vertex: int = 1, walk_length: int = 10,
                     seed: int = 1, reset_prob: float = 0.0,
-                    max_out_deg: int | None = None):
+                    max_out_deg: int | None = None,
+                    output: str = "long"):
         """DeepWalk-style training corpus (Perozzi et al. 2014):
         ``walks_per_vertex`` fixed-length unbiased random walks started at
         EVERY vertex, returned in long format
@@ -1472,9 +1522,17 @@ class ShardedGraph:
         every walk has an independent counter-RNG stream while walker ids
         stay equal to the start vertex. Dangling vertices restart the walk
         at its start (the engine's standard reset), so every emitted walk
-        has exactly ``walk_length`` rows."""
+        has exactly ``walk_length`` rows.
+
+        ``output="sequences"`` instead returns
+        ``Dataset(walker_id, walk, seq: list<int64>)`` — one row per walk —
+        via ONE extra keyed exchange (trace rows routed to each walker's
+        home shard, lexsort + reshape assembly; see ``walk_trace_scatter``).
+        Feed that to :func:`cassovary_ray.textops.skipgram_pairs`."""
         import ray.data
 
+        if output not in ("long", "sequences"):
+            raise ValueError("output must be 'long' or 'sequences'")
         ray.get([s.walk_reset_counts.remote() for s in self.shards])
         for k in range(walks_per_vertex):
             ray.get([s.walk_seed_all.remote(k) for s in self.shards])
@@ -1487,6 +1545,12 @@ class ShardedGraph:
                     for s in self.shards
                 ]
             ray.get(outs)
+        if output == "sequences":
+            routed = [s.walk_trace_scatter.remote() for s in self.shards]
+            return ray.data.from_arrow_refs(
+                [s.walk_sequences_table.remote(walk_length, *routed)
+                 for s in self.shards]
+            )
         return ray.data.from_arrow_refs(
             [s.walk_trace_table.remote() for s in self.shards]
         )

@@ -274,6 +274,18 @@ def q_graph_walk_corpus(sf_dir: str):
         return corpus.sort(["walker_id", "walk", "step"])
 
 
+def q_graph_skipgram(sf_dir: str):
+    # DeepWalk → word2vec training pairs: walk corpus assembled to sequences
+    # (one keyed exchange), then vectorized windowed pair counts. RNG-defined
+    # (rows-only); exactness pinned by the brute-force test in test_walks.py
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        seqs = g.walk_corpus(walks_per_vertex=1, walk_length=10, seed=17,
+                             output="sequences")
+        return textops.skipgram_pairs(seqs, window=2).sort(
+            ["center", "context"])
+
+
 def q_graph_bfs(sf_dir: str):
     return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
 
@@ -659,6 +671,7 @@ QUERIES = {
     "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
     "graph_walk_corpus": q_graph_walk_corpus,
+    "graph_skipgram": q_graph_skipgram,
     "graph_bfs": q_graph_bfs,
     "graph_adjacency_stats": q_graph_adjacency_stats,
     "graph_labels": q_graph_labels,

@@ -735,3 +735,66 @@ def tfidf_top_k(docs, k: int = 3, num_partitions: int | None = None):
     merged = split(True).groupby("doc_id").map_groups(merge, batch_format="pandas")
     out = split(False).union(merged)
     return out.select_columns(["doc_id", "token", "tf", "df", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pair generation (word2vec/DeepWalk training pairs)
+# ---------------------------------------------------------------------------
+
+def skipgram_pairs(sequences, window: int = 2):
+    """``(center, context, n)`` skip-gram pair counts from a fixed-length
+    sequence table (``seq: list<int64>``, e.g.
+    ``ShardedGraph.walk_corpus(output="sequences")`` — the DeepWalk →
+    word2vec step — or any tokenized corpus padded to constant length).
+
+    Fully vectorized (variable list lengths supported): each batch's list
+    column is flattened once; for every offset d ∈ [1, window] the valid
+    center positions of all lists are computed from the offsets array
+    (repeat/arange arithmetic, no Python per row), contexts are the same
+    positions shifted by d, both directions are emitted, and the batch
+    pre-combines with ``np.unique`` before ONE global hash-partitioned
+    ``groupby(center, context).sum`` — the combiner bounds a hot vertex's
+    shuffle rows by its distinct-context count, never its frequency.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def kernel(b: pa.Table) -> pa.Table:
+        col = b["seq"]
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        centers, contexts = [], []
+        for ch in chunks:
+            if len(ch) == 0:
+                continue
+            vals = ch.flatten().to_numpy(zero_copy_only=False)
+            offs = np.asarray(ch.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            starts = offs[:-1]
+            for d in range(1, window + 1):
+                cnt = np.maximum(lens - d, 0)
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                csum = np.cumsum(cnt) - cnt
+                pos = np.arange(tot) + np.repeat(starts - csum, cnt)
+                a, c = vals[pos], vals[pos + d]
+                centers += [a, c]
+                contexts += [c, a]
+        if not centers:
+            return pa.table({"center": pa.array([], pa.int64()),
+                             "context": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        center = np.concatenate(centers)
+        context = np.concatenate(contexts)
+        uniq, counts = np.unique(np.c_[center, context], axis=0,
+                                 return_counts=True)
+        return pa.table({"center": pa.array(uniq[:, 0], pa.int64()),
+                         "context": pa.array(uniq[:, 1], pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    return (
+        sequences.map_batches(kernel, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

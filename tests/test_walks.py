@@ -203,3 +203,46 @@ def test_walk_corpus_partition_invariant_and_replicas_differ(tmp_dir):
     w0 = a[a.walk == 0].pivot(index="walker_id", columns="step", values="vertex")
     w1 = a[a.walk == 1].pivot(index="walker_id", columns="step", values="vertex")
     assert not w0.equals(w1)
+
+
+def test_walk_corpus_sequences_match_long(tmp_dir):
+    adj = TOY_GRAPHS["g6"]
+    kw = dict(walks_per_vertex=2, walk_length=5, seed=3)
+    lay = os.path.join(tmp_dir, "wcseq")
+    build_toy_layout(adj, lay, 3)
+    with ShardedGraph(lay) as g:
+        long = g.walk_corpus(**kw).to_pandas()
+    with ShardedGraph(lay) as g:
+        seqs = g.walk_corpus(output="sequences", **kw).to_pandas()
+    want = {
+        (wid, walk): list(grp.sort_values("step").vertex)
+        for (wid, walk), grp in long.groupby(["walker_id", "walk"])
+    }
+    got = {(r.walker_id, r.walk): list(r.seq) for r in seqs.itertuples()}
+    assert got == want
+
+
+def test_skipgram_pairs_bruteforce():
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from cassovary_ray.textops import skipgram_pairs
+
+    seqs = [[1, 2, 3, 1], [2, 2], [5], [4, 1, 2]]
+    ds = ray.data.from_arrow(pa.table({
+        "walker_id": pa.array(range(len(seqs)), pa.int64()),
+        "seq": pa.array(seqs, pa.list_(pa.int64())),
+    })).repartition(2)
+    for window in (1, 2, 3):
+        want = collections.Counter()
+        for s in seqs:
+            for i, a in enumerate(s):
+                for d in range(1, window + 1):
+                    if i + d < len(s):
+                        want[(a, s[i + d])] += 1
+                        want[(s[i + d], a)] += 1
+        df = skipgram_pairs(ds, window=window).to_pandas()
+        got = {(r.center, r.context): r.n for r in df.itertuples()}
+        assert got == dict(want), window
