@@ -1088,6 +1088,150 @@ class GraphShard:
         self.state["salsa_hub"], self.state["salsa_auth"] = hub, auth
         return float(np.abs(auth - old).sum())
 
+    # -- ANF / HyperBall neighborhood function -------------------------------
+    # Approximate Neighborhood Function (Palmer, Gibbons & Faloutsos, KDD'02)
+    # with HyperLogLog counters per HyperBall (Boldi & Vigna, 2013): each
+    # vertex carries a fixed-size sketch of its distance-<=t ball; one BSP
+    # round unions every vertex's sketch with its neighbors' (elementwise
+    # max of HLL registers / bitwise OR of exact bitmaps). Beyond-reference
+    # surface (the reference has no ANF), same exchange shape as LP.
+    #
+    # Direction: scattering over the FORWARD layout grows each vertex's
+    # IN-ball ({u : dist(u,v) <= t}); summed over all vertices that is the
+    # same pair count N(t) = #{(u,v) : dist(u,v) <= t} as out-balls, so the
+    # neighborhood function / effective diameter need no reverse layout.
+
+    def anf_init_hll(self, b: int, seed: int) -> float:
+        """HLL mode: (n_local, 2^b) uint8 registers seeded from each owned
+        vertex's own splitmix64 hash. Returns this shard's round-0 estimate
+        (sum of per-vertex ball-size estimates == n_local by construction
+        up to HLL small-range correction, which is exact at count 1)."""
+        from cassovary_ray.hashing import splitmix64
+
+        m = 1 << b
+        h = splitmix64(self.verts.astype(np.uint64) ^ np.uint64(seed))
+        j = (h >> np.uint64(64 - b)).astype(np.int64)
+        w = (h << np.uint64(b)) & np.uint64((1 << 64) - 1)
+        # rho = leading-zero count of the remaining 64-b bits + 1
+        rho = np.full(len(w), 64 - b + 1, dtype=np.uint8)
+        nz = w > 0
+        bl = np.zeros(len(w), dtype=np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl += v.astype(np.int64)
+        rho[nz] = (64 - bl[nz] + 1).astype(np.uint8)
+        regs = np.zeros((len(self.verts), m), dtype=np.uint8)
+        regs[np.arange(len(self.verts)), j] = rho
+        self._anf_regs = regs
+        self._anf_mode = "hll"
+        return self._anf_shard_estimate()
+
+    def anf_init_exact(self, global_verts: pa.Table) -> float:
+        """Exact-bitmap mode (small-graph / oracle scale ONLY — O(n·n/64)
+        words of state across the cluster, documented): each vertex's ball
+        is a bitset over the dense rank of the GLOBAL sorted vertex-id
+        array. Returns this shard's round-0 ball total (== n_local)."""
+        gv = global_verts["vertex"].to_numpy(zero_copy_only=False)
+        bits = np.searchsorted(gv, self.verts)
+        n_words = (len(gv) + 63) // 64
+        regs = np.zeros((len(self.verts), n_words), dtype=np.uint64)
+        regs[np.arange(len(self.verts)), bits // 64] = (
+            np.uint64(1) << (bits % 64).astype(np.uint64)
+        )
+        self._anf_regs = regs
+        self._anf_mode = "exact"
+        return self._anf_shard_estimate()
+
+    def anf_scatter(self, first_round: bool):
+        """Per-dst-partition (ids, combined-register-matrix) payloads: for
+        every distinct dst the elementwise max (HLL) / bitwise OR (exact) of
+        its in-neighbors' sketches — the sender-side pre-combine that bounds
+        a hub's fan-in to P partials. Transient memory per destination part:
+        (edges-to-that-part × m) sketch bytes (the per-edge gather feeding
+        reduceat); at m=64 B and 100M edges/shard over P=32 parts that is
+        ~200 MB, freed between parts."""
+        regs = self._anf_regs
+        sc = self.fwd
+        op = np.maximum if self._anf_mode == "hll" else np.bitwise_or
+        out = []
+        for q in range(sc.num_parts):
+            lo_seg, hi_seg = sc.part_ptr[q], sc.part_ptr[q + 1]
+            ids = sc.uniq_dst[lo_seg:hi_seg]
+            if lo_seg == hi_seg:
+                mat = np.zeros((0, regs.shape[1]), dtype=regs.dtype)
+            else:
+                lo, hi = sc.edge_range_for_part(q)
+                per_edge = regs[sc.src_pos[lo:hi]]
+                mat = op.reduceat(per_edge, sc.seg_starts[lo_seg:hi_seg] - lo,
+                                  axis=0)
+            out.append((ids, mat) if first_round else mat)
+        return out
+
+    def anf_apply(self, *sender_payloads) -> tuple[int, float]:
+        """Union incoming sketches into the owned rows; returns (#rows whose
+        sketch grew, this shard's post-round ball-size total). A row's
+        sketch is monotone non-decreasing, so changed==0 everywhere means
+        every ball is saturated (t >= eccentricity bound)."""
+        regs = self._anf_regs
+        op = np.maximum if self._anf_mode == "hll" else np.bitwise_or
+        changed = 0
+        for sender, payload in enumerate(sender_payloads):
+            p = payload[self.part]
+            if isinstance(p, tuple):
+                ids, mat = p
+                pos = self._positions("anf", sender, ids)
+            else:
+                mat = p
+                pos = self._positions("anf", sender, None)
+            if len(mat):
+                sub = regs[pos]
+                new = op(sub, mat)
+                changed += int(np.count_nonzero(np.any(new != sub, axis=1)))
+                regs[pos] = new
+        return changed, self._anf_shard_estimate()
+
+    def _anf_shard_estimate(self) -> float:
+        regs = self._anf_regs
+        if len(regs) == 0:
+            return 0.0
+        if self._anf_mode == "exact":
+            # popcount per row: exact ball sizes
+            bytes_view = regs.view(np.uint8)
+            return float(np.unpackbits(bytes_view, axis=1).sum())
+        m = regs.shape[1]
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m))
+        inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+        est = alpha * m * m / inv
+        zeros = (regs == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        if small.any():
+            est[small] = m * np.log(m / zeros[small])
+        return float(est.sum())
+
+    def anf_ball_table(self) -> pa.Table:
+        """(vertex, ball) — per-vertex in-ball size (exact) / HLL estimate."""
+        regs = self._anf_regs
+        if self._anf_mode == "exact":
+            sizes = np.unpackbits(regs.view(np.uint8), axis=1).sum(axis=1)
+            col = pa.array(sizes.astype(np.int64), pa.int64())
+        else:
+            m = regs.shape[1]
+            alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+                m, 0.7213 / (1 + 1.079 / m))
+            inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+            est = alpha * m * m / inv
+            zeros = (regs == 0).sum(axis=1)
+            small = (est <= 2.5 * m) & (zeros > 0)
+            if small.any():
+                est[small] = m * np.log(m / zeros[small])
+            col = pa.array(est, pa.float64())
+        return pa.table({"vertex": pa.array(self.verts, pa.int64()),
+                         "ball": col})
+
 
 # ---------------------------------------------------------------------------
 # Driver-side engine
@@ -1744,6 +1888,92 @@ class ShardedGraph:
             self._state_dataset("salsa_auth", "authorities"),
             iteration,
         )
+
+    # -- ANF / HyperBall ----------------------------------------------------
+
+    def neighborhood_function(self, *, mode: str = "hll", precision_bits: int = 6,
+                              seed: int = 1, max_distance: int | None = None):
+        """Neighborhood function N(t) = #{(u,v) : dist(u,v) <= t} by
+        HyperBall BSP rounds (see the ``anf_*`` shard methods): every vertex
+        carries a ball sketch, one exchange per distance unit.
+
+        ``mode="hll"`` (the 100 TB path): 2^precision_bits one-byte HLL
+        registers per vertex — state is O(n·m), exchange is the LP shape,
+        relative error ~1.04/sqrt(m) per vertex and much lower on the sum.
+        ``mode="exact"``: bitsets over the dense global vertex rank —
+        O(n²/8) state, ORACLE/TEST SCALE ONLY (the driver materializes the
+        global vertex-id array).
+
+        ``max_distance=None`` runs to saturation (every ball closed — N has
+        reached the number of connected pairs); an explicit ``max_distance``
+        emits exactly max_distance+1 rows (saturated rounds repeat the final
+        value), which is what the SQL oracle unrolls. Returns
+        ``pa.Table(distance, reachable_pairs)`` — int64 pairs in exact mode,
+        float64 estimates in hll mode."""
+        if mode == "exact":
+            tables = [
+                read_partition(self.layout_dir, "vertices", p, ["vertex"])
+                for p in range(self.num_parts)
+            ]
+            gv = np.unique(np.concatenate(
+                [t["vertex"].to_numpy(zero_copy_only=False) for t in tables]
+            ))
+            gv_table = pa.table({"vertex": pa.array(gv, pa.int64())})
+            est = sum(ray.get([s.anf_init_exact.remote(gv_table)
+                               for s in self.shards]))
+        elif mode == "hll":
+            est = sum(ray.get([
+                s.anf_init_hll.remote(precision_bits, seed)
+                for s in self.shards
+            ]))
+        else:
+            raise ValueError("mode must be 'hll' or 'exact'")
+        rows = [(0, est)]
+        t, first = 0, True
+        while max_distance is None or t < max_distance:
+            t0 = time.perf_counter()
+            res = self._exchange("anf_scatter", "anf_apply", first)
+            first = False
+            t += 1
+            changed = sum(r[0] for r in res)
+            est = sum(r[1] for r in res)
+            rows.append((t, est))
+            self.metrics.append(RoundMetrics(
+                t, float(changed), time.perf_counter() - t0, {"algo": "anf"}))
+            if max_distance is None and changed == 0:
+                break
+        dist = pa.array([r[0] for r in rows], pa.int64())
+        if mode == "exact":
+            pairs = pa.array([int(round(r[1])) for r in rows], pa.int64())
+        else:
+            pairs = pa.array([r[1] for r in rows], pa.float64())
+        return pa.table({"distance": dist, "reachable_pairs": pairs})
+
+    def anf_ball_sizes(self):
+        """Per-vertex in-ball size after the last ``neighborhood_function``
+        run: ``Dataset(vertex, ball)`` (int64 exact / float64 HLL)."""
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [s.anf_ball_table.remote() for s in self.shards])
+
+
+def effective_diameter(nf_rows, alpha: float = 0.9) -> float:
+    """Interpolated effective diameter from a neighborhood-function table
+    (the standard ANF/HyperBall definition): the smallest t such that
+    N(t) >= alpha·N(t_max), linearly interpolated between the two bracketing
+    integer distances. ``nf_rows`` is the pa.Table returned by
+    ``ShardedGraph.neighborhood_function`` (or anything with
+    distance/reachable_pairs columns)."""
+    d = nf_rows["distance"].to_numpy(zero_copy_only=False)
+    n = nf_rows["reachable_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    target = alpha * n[-1]
+    t = int(np.searchsorted(n, target))
+    if t == 0 or n[t] == n[t - 1]:
+        return float(d[t])
+    return float(d[t - 1] + (target - n[t - 1]) / (n[t] - n[t - 1]))
 
 
 def latest_checkpoint(ckpt_dir: str) -> dict | None:

@@ -674,3 +674,55 @@ def eccentricity_sql(edges_cte: str, sources: list[int],
                count(*) AS reachable
         FROM dist GROUP BY 1
     """
+
+
+def neighborhood_sql(edges_cte: str, max_distance: int) -> str:
+    """Exact neighborhood function N(t) for t = 0..max_distance: distinct
+    (u, v) pairs with a directed path of length <= t (self-pairs at t=0).
+    Matches ``ShardedGraph.neighborhood_function(mode="exact")`` — the
+    engine grows IN-balls (forward-layout scatter) while this SQL grows
+    OUT-balls, but the pair TOTALS are identical by symmetry (each counts
+    the same set of (u, v) pairs). Integer-only."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "vx AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "b0 AS MATERIALIZED (SELECT vertex AS u, vertex AS v FROM vx)",
+    ]
+    for t in range(1, max_distance + 1):
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT u, v FROM b{t-1} "
+            f"UNION SELECT b.u, e.dst AS v FROM b{t-1} b JOIN e ON e.src = b.v)"
+        )
+    selects = [
+        f"SELECT CAST({t} AS BIGINT) AS distance, "
+        f"CAST(count(*) AS BIGINT) AS reachable_pairs FROM b{t}"
+        for t in range(max_distance + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY distance"
+
+
+def effective_diameter_sql(edges_cte: str, max_distance: int,
+                           alpha: float = 0.9) -> str:
+    """Interpolated effective diameter over the exact neighborhood function
+    (same arithmetic as ``engine.effective_diameter``: target = alpha·N(last);
+    t = first distance with N(t) >= target; linear interpolation against
+    N(t-1))."""
+    nf = neighborhood_sql(edges_cte, max_distance)
+    # re-wrap: the nf statement is WITH ... SELECT; embed as a subquery
+    return f"""
+        WITH nf AS MATERIALIZED ({nf}),
+        tgt AS (SELECT {alpha} * (SELECT reachable_pairs FROM nf
+                                  WHERE distance = {max_distance}) AS target),
+        hit AS (SELECT min(distance) AS t FROM nf, tgt
+                WHERE reachable_pairs >= tgt.target)
+        SELECT CASE WHEN (SELECT t FROM hit) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE (SELECT t FROM hit) - 1.0 +
+                 ((SELECT target FROM tgt) -
+                  (SELECT CAST(reachable_pairs AS DOUBLE) FROM nf
+                   WHERE distance = (SELECT t FROM hit) - 1))
+               / ((SELECT CAST(reachable_pairs AS DOUBLE) FROM nf
+                   WHERE distance = (SELECT t FROM hit)) -
+                  (SELECT CAST(reachable_pairs AS DOUBLE) FROM nf
+                   WHERE distance = (SELECT t FROM hit) - 1))
+            END AS eff_diameter
+    """

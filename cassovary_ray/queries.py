@@ -286,6 +286,34 @@ def q_graph_skipgram(sf_dir: str):
             ["center", "context"])
 
 
+def q_graph_neighborhood(sf_dir: str):
+    # exact ANF: N(t) pairs within distance t, t = 0..4 (bitset mode —
+    # oracle scale; the HLL scale path is q_graph_anf_hll)
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.neighborhood_function(mode="exact", max_distance=4)
+
+
+def q_graph_effective_diameter(sf_dir: str):
+    import pandas as pd
+
+    from cassovary_ray.engine import effective_diameter
+
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        nf = g.neighborhood_function(mode="exact", max_distance=4)
+    return pd.DataFrame({"eff_diameter": [effective_diameter(nf)]})
+
+
+def q_graph_anf_hll(sf_dir: str):
+    # HyperBall scale path: 64 one-byte HLL registers per vertex (hash-
+    # seeded estimates — rows-only; accuracy pinned vs exact in test_anf.py)
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.neighborhood_function(mode="hll", precision_bits=6,
+                                       max_distance=4)
+
+
 def q_graph_bfs(sf_dir: str):
     return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
 
@@ -672,6 +700,9 @@ QUERIES = {
     "graph_walk_visits": q_graph_walk_visits,
     "graph_walk_corpus": q_graph_walk_corpus,
     "graph_skipgram": q_graph_skipgram,
+    "graph_neighborhood": q_graph_neighborhood,
+    "graph_effective_diameter": q_graph_effective_diameter,
+    "graph_anf_hll": q_graph_anf_hll,
     "graph_bfs": q_graph_bfs,
     "graph_adjacency_stats": q_graph_adjacency_stats,
     "graph_labels": q_graph_labels,
@@ -788,6 +819,9 @@ ORACLE_SQL = {
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
     "graph_salsa": oracles.salsa_sql(DERIVED_EDGES_CTE, iterations=8),
+    "graph_neighborhood": oracles.neighborhood_sql(DERIVED_EDGES_CTE, 4),
+    "graph_effective_diameter": oracles.effective_diameter_sql(
+        DERIVED_EDGES_CTE, 4),
     # knn_lsh: projection planes are a pure function of (n_planes=8,
     # seed=1234, dim=64 — the embeddings schema) embedded as literals
     "knn_lsh": oracles.lsh_knn_sql(_ann_planes(8, 1234, 64), n_queries=10, k=5),
