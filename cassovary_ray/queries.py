@@ -481,6 +481,29 @@ def q_doc_fingerprints(sf_dir: str):
     return textops.rolling_fingerprint(_table(sf_dir, "documents"))
 
 
+def q_doc_paragraph_dedup(sf_dir: str):
+    return textops.paragraph_dedup(_table(sf_dir, "documents"))
+
+
+def q_doc_paragraph_rewrite(sf_dir: str):
+    return textops.paragraph_dedup_docs(_table(sf_dir, "documents"))
+
+
+# fixed per-language sample rates for the gate query (deterministic md5 CDF)
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_doc_sample(sf_dir: str):
+    out = textops.stratified_sample(
+        _table(sf_dir, "documents"), _SAMPLE_RATES, default_rate=0.05
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+def q_doc_rarity(sf_dir: str):
+    return textops.unigram_rarity(_table(sf_dir, "documents"))
+
+
 def q_knn_top5(sf_dir: str):
     return ann.knn_bruteforce(_table(sf_dir, "embeddings"), list(range(10)), k=5)
 
@@ -719,6 +742,10 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_paragraph_dedup": q_doc_paragraph_dedup,
+    "doc_paragraph_rewrite": q_doc_paragraph_rewrite,
+    "doc_sample": q_doc_sample,
+    "doc_rarity": q_doc_rarity,
     "knn_top5": q_knn_top5,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -865,6 +892,56 @@ ORACLE_SQL = {
                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
                length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         FROM documents
+    """,
+    "doc_paragraph_dedup": """
+        WITH p AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents
+        )
+        SELECT md5(line) AS line_md5,
+               min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM p WHERE line <> '' GROUP BY 1
+    """,
+    "doc_paragraph_rewrite": """
+        WITH p AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         (x, i) -> i - 1)) AS line_idx
+            FROM documents
+        ),
+        np AS (
+            SELECT doc_id, line, line_idx,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_idx) AS rn
+            FROM p WHERE line <> ''
+        )
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM np WHERE rn = 1 GROUP BY doc_id
+    """,
+    "doc_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'fr' THEN 0.1 ELSE 0.05 END
+    """,
+    "doc_rarity": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(min(f.n) AS BIGINT) AS min_tok_freq,
+               CAST(sum(f.n) AS BIGINT) AS sum_tok_freq
+        FROM tok t JOIN freq f USING (token) GROUP BY 1
     """,
     "knn_top5": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,143 @@
+"""paragraph_dedup / stratified_sample / unigram_rarity — constructed
+fixtures with hand-computed expectations (brute-force Python oracles)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+from cassovary_ray import textops
+
+
+def _docs(texts, ids=None, langs=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    if langs is not None:
+        cols["lang"] = pa.array(langs, pa.string())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_paragraph_dedup_canonical_and_counts():
+    # "boiler" appears in docs 2, 5 (twice), 9 -> canonical doc 2,
+    # 4 occurrences, 3 docs. Empty lines are dropped. Unique lines keep
+    # their own doc.
+    docs = _docs(
+        [
+            "boiler\nunique-two",
+            "boiler\n\nboiler\nunique-five",
+            "unique-nine\nboiler",
+        ],
+        ids=[2, 5, 9],
+    )
+    out = {r["line_md5"]: r for r in textops.paragraph_dedup(docs).take_all()}
+    b = out[_md5("boiler")]
+    assert (b["doc_id"], b["n_occurrences"], b["n_docs"]) == (2, 4, 3)
+    assert out[_md5("unique-five")]["doc_id"] == 5
+    assert out[_md5("unique-nine")]["n_occurrences"] == 1
+    assert _md5("") not in out
+    assert len(out) == 4  # boiler + 3 uniques
+
+
+def test_paragraph_dedup_parallelism_invariant():
+    texts = [f"shared\nline-{i}\nshared" for i in range(40)]
+    docs = _docs(texts)
+    one = {r["line_md5"]: (r["doc_id"], r["n_occurrences"], r["n_docs"])
+           for r in textops.paragraph_dedup(docs.repartition(1)).take_all()}
+    many = {r["line_md5"]: (r["doc_id"], r["n_occurrences"], r["n_docs"])
+            for r in textops.paragraph_dedup(docs.repartition(8)).take_all()}
+    assert one == many
+    assert one[_md5("shared")] == (0, 80, 40)
+
+
+def _u(doc_id: int) -> float:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_stratified_sample_matches_bruteforce():
+    n = 200
+    langs = ["en", "de", "fr", "xx"]
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    docs = _docs(["t"] * n, ids=list(range(n)),
+                 langs=[langs[i % 4] for i in range(n)])
+    out = textops.stratified_sample(docs, rates, default_rate=0.05)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    want = [i for i in range(n)
+            if _u(i) < rates.get(langs[i % 4], 0.05)]
+    assert got == want
+    # sanity: the sample is non-trivial and stratified (en kept more than fr)
+    en = sum(1 for i in got if i % 4 == 0)
+    fr = sum(1 for i in got if i % 4 == 2)
+    assert en > fr > 0 or fr == 0
+
+
+def test_stratified_sample_deterministic_across_parallelism():
+    n = 100
+    docs = _docs(["t"] * n, ids=list(range(n)), langs=["en"] * n)
+    a = sorted(r["doc_id"] for r in
+               textops.stratified_sample(docs.repartition(1), {"en": 0.3}).take_all())
+    b = sorted(r["doc_id"] for r in
+               textops.stratified_sample(docs.repartition(7), {"en": 0.3}).take_all())
+    assert a == b
+
+
+def test_unigram_rarity_hand_computed():
+    # corpus: "a a b" and "b c" -> freq: a=2, b=2, c=1
+    docs = _docs(["a a b", "b c"], ids=[10, 11])
+    out = {r["doc_id"]: r for r in textops.unigram_rarity(docs).take_all()}
+    d0, d1 = out[10], out[11]
+    # doc 10: tokens a,a,b -> n=3, min freq 2, sum 2+2+2=6
+    assert (d0["n_tokens"], d0["min_tok_freq"], d0["sum_tok_freq"]) == (3, 2, 6)
+    # doc 11: tokens b,c -> n=2, min freq 1, sum 2+1=3
+    assert (d1["n_tokens"], d1["min_tok_freq"], d1["sum_tok_freq"]) == (2, 1, 3)
+
+
+def test_unigram_rarity_parallelism_invariant():
+    texts = [f"common word-{i % 5} tail-{i}" for i in range(30)]
+    docs = _docs(texts)
+    one = {r["doc_id"]: (r["n_tokens"], r["min_tok_freq"], r["sum_tok_freq"])
+           for r in textops.unigram_rarity(docs.repartition(1)).take_all()}
+    many = {r["doc_id"]: (r["n_tokens"], r["min_tok_freq"], r["sum_tok_freq"])
+            for r in textops.unigram_rarity(docs.repartition(6)).take_all()}
+    assert one == many
+    # every doc has the unique tail token -> min_tok_freq == 1 everywhere
+    assert all(v[1] == 1 for v in one.values())
+    assert all(v[0] == 3 for v in one.values())
+
+
+def test_paragraph_dedup_docs_rewrite():
+    docs = _docs(
+        [
+            "boiler\nunique-two",
+            "boiler\n\nboiler\nunique-five",
+            "unique-nine\nboiler\nunique-nine-b",
+            "boiler",  # left with no surviving lines -> dropped
+        ],
+        ids=[2, 5, 9, 12],
+    )
+    out = {r["doc_id"]: (r["text_clean"], r["n_lines"])
+           for r in textops.paragraph_dedup_docs(docs).take_all()}
+    assert out == {
+        2: ("boiler\nunique-two", 2),
+        5: ("unique-five", 1),
+        9: ("unique-nine\nunique-nine-b", 2),
+    }
+
+
+def test_paragraph_dedup_docs_parallelism_invariant():
+    docs = _docs([f"shared\nline-{i}\nshared\ntail-{i}" for i in range(40)])
+    a = {r["doc_id"]: (r["text_clean"], r["n_lines"])
+         for r in textops.paragraph_dedup_docs(docs.repartition(1)).take_all()}
+    b = {r["doc_id"]: (r["text_clean"], r["n_lines"])
+         for r in textops.paragraph_dedup_docs(docs.repartition(8)).take_all()}
+    assert a == b
+    assert a[0] == ("shared\nline-0\ntail-0", 3)
+    assert a[7] == ("line-7\ntail-7", 2)
