@@ -504,6 +504,10 @@ def q_doc_rarity(sf_dir: str):
     return textops.unigram_rarity(_table(sf_dir, "documents"))
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    return textops.bpe_token_counts(_table(sf_dir, "documents"))
+
+
 def q_knn_top5(sf_dir: str):
     return ann.knn_bruteforce(_table(sf_dir, "embeddings"), list(range(10)), k=5)
 
@@ -746,6 +750,7 @@ QUERIES = {
     "doc_paragraph_rewrite": q_doc_paragraph_rewrite,
     "doc_sample": q_doc_sample,
     "doc_rarity": q_doc_rarity,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "knn_top5": q_knn_top5,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -903,6 +908,12 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_occurrences,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM p WHERE line <> '' GROUP BY 1
+    """,
+    "doc_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+|\\s+'))
+                   AS n_bpe_tokens
+        FROM documents
     """,
     "doc_paragraph_rewrite": """
         WITH p AS (

@@ -1089,3 +1089,28 @@ def paragraph_dedup_docs(docs):
         .groupby("doc_id").map_groups(merge, batch_format="pandas")
     )
     return folded.map_batches(interior, batch_format="pyarrow").union(merged)
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style coarse split (letters runs / digit
+# runs / punctuation runs, each with an optional leading space, else
+# whitespace runs) restricted to ASCII classes so Python `re` and the
+# oracle's RE2 (`regexp_extract_all`) agree match-for-match.
+_BPE_PRETOKEN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+|\s+"
+_BPE_RE = re.compile(_BPE_PRETOKEN)
+
+
+def bpe_token_counts(docs):
+    """``(doc_id, n_bpe_tokens)`` — token counts under a BPE-style
+    pre-tokenizer regex (the subword-tokenizer proxy of corpus curation;
+    complements the whitespace counts of ``token_counts``). One streaming
+    ``map_batches`` with a module-compiled pattern; no shuffle."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        findall = _BPE_RE.findall
+        n = np.fromiter((len(findall(t)) for t in batch["text"].to_pylist()),
+                        dtype=np.int64, count=len(batch))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow")

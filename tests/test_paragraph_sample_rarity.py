@@ -141,3 +141,11 @@ def test_paragraph_dedup_docs_parallelism_invariant():
     assert a == b
     assert a[0] == ("shared\nline-0\ntail-0", 3)
     assert a[7] == ("line-7\ntail-7", 2)
+
+
+def test_bpe_token_counts():
+    docs = _docs(["Hello, world!  It's 2026...", "", "   ", "don't stop-me now 3.14"])
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textops.bpe_token_counts(docs).take_all()}
+    # hand-tokenized with the GPT-2-style coarse split
+    assert out == {0: 10, 1: 0, 2: 1, 3: 10}
