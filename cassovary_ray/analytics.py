@@ -434,6 +434,42 @@ def local_triangle_counts(edges, num_partitions: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _drop_hot_dst(e, max_in_deg: int, num_partitions: int):
+    """Remove edges whose dst in-degree exceeds ``max_in_deg`` — the hub
+    skew guard shared by the deg²-fan-out pair joins (:func:`_cooccurrence`,
+    :func:`adamic_adar_top_k`). The hot set is collected via a distributed
+    filter (tiny by the power-law assumption) and broadcast into the edge
+    filter."""
+    import ray
+
+    ind = in_degrees(e)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keep = batch["in_deg"].to_numpy(zero_copy_only=False) > max_in_deg
+        return pa.table({"vertex": batch["vertex"].filter(pa.array(keep))})
+
+    hot = np.sort(
+        np.array(
+            [r["vertex"] for r in
+             ind.map_batches(only_hot, batch_format="pyarrow").take_all()],
+            dtype=np.int64,
+        )
+    )
+    if not len(hot):
+        return e
+    href = ray.put(hot)
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        h = ray.get(href)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h, d)
+        is_hot = (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == d)
+        return batch.filter(pa.array(~is_hot))
+
+    return _join_safe(e.map_batches(drop_hot, batch_format="pyarrow"),
+                      num_partitions)
+
+
 def _cooccurrence(edges, num_partitions: int, max_in_deg: int | None = None):
     """(u, w, common) — number of shared out-neighbors, u ≠ w.
 
@@ -449,33 +485,7 @@ def _cooccurrence(edges, num_partitions: int, max_in_deg: int | None = None):
     and broadcast into the edge filter. ``None`` (default) = exact."""
     e = _join_safe(distinct_edges(edges), num_partitions)
     if max_in_deg is not None:
-        import ray
-
-        ind = in_degrees(e)
-
-        def only_hot(batch: pa.Table) -> pa.Table:
-            keep = batch["in_deg"].to_numpy(zero_copy_only=False) > max_in_deg
-            return pa.table({"vertex": batch["vertex"].filter(pa.array(keep))})
-
-        hot = np.sort(
-            np.array(
-                [r["vertex"] for r in
-                 ind.map_batches(only_hot, batch_format="pyarrow").take_all()],
-                dtype=np.int64,
-            )
-        )
-        if len(hot):
-            href = ray.put(hot)
-
-            def drop_hot(batch: pa.Table) -> pa.Table:
-                h = ray.get(href)
-                d = batch["dst"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(h, d)
-                is_hot = (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == d)
-                return batch.filter(pa.array(~is_hot))
-
-            e = _join_safe(e.map_batches(drop_hot, batch_format="pyarrow"),
-                           num_partitions)
+        e = _drop_hot_dst(e, max_in_deg, num_partitions)
     pairs = e.join(e, "inner", num_partitions, on=("dst",),
                    left_suffix="_l", right_suffix="_r").materialize()
 
@@ -542,6 +552,150 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
         return g
 
     return scored.groupby("u").map_groups(topk, batch_format="pandas")
+
+
+def adamic_adar_top_k(edges, k: int = 10, num_partitions: int | None = None,
+                      max_in_deg: int | None = None):
+    """Adamic-Adar link-prediction scores over shared out-neighbors:
+    ``score(u, w) = Σ_{z ∈ N⁺(u) ∩ N⁺(w)} 1 / ln(in_deg(z))`` (Adamic &
+    Adar 2003, "Friends and neighbors on the Web" — a common-neighbor count
+    that discounts promiscuous hubs), top-``k`` per ``u`` ordered score desc
+    then lower ``w`` (the ``SimilarNodes.compare`` tie rule,
+    ``Similarity.scala:20-24``). Every shared ``z`` has in-degree ≥ 2, so
+    ``ln`` never sees 1. Returns ``Dataset(u, w, score_micro, rank)`` with the
+    score pre-quantized to micro-units (``floor(score·1e6)`` as int64): the
+    float sum over shared neighbors is reduction-order-sensitive at the ulp
+    level (~1e-14 absolute), and ranking on a value quantized 8 orders of
+    magnitude above that error keeps scores and tie-breaks deterministic
+    against the SQL oracle.
+
+    Same execution shape (and the same ``max_in_deg`` skew guard) as
+    :func:`_cooccurrence`: the z-weight joins onto the edge table BEFORE the
+    dst self-join, so each pair row already carries its weight and the
+    aggregate is one ``groupby(u, w).sum``.
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    e = _join_safe(distinct_edges(edges), num_partitions)
+    if max_in_deg is not None:
+        e = _drop_hot_dst(e, max_in_deg, num_partitions)
+    ind = _join_safe(in_degrees(e), num_partitions)
+    ew = _join_safe(
+        e.join(ind, "inner", num_partitions, on=("dst",), right_on=("vertex",)),
+        num_partitions,
+    ).materialize()
+
+    def pair_emit(batch: pa.Table) -> pa.Table:
+        u = batch["src_l"].to_numpy(zero_copy_only=False)
+        w = batch["src_r"].to_numpy(zero_copy_only=False)
+        d = batch["in_deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = u != w
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "w": pa.array(w[keep], pa.int64()),
+                         "wz": pa.array(1.0 / np.log(d[keep]), pa.float64())})
+
+    plain = ew.select_columns(["src", "dst"])
+    pairs = ew.join(plain, "inner", num_partitions, on=("dst",),
+                    left_suffix="_l", right_suffix="_r")
+    scored = (
+        pairs.map_batches(pair_emit, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .aggregate(Sum("wz", alias_name="score"))
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": batch["u"], "w": batch["w"],
+                         "score_micro": pa.array(
+                             np.floor(sc * 1e6).astype(np.int64), pa.int64())})
+
+    def topk(group):
+        g = group.sort_values(["score_micro", "w"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        scored.map_batches(quantize, batch_format="pyarrow")
+        .groupby("u").map_groups(topk, batch_format="pandas")
+    )
+
+
+def modularity(edges, communities, num_partitions: int | None = None):
+    """Directed-graph modularity of a community assignment (Leicht & Newman
+    2008, eq. 4): ``Q = intra/m − Σ_c Kout_c·Kin_c / m²`` where ``intra``
+    counts edges whose endpoints share a community and ``Kout_c``/``Kin_c``
+    are per-community degree sums. ``communities`` is a
+    ``Dataset(vertex, community)``; self-loop-free distinct edges are
+    assumed (pass through :func:`distinct_edges` first if unsure).
+
+    Everything up to the final two scalar divisions is INTEGER-exact
+    (counts and int64 products summed distributively), so the oracle hash
+    can't drift: returns one row ``(m, intra, q_nano)`` with
+    ``q_nano = floor(Q·1e9)``.
+
+    Scale shape: two edge⋈community joins (community table is
+    vertex-partitioned, never broadcast), one tiny per-community groupby
+    each side, one join on community for the Kout·Kin products. No stage
+    materializes more than the edge table itself.
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    e = _join_safe(edges.select_columns(["src", "dst"]), num_partitions)
+    comm = _join_safe(communities, num_partitions).materialize()
+    m = e.count()
+    if m == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "m": pa.array([0], pa.int64()),
+            "intra": pa.array([0], pa.int64()),
+            "q_nano": pa.array([0], pa.int64()),
+        }))
+    es = _join_safe(
+        e.join(comm, "inner", num_partitions, on=("src",), right_on=("vertex",))
+        .rename_columns({"community": "c_src"}),
+        num_partitions,
+    ).materialize()
+    ed = es.join(comm, "inner", num_partitions, on=("dst",), right_on=("vertex",))
+
+    def intra_partial(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch["c_src"], batch["community"])
+        n = int(pc.sum(same).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    intra = sum(
+        r["n"] for r in
+        ed.map_batches(intra_partial, batch_format="pyarrow").take_all()
+    )
+    kout = (
+        es.map_batches(lambda t: pa.table({"community": t["c_src"]}),
+                       batch_format="pyarrow")
+        .groupby("community").aggregate(Count(alias_name="kout"))
+    )
+    kin = (
+        e.join(comm, "inner", num_partitions, on=("dst",), right_on=("vertex",))
+        .map_batches(lambda t: pa.table({"community": t["community"]}),
+                     batch_format="pyarrow")
+        .groupby("community").aggregate(Count(alias_name="kin"))
+    )
+    prod = _join_safe(kout, num_partitions).join(
+        _join_safe(kin, num_partitions), "inner", num_partitions,
+        on=("community",))
+
+    def mul(batch: pa.Table) -> pa.Table:
+        a = batch["kout"].to_numpy(zero_copy_only=False)
+        b = batch["kin"].to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(a * b, pa.int64())})
+
+    s = sum(r["p"] for r in
+            prod.map_batches(mul, batch_format="pyarrow").take_all())
+    q = intra / m - s / (m * m)
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "intra": pa.array([int(intra)], pa.int64()),
+        "q_nano": pa.array([int(np.floor(q * 1e9))], pa.int64()),
+    }))
 
 
 # ---------------------------------------------------------------------------

@@ -190,6 +190,28 @@ def q_graph_cosine_top3(sf_dir: str):
     return analytics.similarity_top_k(derived_edges(sf_dir), k=3, metric="cosine")
 
 
+def q_graph_adamic_adar(sf_dir: str):
+    return analytics.adamic_adar_top_k(derived_edges(sf_dir), k=3)
+
+
+def q_graph_modularity(sf_dir: str):
+    """Modularity of the deterministic c(v) = v % 7 partition (the same
+    assignment rule as ``graph_labels`` — SQL-expressible, so the full
+    integer pipeline is oracle-checked)."""
+    e = derived_edges(sf_dir)
+
+    def assign(batch):
+        import numpy as _np
+        import pyarrow as _pa
+        v = batch["vertex"].to_numpy(zero_copy_only=False)
+        return _pa.table({"vertex": _pa.array(v, _pa.int64()),
+                          "community": _pa.array(v % 7, _pa.int64())})
+
+    comm = analytics.degrees(e).select_columns(["vertex"]).map_batches(
+        assign, batch_format="pyarrow")
+    return analytics.modularity(e, comm)
+
+
 def q_graph_local_clustering(sf_dir: str):
     return analytics.local_triangle_counts(derived_edges(sf_dir))
 
@@ -716,6 +738,8 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_jaccard_top3": q_graph_jaccard_top3,
     "graph_cosine_top3": q_graph_cosine_top3,
+    "graph_adamic_adar": q_graph_adamic_adar,
+    "graph_modularity": q_graph_modularity,
     "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
@@ -840,6 +864,34 @@ ORACLE_SQL = {
                           row_number() OVER (PARTITION BY u ORDER BY score DESC, w ASC) AS rank
                    FROM scored)
         SELECT u, w, score, rank FROM ranked WHERE rank <= 3
+    """,
+    "graph_adamic_adar": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        ind AS (SELECT dst, count(*) AS d FROM e GROUP BY 1),
+        pairs AS (SELECT a.src AS u, b.src AS w, i.d AS d
+                  FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src
+                  JOIN ind i ON i.dst = a.dst),
+        s AS (SELECT u, w, sum(1.0 / ln(d)) AS score FROM pairs GROUP BY 1, 2),
+        q AS (SELECT u, w, CAST(floor(score * 1e6) AS BIGINT) AS score_micro FROM s),
+        ranked AS (SELECT u, w, score_micro,
+                          row_number() OVER (PARTITION BY u
+                                             ORDER BY score_micro DESC, w ASC) AS rank
+                   FROM q)
+        SELECT u, w, score_micro, rank FROM ranked WHERE rank <= 3
+    """,
+    "graph_modularity": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        m AS (SELECT count(*) AS m FROM e),
+        intra AS (SELECT count(*) AS intra FROM e WHERE src % 7 = dst % 7),
+        kout AS (SELECT src % 7 AS c, count(*) AS kout FROM e GROUP BY 1),
+        kin AS (SELECT dst % 7 AS c, count(*) AS kin FROM e GROUP BY 1),
+        s AS (SELECT CAST(sum(kout.kout * kin.kin) AS BIGINT) AS s
+              FROM kout JOIN kin USING (c))
+        SELECT m.m AS m, intra.intra AS intra,
+               CAST(floor((CAST(intra.intra AS DOUBLE) / m.m
+                           - CAST(s.s AS DOUBLE) / (m.m * m.m)) * 1e9) AS BIGINT)
+                   AS q_nano
+        FROM m, intra, s
     """,
     "graph_local_clustering": oracles.local_clustering_sql(DERIVED_EDGES_CTE),
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
