@@ -415,6 +415,52 @@ class GraphShard:
                     changed_any[pos[better]] = True
         return int(changed_any.sum())
 
+    # -- Weighted SSSP (Bellman-Ford min-plus relaxation) -------------------
+
+    def sssp_init(self, seed_table: pa.Table) -> None:
+        """dist = +inf except the (tiny, broadcast) seed table's vertices."""
+        dist = np.full(len(self.verts), np.inf)
+        ids = seed_table["vertex"].to_numpy(zero_copy_only=False)
+        d0 = seed_table["dist"].to_numpy(zero_copy_only=False)
+        mine = (ids % self.num_parts) == self.part
+        pos = self._validated_positions(ids[mine], "SSSP source")
+        dist[pos] = d0[mine]
+        self.state["dist"] = dist
+
+    def sssp_scatter(self, first_round: bool):
+        """Per-edge relaxation values dist[src] + w (hop weight 1 on
+        unweighted layouts), min-combined per destination segment — the
+        min-plus counterpart of ``wcc_scatter``. inf + w = inf, so
+        unreached sources are inert without any masking."""
+        dist = self.state["dist"]
+        sc = self.fwd
+        vals = dist[sc.src_pos]
+        if sc.w_sorted is not None:
+            vals = vals + sc.w_sorted
+        else:
+            vals = vals + 1.0
+        mins = sc.segment_mins(vals)
+        return sc.per_part(mins, first_round)
+
+    def sssp_apply(self, *sender_payloads) -> int:
+        incoming = [pl[self.part] for pl in sender_payloads]
+        dist = self.state["dist"]
+        changed_any = np.zeros(len(dist), dtype=bool)
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, mins = payload
+                pos = self._positions("fwd", sender, ids)
+            else:
+                mins = payload
+                pos = self._positions("fwd", sender, None)
+            if len(mins):
+                cur = dist[pos]
+                better = mins < cur
+                if better.any():
+                    dist[pos[better]] = mins[better]
+                    changed_any[pos[better]] = True
+        return int(changed_any.sum())
+
     # -- Label propagation (mode of neighbor labels, smallest-label ties) --
 
     def lp_init(self, seed_tables: list[pa.Table] | None) -> None:
@@ -1532,6 +1578,66 @@ class ShardedGraph:
                 return ck["iteration"]
         init_fn()
         return 0
+
+    def sssp(self, sources, *, max_iterations: int | None = None,
+             checkpoint_dir: str | None = None, checkpoint_every: int = 5,
+             resume: bool = False):
+        """Single/multi-source shortest paths by synchronous Bellman-Ford
+        relaxation (min-plus supersteps on the same scatter machinery as
+        :meth:`weakly_connected_components`): per round,
+        ``dist(v) ← min(dist(v), min over u→v of dist(u) + w(u,v))`` with
+        ``w ≡ 1`` on unweighted layouts (hop distance = BFS levels).
+        Weighted layouts require strictly positive weights (enforced at
+        layout build), so the relaxation converges in ≤ |V| rounds with no
+        negative-cycle cases. Rounds are idempotent min-reductions, so a
+        resumed run converges to the identical fixpoint from any checkpoint
+        (the same lineage/manifest discipline as WCC). Distances are exact
+        left-fold float sums along each path — deterministic at any
+        parallelism (min of identical candidate sets).
+
+        ``sources``: iterable of vertex ids (distance 0) or a
+        ``{vertex: starting_distance}`` mapping. Returns
+        ``Dataset(vertex, dist)`` over REACHED vertices only.
+        """
+        import ray.data
+
+        if isinstance(sources, dict):
+            items = sorted((int(k), float(v)) for k, v in sources.items())
+        else:
+            items = sorted((int(v), 0.0) for v in set(sources))
+        if not items:
+            raise ValueError("sssp needs at least one source vertex")
+        seed_table = pa.table({
+            "vertex": pa.array([i[0] for i in items], pa.int64()),
+            "dist": pa.array([i[1] for i in items], pa.float64()),
+        })
+        iteration = self._init_or_resume(
+            "dist", "dist", checkpoint_dir, resume,
+            lambda: ray.get([s.sssp_init.remote(seed_table) for s in self.shards]),
+        )
+        first = True
+        while True:
+            t0 = time.perf_counter()
+            changed = sum(self._exchange("sssp_scatter", "sssp_apply", first))
+            first = False
+            iteration += 1
+            self.metrics.append(
+                RoundMetrics(iteration, float(changed), time.perf_counter() - t0,
+                             {"algo": "sssp"})
+            )
+            done = changed == 0 or (max_iterations is not None and iteration >= max_iterations)
+            if checkpoint_dir and (iteration % checkpoint_every == 0 or done):
+                self._write_checkpoint(checkpoint_dir, "dist", "dist", iteration,
+                                       float(changed))
+            if done:
+                break
+
+        def finite_only(batch: pa.Table) -> pa.Table:
+            d = batch["dist"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isfinite(d)))
+
+        return self._state_dataset("dist", "dist").map_batches(
+            finite_only, batch_format="pyarrow")
 
     # -- Label propagation -------------------------------------------------
 

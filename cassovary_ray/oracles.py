@@ -726,3 +726,31 @@ def effective_diameter_sql(edges_cte: str, max_distance: int,
                    WHERE distance = (SELECT t FROM hit) - 1))
             END AS eff_diameter
     """
+
+
+def sssp_sql(wedges_cte: str, sources: dict[int, float], rounds: int) -> str:
+    """Unrolled Bellman-Ford over weighted edges (src, dst, w): ``rounds``
+    min-plus relaxations from the seed distances — exactly
+    ``ShardedGraph.sssp(max_iterations=rounds)``. Each round's candidate set
+    (previous dist ∪ relaxed sums) is identical to the engine's, and every
+    path distance is the same left-fold float sum, so the doubles agree
+    bitwise. Returns (vertex, dist) over reached vertices."""
+    seed_rows = " UNION ALL ".join(
+        f"SELECT CAST({int(v)} AS BIGINT) AS vertex, CAST({float(d)!r} AS DOUBLE) AS dist"
+        for v, d in sorted(sources.items())
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({wedges_cte})",
+        f"d0 AS MATERIALIZED ({seed_rows})",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT vertex, min(dist) AS dist FROM ("
+            f"  SELECT vertex, dist FROM d{p}"
+            f"  UNION ALL"
+            f"  SELECT e.dst AS vertex, d.dist + e.w AS dist"
+            f"  FROM d{p} d JOIN e ON e.src = d.vertex"
+            f") GROUP BY vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, dist FROM d{rounds}"

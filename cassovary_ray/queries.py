@@ -246,6 +246,19 @@ def q_graph_pagerank_weighted(sf_dir: str):
         return g.pagerank(max_iterations=10, tolerance=0.0)
 
 
+SSSP_SOURCES = {0: 0.0}
+SSSP_ROUNDS = 8
+
+
+def q_graph_sssp(sf_dir: str):
+    # pinned 8 min-plus relaxation rounds over the multiplicity-weighted
+    # derived graph; distances are identical left-fold float sums on both
+    # sides, so the oracle compares doubles bitwise
+    lay = _ensure_layout(sf_dir, "weighted")
+    with ShardedGraph(lay) as g:
+        return g.sssp(SSSP_SOURCES, max_iterations=SSSP_ROUNDS)
+
+
 def q_graph_wcc(sf_dir: str):
     lay = _ensure_layout(sf_dir, "undirected")
     with ShardedGraph(lay) as g:
@@ -743,6 +756,7 @@ QUERIES = {
     "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
+    "graph_sssp": q_graph_sssp,
     "graph_ppr": q_graph_ppr,
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
@@ -899,6 +913,7 @@ ORACLE_SQL = {
     "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
         DERIVED_WEDGES_CTE, iterations=10),
     "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),
+    "graph_sssp": oracles.sssp_sql(DERIVED_WEDGES_CTE, SSSP_SOURCES, SSSP_ROUNDS),
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
