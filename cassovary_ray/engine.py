@@ -828,6 +828,221 @@ class GraphShard:
         self._walk_trace = []
         self._walkers = None
 
+    # -- node2vec second-order walks (Grover & Leskovec 2016) ---------------
+    #
+    # The biased step needs, at current vertex v with previous vertex t,
+    # the distance-class of every candidate x ∈ N(v) w.r.t. t:
+    # x == t → weight 1/p, x ∈ N(t) → 1, else → 1/q. N(t) lives on
+    # shard(t), so each step is TWO exchanges: phase A at shard(v) gathers
+    # the (hub-pruned) candidate list and routes pending walkers to
+    # shard(prev); phase B at shard(t) classifies candidates against N(t)
+    # (vectorized rank-composite membership — no per-walker Python) and
+    # samples. Sampling is integer-exact: a walker's candidate classes are
+    # COUNTED (n_ret, n_in, n_out), the class drawn from the three-term
+    # weight scalar, and the k-th member of the class selected through
+    # exact integer cumulative ranks — no float prefix sums whose grouping
+    # could differ with partition count, so results are bit-identical at
+    # any P. Payload per pending walker is its candidate list: O(deg(v));
+    # at corpus scale node2vec REQUIRES max_out_deg hub pruning, which
+    # bounds the exchange by cap × walkers (the same power-law guard as
+    # Traverser.scala:93-102).
+
+    def n2v_build(self) -> None:
+        """Per-vertex dst-SORTED neighbor array (the membership/searchsorted
+        form; ``_walk_nbrs`` keeps layout order because first-order walk
+        tests pin sampling positions). One extra int64 edge-sized array."""
+        self.walk_build()
+        if "_n2v_nbrs" in self.__dict__:
+            return
+        seg = np.repeat(np.arange(len(self.verts)),
+                        np.diff(self._walk_indptr))
+        order = np.lexsort((self._walk_nbrs, seg))
+        self._n2v_nbrs = self._walk_nbrs[order]
+
+    def _n2v_empty(self):
+        e = np.empty(0, np.int64)
+        return {"res": [(e, e, e, e)] * self.num_parts,
+                "pend": [(e, e, e, e, e, e)] * self.num_parts}
+
+    def n2v_step_a(self, step: int, seed: int, reset_prob: float,
+                   max_out_deg: int | None, last: bool, *payloads):
+        """Visit + route: resolved walkers (reset / dangling / hub-pruned /
+        no-prev) sample uniformly here and go to shard(next); the rest go
+        to shard(prev) with their candidate list for phase B."""
+        from cassovary_ray.hashing import counter_rng_uniform
+
+        self.n2v_build()
+        parts = []
+        if self._walkers:
+            w = self._walkers
+            parts.append((w[0], w[1], w[2], w[3]))
+            self._walkers = None
+        for pl in payloads:
+            sl = pl["res"][self.part] if isinstance(pl, dict) else pl[self.part]
+            if len(sl[0]):
+                parts.append(sl[:4])
+        if not parts:
+            return self._n2v_empty()
+        wid = np.concatenate([p[0] for p in parts])
+        start = np.concatenate([p[1] for p in parts])
+        cur = np.concatenate([p[2] for p in parts])
+        prev = np.concatenate([p[3] for p in parts])
+
+        pos = np.searchsorted(self.verts, cur)
+        np.add.at(self._walk_visits, pos, 1)
+        if self._walk_track_trace:
+            self._walk_trace.append((wid, step, cur, self._walk_replica))
+        if last:
+            return self._n2v_empty()
+
+        indptr = self._walk_indptr
+        deg = (indptr[pos + 1] - indptr[pos]).astype(np.int64)
+        u_reset = counter_rng_uniform(seed, wid.astype(np.uint64), 4 * step)
+        reset = (u_reset < reset_prob) | (deg == 0)
+        if max_out_deg is not None:
+            too_many = deg > max_out_deg
+            if not self._walk_filter_home:
+                hp = np.searchsorted(self._walk_homes_arr, cur)
+                at_home = (hp < len(self._walk_homes_arr)) & (
+                    self._walk_homes_arr[np.minimum(hp, len(self._walk_homes_arr) - 1)] == cur
+                )
+                too_many &= ~at_home
+            reset |= too_many
+        first_order = reset | (prev < 0)
+
+        out = self._n2v_empty()
+        # resolved: uniform sample from the SORTED neighbor array
+        if first_order.any():
+            f = first_order
+            u_nbr = counter_rng_uniform(seed, wid[f].astype(np.uint64), 4 * step + 1)
+            degf = deg[f]
+            idx = indptr[pos[f]] + np.minimum(
+                (u_nbr * np.maximum(degf, 1)).astype(np.int64),
+                np.maximum(degf - 1, 0),
+            )
+            if len(self._n2v_nbrs):
+                sampled = self._n2v_nbrs[np.minimum(idx, len(self._n2v_nbrs) - 1)]
+            else:
+                sampled = start[f]
+            rs = reset[f]
+            nxt = np.where(rs, start[f], sampled)
+            prev_out = np.where(rs, -1, cur[f])
+            dest = nxt % self.num_parts
+            order = np.argsort(dest, kind="stable")
+            wf, sf, nf, pf, df = (wid[f][order], start[f][order], nxt[order],
+                                  prev_out[order], dest[order])
+            bounds = np.searchsorted(df, np.arange(self.num_parts + 1))
+            out["res"] = [
+                (wf[bounds[q]:bounds[q + 1]], sf[bounds[q]:bounds[q + 1]],
+                 nf[bounds[q]:bounds[q + 1]], pf[bounds[q]:bounds[q + 1]])
+                for q in range(self.num_parts)
+            ]
+        # pending: ship candidate lists to shard(prev)
+        if (~first_order).any():
+            g = ~first_order
+            wg, sg, cg, pg = wid[g], start[g], cur[g], prev[g]
+            lg, ng = indptr[pos[g]], deg[g]
+            dest = pg % self.num_parts
+            order = np.argsort(dest, kind="stable")
+            wg, sg, cg, pg = wg[order], sg[order], cg[order], pg[order]
+            lg, ng, dest = lg[order], ng[order], dest[order]
+            csum = np.cumsum(ng) - ng
+            gidx = np.arange(int(ng.sum())) + np.repeat(lg - csum, ng)
+            cand = self._n2v_nbrs[gidx]
+            cand_bounds = np.r_[0, np.cumsum(ng)]
+            bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
+            pend = []
+            for q in range(self.num_parts):
+                lo, hi = bounds[q], bounds[q + 1]
+                pend.append((wg[lo:hi], sg[lo:hi], cg[lo:hi], pg[lo:hi],
+                             ng[lo:hi], cand[cand_bounds[lo]:cand_bounds[hi]]))
+            out["pend"] = pend
+        return out
+
+    def n2v_step_b(self, step: int, seed: int, p_return: float, q_inout: float,
+                   *a_outs):
+        """Classify candidates against N(prev) and sample the biased step."""
+        from cassovary_ray.hashing import counter_rng_uniform
+
+        self.n2v_build()
+        parts = [pl["pend"][self.part] for pl in a_outs]
+        parts = [p for p in parts if len(p[0])]
+        e = np.empty(0, np.int64)
+        if not parts:
+            return [(e, e, e, e)] * self.num_parts
+        wid = np.concatenate([p[0] for p in parts])
+        start = np.concatenate([p[1] for p in parts])
+        cur = np.concatenate([p[2] for p in parts])
+        prev = np.concatenate([p[3] for p in parts])
+        lens = np.concatenate([p[4] for p in parts])
+        cand = np.concatenate([p[5] for p in parts])
+        off = np.r_[0, np.cumsum(lens)]
+        widx = np.repeat(np.arange(len(wid)), lens)
+
+        # membership of each candidate in N(prev) via dense-rank composite
+        # keys (walker_idx * U + rank) — one global searchsorted, no
+        # per-walker loop; keys stay < 2^63 because ranks are dense
+        indptr = self._walk_indptr
+        tpos = np.searchsorted(self.verts, prev)
+        tlo = indptr[tpos]
+        tn = (indptr[tpos + 1] - tlo).astype(np.int64)
+        tcsum = np.cumsum(tn) - tn
+        tgidx = np.arange(int(tn.sum())) + np.repeat(tlo - tcsum, tn)
+        G = self._n2v_nbrs[tgidx]
+        gwidx = np.repeat(np.arange(len(wid)), tn)
+        u = np.unique(np.concatenate([G, cand]))
+        U = np.int64(len(u) + 1)
+        keyG = gwidx * U + np.searchsorted(u, G)
+        keyX = widx * U + np.searchsorted(u, cand)
+        ins = np.searchsorted(keyG, keyX)
+        if len(keyG):
+            member = (ins < len(keyG)) & (keyG[np.minimum(ins, len(keyG) - 1)] == keyX)
+        else:
+            member = np.zeros(len(keyX), dtype=bool)
+
+        is_ret = cand == prev[widx]
+        is_in = member & ~is_ret
+        is_out = ~member & ~is_ret
+        # integer-exact class counts per walker (np.add.reduceat over
+        # per-candidate 0/1; off[:-1] are the segment starts)
+        seg_starts = off[:-1]
+        n_ret = np.add.reduceat(is_ret.astype(np.int64), seg_starts)
+        n_in = np.add.reduceat(is_in.astype(np.int64), seg_starts)
+        n_out = np.add.reduceat(is_out.astype(np.int64), seg_starts)
+        w_total = n_ret / p_return + n_in * 1.0 + n_out / q_inout
+        u_class = counter_rng_uniform(seed, wid.astype(np.uint64), 4 * step + 2)
+        t = u_class * w_total
+        cls = np.where(t < n_ret / p_return, 0,
+                       np.where(t < n_ret / p_return + n_in, 1, 2))
+        u_idx = counter_rng_uniform(seed, wid.astype(np.uint64), 4 * step + 3)
+        n_cls = np.choose(cls, [n_ret, n_in, n_out])
+        k = np.minimum((u_idx * np.maximum(n_cls, 1)).astype(np.int64),
+                       np.maximum(n_cls - 1, 0))
+        # k-th candidate of the drawn class via exact integer cumulative
+        # ranks: global cumsum of the class mask is exact, so the local
+        # target rank base + k + 1 and one searchsorted select it at any P
+        nxt = np.empty(len(wid), np.int64)
+        for mask, c in ((is_ret, 0), (is_in, 1), (is_out, 2)):
+            sel = cls == c
+            if not sel.any():
+                continue
+            cm = np.cumsum(mask.astype(np.int64))
+            base = np.where(seg_starts > 0, cm[seg_starts - 1], 0)
+            target = base[sel] + k[sel] + 1
+            ppos = np.searchsorted(cm, target, side="left")
+            nxt[sel] = cand[ppos]
+        prev_out = cur
+        dest = nxt % self.num_parts
+        order = np.argsort(dest, kind="stable")
+        wid, start, nxt, prev_out, dest = (wid[order], start[order], nxt[order],
+                                           prev_out[order], dest[order])
+        bounds = np.searchsorted(dest, np.arange(self.num_parts + 1))
+        return [
+            (wid[bounds[q]:bounds[q + 1]], start[bounds[q]:bounds[q + 1]],
+             nxt[bounds[q]:bounds[q + 1]], prev_out[bounds[q]:bounds[q + 1]])
+            for q in range(self.num_parts)
+        ]
+
     def walk_trace_scatter(self):
         """Route this shard's trace rows to each walker's home shard
         (walker_id % P) — ONE packed keyed exchange, after which every
@@ -1795,6 +2010,106 @@ class ShardedGraph:
                     for s in self.shards
                 ]
             ray.get(outs)
+        if output == "sequences":
+            routed = [s.walk_trace_scatter.remote() for s in self.shards]
+            return ray.data.from_arrow_refs(
+                [s.walk_sequences_table.remote(walk_length, *routed)
+                 for s in self.shards]
+            )
+        return ray.data.from_arrow_refs(
+            [s.walk_trace_table.remote() for s in self.shards]
+        )
+
+    def _n2v_drive(self, num_steps: int, seed: int, reset_prob: float,
+                   max_out_deg: int | None, p: float, q: float):
+        """Chain the two-phase node2vec supersteps: phase A output feeds
+        both phase B (pending walkers, routed by prev) and the NEXT phase A
+        (resolved walkers, routed by next); phase B output feeds the next
+        phase A. One list of refs carried per step — the driver never
+        touches walker data."""
+        if p <= 0 or q <= 0:
+            raise ValueError("node2vec p and q must be > 0")
+        carry: list = []
+        final = []
+        for step in range(num_steps):
+            last = step == num_steps - 1
+            a_outs = [
+                s.n2v_step_a.remote(step, seed, reset_prob, max_out_deg, last, *carry)
+                for s in self.shards
+            ]
+            if last:
+                final = a_outs
+                break
+            b_outs = [
+                s.n2v_step_b.remote(step, seed, p, q, *a_outs)
+                for s in self.shards
+            ]
+            carry = a_outs + b_outs
+        ray.get(final)
+
+    def node2vec_walks(self, starts: list[int] | dict[int, int], num_steps: int,
+                       *, p: float = 1.0, q: float = 1.0,
+                       reset_prob: float = 0.0, seed: int = 1,
+                       max_out_deg: int | None = None):
+        """node2vec second-order biased walks (Grover & Leskovec, KDD 2016)
+        → visit counts. At vertex v with previous vertex t, a candidate
+        x ∈ N(v) is weighted 1/p if x == t (return), 1 if x ∈ N(t)
+        (BFS-like), 1/q otherwise (DFS-like); the first step from each
+        start (and the step after any reset) is uniform. Reset/dangling/
+        hub-prune semantics match :meth:`random_walks`. Counter-based RNG
+        on (seed, walker, step) with integer-exact class selection makes
+        the result identical at any partition count. Returns
+        ``Dataset(vertex, visits)`` in ``VisitsCounter`` order.
+
+        The reference has no second-order walks (its ``RandomTraverser``
+        is memoryless, ``Traverser.scala:75-136``); this is beyond-reference
+        surface for graph-embedding corpus generation. At corpus scale set
+        ``max_out_deg``: the phase-B exchange ships each pending walker's
+        candidate list, so the cap bounds payloads exactly like the
+        reference's ``RandomWalkParams.maxNumEdgesThresh`` bounds its walks.
+        """
+        import ray.data
+
+        if isinstance(starts, dict):
+            wid = np.array(sorted(starts), dtype=np.int64)
+            st = np.array([starts[w] for w in wid], dtype=np.int64)
+        else:
+            wid = np.arange(len(starts), dtype=np.int64)
+            st = np.asarray(starts, dtype=np.int64)
+        ray.get([s.walk_reset_counts.remote() for s in self.shards])
+        dropped = sum(ray.get([
+            s.walk_seed.remote(wid, st, False, False, False)
+            for s in self.shards
+        ]))
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "node2vec_walks: dropped %d walker(s) whose start vertex is "
+                "not in the graph", dropped)
+        self._n2v_drive(num_steps, seed, reset_prob, max_out_deg, p, q)
+        visits = ray.data.from_arrow_refs(
+            [s.walk_visits_table.remote() for s in self.shards]
+        )
+        return visits.sort(["visits", "vertex"], descending=[True, False])
+
+    def node2vec_corpus(self, *, walks_per_vertex: int = 1, walk_length: int = 10,
+                        p: float = 1.0, q: float = 1.0, seed: int = 1,
+                        reset_prob: float = 0.0, max_out_deg: int | None = None,
+                        output: str = "long"):
+        """node2vec training corpus: ``walks_per_vertex`` biased walks from
+        EVERY vertex — the :meth:`walk_corpus` pipeline with second-order
+        steps. Same shard-local seeding, trace recording and (for
+        ``output="sequences"``) one keyed assembly exchange; feed the
+        sequences to :func:`cassovary_ray.textops.skipgram_pairs`."""
+        import ray.data
+
+        if output not in ("long", "sequences"):
+            raise ValueError("output must be 'long' or 'sequences'")
+        ray.get([s.walk_reset_counts.remote() for s in self.shards])
+        for k in range(walks_per_vertex):
+            ray.get([s.walk_seed_all.remote(k) for s in self.shards])
+            self._n2v_drive(walk_length, seed + k, reset_prob, max_out_deg, p, q)
         if output == "sequences":
             routed = [s.walk_trace_scatter.remote() for s in self.shards]
             return ray.data.from_arrow_refs(

@@ -309,6 +309,15 @@ def q_graph_walk_corpus(sf_dir: str):
         return corpus.sort(["walker_id", "walk", "step"])
 
 
+def q_graph_node2vec(sf_dir: str):
+    # second-order biased walks (rows-only gate entry — RNG-defined like
+    # graph_walk_visits; bit-exact simulator cross-check in test_node2vec.py)
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.node2vec_walks([0] * 64, 50, p=0.5, q=2.0,
+                                reset_prob=0.15, seed=11).to_pandas()
+
+
 def q_graph_skipgram(sf_dir: str):
     # DeepWalk → word2vec training pairs: walk corpus assembled to sequences
     # (one keyed exchange), then vectorized windowed pair counts. RNG-defined
@@ -764,6 +773,7 @@ QUERIES = {
     "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
     "graph_walk_corpus": q_graph_walk_corpus,
+    "graph_node2vec": q_graph_node2vec,
     "graph_skipgram": q_graph_skipgram,
     "graph_neighborhood": q_graph_neighborhood,
     "graph_effective_diameter": q_graph_effective_diameter,
