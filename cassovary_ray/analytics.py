@@ -253,7 +253,13 @@ def _oriented_edges(edges, num_partitions: int):
     canonical undirected dedup, per-vertex degree, and orientation a→b where
     a precedes b in (deg, id) order (bounds wedge fan-out to O(m^1.5))."""
     und = _join_safe(undirected_canonical_edges(edges), num_partitions)
+    return _orient_und(und, num_partitions)
 
+
+def _orient_und(und, num_partitions: int):
+    """Degree-order an already-canonical, join-safe undirected edge Dataset
+    (body of :func:`_oriented_edges`; also entered per peel round by
+    :func:`k_truss`, whose working edge set is canonical by construction)."""
     # undirected degree per vertex (each canonical edge touches both ends)
     def ends(batch: pa.Table) -> pa.Table:
         return pa.table({"vertex": pa.concat_arrays(
@@ -353,23 +359,13 @@ def triangle_count(edges, num_partitions: int | None = None) -> int:
     return int(parts["triangles"].sum())
 
 
-def local_triangle_counts(edges, num_partitions: int | None = None):
-    """Per-vertex exact triangle counts + local clustering coefficient over
-    the undirected view: ``Dataset(vertex, triangles, lcc)`` for every vertex
-    with ≥1 undirected edge.
-
-    Same degree-ordered orientation as :func:`triangle_count`, but the wedge
-    rows KEEP their center vertex; the closing-edge check is an inner join of
-    the wedge table against the oriented edge set on the (deg,id)-ordered
-    pair, and each matched triangle credits its three corners (the per-node
-    variant of ``TriangleCount.scala``'s global count — global transitivity
-    and per-vertex lcc come from the same machinery). Wedge-table size is
-    bounded O(m^1.5) by the orientation, so the join is scale-shaped.
-    lcc = 2·t / (deg·(deg−1)), 0 when deg < 2 (deg = dedup'd undirected).
-    """
-    num_partitions = _auto_partitions(num_partitions)
-    deg, oriented = _oriented_edges(edges, num_partitions)
-
+def _matched_triangles(oriented, num_partitions: int):
+    """``Dataset(u, v, center)`` — one row per triangle of the undirected
+    graph whose degree-ordered orientation is ``oriented`` (the ``(a, b,
+    deg_b)`` Dataset from :func:`_orient_und`): wedges (u, v) around each
+    center, inner-joined against the oriented edge set on the
+    (deg,id)-ordered pair (u precedes v in that order). Wedge-table size is
+    bounded O(m^1.5) by the orientation, so the join is scale-shaped."""
     wedge_pairs = oriented.join(
         oriented, "inner", num_partitions, on=("a",), left_suffix="_l", right_suffix="_r"
     )
@@ -387,11 +383,34 @@ def local_triangle_counts(edges, num_partitions: int | None = None):
 
     wedges = _join_safe(wedge_pairs.map_batches(wedge, batch_format="pyarrow"),
                         num_partitions)
+    if wedges.count() == 0:
+        # wedge-free graph (e.g. triangle-free with no shared centers): a
+        # fully-empty join side has schema-less blocks acero rejects
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "center": pa.array([], pa.int64())}))
     closing = oriented.map_batches(
         lambda t: pa.table({"u": t["a"], "v": t["b"]}), batch_format="pyarrow"
     )
     closing = _join_safe(closing, num_partitions)
-    matched = wedges.join(closing, "inner", num_partitions, on=("u", "v"))
+    return wedges.join(closing, "inner", num_partitions, on=("u", "v"))
+
+
+def local_triangle_counts(edges, num_partitions: int | None = None):
+    """Per-vertex exact triangle counts + local clustering coefficient over
+    the undirected view: ``Dataset(vertex, triangles, lcc)`` for every vertex
+    with ≥1 undirected edge.
+
+    Same degree-ordered orientation as :func:`triangle_count`, but the wedge
+    rows KEEP their center vertex (:func:`_matched_triangles`), and each
+    matched triangle credits its three corners (the per-node variant of
+    ``TriangleCount.scala``'s global count — global transitivity and
+    per-vertex lcc come from the same machinery).
+    lcc = 2·t / (deg·(deg−1)), 0 when deg < 2 (deg = dedup'd undirected).
+    """
+    num_partitions = _auto_partitions(num_partitions)
+    deg, oriented = _oriented_edges(edges, num_partitions)
+    matched = _matched_triangles(oriented, num_partitions)
 
     def corners(batch: pa.Table) -> pa.Table:
         return pa.table({"vertex": pa.concat_arrays([
@@ -427,6 +446,76 @@ def local_triangle_counts(edges, num_partitions: int | None = None):
                          "lcc": pa.array(lcc, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _pair_partial_counts(ds, out: str):
+    """Per-batch pre-aggregation of ``(src, dst)`` pair multiplicities
+    (lexsort + run-length fold), then one small global groupby — the
+    two-key analogue of :func:`_partial_counts`."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        cnts = np.diff(np.r_[starts, len(s)])
+        return pa.table({"src": pa.array(s[starts], pa.int64()),
+                         "dst": pa.array(d[starts], pa.int64()),
+                         "partial": pa.array(cnts, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("partial", alias_name=out))
+    )
+
+
+def _edge_supports(und, num_partitions: int):
+    """``Dataset(src, dst, support)`` — triangle count per canonical
+    undirected edge, for edges in ≥1 triangle only. ``und`` must be
+    canonical (src<dst, dedup'd, loop-free) and join-safe."""
+    _deg, oriented = _orient_und(und, num_partitions)
+    matched = _matched_triangles(oriented, num_partitions)
+
+    def tri_edges(batch: pa.Table) -> pa.Table:
+        # (u, v) are (deg,id)-ordered, not id-ordered — re-canonicalize each
+        # of the triangle's three edges to (min,max)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = batch["center"].to_numpy(zero_copy_only=False)
+        s = np.concatenate([np.minimum(u, v), np.minimum(c, u), np.minimum(c, v)])
+        d = np.concatenate([np.maximum(u, v), np.maximum(c, u), np.maximum(c, v)])
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    return _pair_partial_counts(
+        matched.map_batches(tri_edges, batch_format="pyarrow"), "support")
+
+
+def edge_triangle_supports(edges, num_partitions: int | None = None):
+    """Triangle support per canonical undirected edge:
+    ``Dataset(src, dst, support)`` for EVERY undirected edge (0 where the
+    edge closes no triangle) — the per-edge sibling of
+    :func:`local_triangle_counts` and the primitive :func:`k_truss` peels on
+    (Cohen, *Graph Twiddling in a MapReduce World*, CiSE 2009)."""
+    P = _auto_partitions(num_partitions)
+    und = _join_safe(undirected_canonical_edges(edges), P)
+    sup = _join_safe(_edge_supports(und, P), P)
+    if sup.count() == 0:
+        # triangle-free graph: left join against a fully-empty right side
+        # trips acero's empty-schema blocks; attach support=0 directly
+        return und.map_batches(
+            lambda b: b.append_column(
+                "support", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow",
+        )
+    joined = und.join(sup, "left_outer", P, on=("src", "dst"))
+    return joined.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "support": pc.fill_null(b["support"], 0)}),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1228,6 +1317,49 @@ def k_core(edges, k: int, max_rounds: int = 64,
         e = _join_safe(e.join(good, "left_semi", P, on=("src",), right_on=("vertex",)), P)
         e = _join_safe(e.join(good, "left_semi", P, on=("dst",), right_on=("vertex",)), P)
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def k_truss(edges, k: int, max_rounds: int = 32,
+            num_partitions: int | None = None):
+    """Edges of the undirected ``k``-truss: ``(src, dst, support)`` where
+    every edge participates in ≥ k−2 triangles *within* the truss subgraph
+    (support is the edge's triangle count inside the fixpoint set).
+
+    Iterative peeling as Dataset rounds (Cohen, *Graph Twiddling in a
+    MapReduce World*, CiSE 2009): per round one degree-ordered orientation +
+    wedge/edge triangle enumeration (O(m^1.5) wedge bound, the
+    :func:`triangle_count` machinery) + per-edge support groupby, dropping
+    edges with support < k−2; terminates when a round removes nothing.
+    Raises RuntimeError at ``max_rounds`` so a pinned-round SQL unroll is
+    guaranteed to cover the fixpoint whenever this returns (the
+    :func:`k_core` discipline)."""
+    P = _auto_partitions(num_partitions)
+    work = _join_safe(undirected_canonical_edges(edges), P)
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    if k <= 2:
+        # every edge trivially qualifies; still report fixpoint supports
+        return edge_triangle_supports(edges, num_partitions=P)
+    n = work.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            return empty
+        sup = _join_safe(_edge_supports(work, P), P)
+
+        def keep(batch: pa.Table, kk: int = k) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch["support"], kk - 2))
+
+        surv = _join_safe(sup.map_batches(keep, batch_format="pyarrow"), P)
+        m = surv.count()
+        if m == n:
+            # nothing peeled: work was already the truss, and sup was
+            # computed within it — surv carries the fixpoint supports
+            return surv
+        if m == 0:
+            return empty
+        work, n = surv.select_columns(["src", "dst"]), m
+    raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
 
 
 # ---------------------------------------------------------------------------

@@ -605,6 +605,54 @@ def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
         f"\nSELECT src AS vertex, count(*) AS degree FROM u{rounds} GROUP BY 1")
 
 
+def edge_supports_sql(edges_cte: str) -> str:
+    """Triangle support per canonical undirected edge
+    (``analytics.edge_triangle_supports``): enumerate triangles a<b<c over
+    the canonical edge set with a 3-way self-join, credit each triangle's
+    three edges, left-join back so triangle-free edges report 0."""
+    return f"""
+        WITH e AS ({edges_cte}),
+        cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,
+                            greatest(src, dst) AS dst FROM e WHERE src <> dst),
+        tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                FROM cu ab JOIN cu bc ON bc.src = ab.dst
+                JOIN cu ac ON ac.src = ab.src AND ac.dst = bc.dst),
+        te AS (SELECT a AS src, b AS dst FROM tri
+               UNION ALL SELECT a, c FROM tri
+               UNION ALL SELECT b, c FROM tri),
+        sup AS (SELECT src, dst, count(*) AS support FROM te GROUP BY 1, 2)
+        SELECT cu.src, cu.dst, coalesce(sup.support, 0) AS support
+        FROM cu LEFT JOIN sup USING (src, dst)
+    """
+
+
+def k_truss_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-truss peeling (``analytics.k_truss``): per round a triangle
+    enumeration over the surviving canonical edge set + per-edge support
+    count, keeping edges with support ≥ k−2. The Ray side raises if it hasn't
+    converged within its own round bound, so a ``rounds`` ≥ that bound unroll
+    always covers the fixpoint; the final round's support column is computed
+    over an already-fixed edge set, matching the Ray side's fixpoint supports.
+    Integer-only."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "cu0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e WHERE src <> dst)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c"
+            f" FROM cu{r} ab JOIN cu{r} bc ON bc.src = ab.dst"
+            f" JOIN cu{r} ac ON ac.src = ab.src AND ac.dst = bc.dst)")
+        parts.append(
+            f"cu{r + 1} AS MATERIALIZED (SELECT src, dst, count(*) AS support"
+            f" FROM (SELECT a AS src, b AS dst FROM tri{r}"
+            f" UNION ALL SELECT a, c FROM tri{r}"
+            f" UNION ALL SELECT b, c FROM tri{r})"
+            f" GROUP BY 1, 2 HAVING count(*) >= {k - 2})")
+    return ",\n".join(parts) + f"\nSELECT src, dst, support FROM cu{rounds}"
+
+
 def scc_sql(edges_cte: str) -> str:
     """Exact SCC fixpoint via transitive closure: component = min vertex of
     the mutually-reachable set (``analytics.scc`` id convention). Closure is

@@ -619,6 +619,20 @@ def q_graph_kcore(sf_dir: str):
     return analytics.k_core(derived_edges(sf_dir), k=90, max_rounds=10)
 
 
+def q_graph_edge_supports(sf_dir: str):
+    """Triangle support per canonical undirected edge (0 where the edge
+    closes no triangle) — the k-truss peeling primitive."""
+    return analytics.edge_triangle_supports(derived_edges(sf_dir))
+
+
+def q_graph_ktruss(sf_dir: str):
+    """8-truss of the derived graph (real cascade at sf0.01: 7 peel rounds,
+    56,508 → 55,043 edges). max_rounds=10 matches the oracle's 10-round
+    unroll — the query raises rather than silently mismatching if peeling
+    ever needs more (the ``q_graph_kcore`` discipline)."""
+    return analytics.k_truss(derived_edges(sf_dir), k=8, max_rounds=10)
+
+
 def q_graph_scc(sf_dir: str):
     """Strongly connected components (Orzan coloring + backward sweep)."""
     return analytics.scc(derived_edges(sf_dir))
@@ -812,6 +826,8 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "graph_two_hop": q_graph_two_hop,
     "graph_kcore": q_graph_kcore,
+    "graph_edge_supports": q_graph_edge_supports,
+    "graph_ktruss": q_graph_ktruss,
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
@@ -1135,6 +1151,8 @@ ORACLE_SQL = {
         WHERE m.dst <> f.src GROUP BY 1
     """,
     "graph_kcore": oracles.k_core_sql(DERIVED_EDGES_CTE, k=90, rounds=10),
+    "graph_edge_supports": oracles.edge_supports_sql(DERIVED_EDGES_CTE),
+    "graph_ktruss": oracles.k_truss_sql(DERIVED_EDGES_CTE, k=8, rounds=10),
     "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
     "graph_harmonic": oracles.harmonic_sql(

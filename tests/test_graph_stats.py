@@ -237,3 +237,78 @@ def test_scc_chain_of_cycles():
     t = analytics.scc(_edges(pairs))
     got = dict(zip(t["vertex"].to_pylist(), t["component"].to_pylist()))
     assert got == {0: 0, 1: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+# -- k-truss / edge triangle supports (analytics.k_truss) --------------------
+
+
+def _brute_truss(pairs, k):
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in E}
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return sup
+        E = keep
+
+
+def _truss_map(ds):
+    df = ds.to_pandas() if not isinstance(ds, pa.Table) else ds.to_pandas()
+    return {(int(r.src), int(r.dst)): int(r.support) for r in df.itertuples()}
+
+
+def test_k_truss_k5_complete():
+    # K5: every edge closes 3 triangles → 5-truss is all of K5, 6-truss empty
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    got = _truss_map(analytics.k_truss(_edges(k5), k=5, num_partitions=2))
+    assert got == {e: 3 for e in k5}
+    assert len(_truss_map(analytics.k_truss(_edges(k5), k=6))) == 0
+
+
+def test_k_truss_pendant_triangle_peeled():
+    # K4 plus a triangle hanging off edge (0,1): 4-truss peels the pendant
+    # vertex's two edges, and (0,1)'s support drops from 3 back to 2
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = k4 + [(0, 9), (1, 9)]
+    got = _truss_map(analytics.k_truss(_edges(pairs), k=4, num_partitions=2))
+    assert got == {e: 2 for e in k4}
+
+
+def test_k_truss_vs_brute_random():
+    rng = np.random.default_rng(7)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (140, 2))
+                    if a != b})
+    for k in (3, 4, 5):
+        got = _truss_map(analytics.k_truss(_edges(pairs), k=k,
+                                           num_partitions=3))
+        assert got == _brute_truss(pairs, k)
+
+
+def test_k_truss_k2_passthrough_and_supports():
+    # k<=2 keeps every edge; supports still reported (0 for the island edge)
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4)]
+    got = _truss_map(analytics.k_truss(_edges(pairs), k=2))
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1, (3, 4): 0}
+
+
+def test_edge_triangle_supports_zero_fill():
+    # path edges get support 0; triangle-free graphs don't crash the join
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)]
+    got = _truss_map(analytics.edge_triangle_supports(_edges(pairs),
+                                                      num_partitions=2))
+    assert got == {(0, 1): 0, (1, 2): 0, (2, 3): 0,
+                   (10, 11): 1, (11, 12): 1, (10, 12): 1}
+    tri_free = _truss_map(analytics.edge_triangle_supports(
+        _edges([(0, 1), (1, 2)])))
+    assert tri_free == {(0, 1): 0, (1, 2): 0}
+
+
+def test_local_triangles_wedge_free_path():
+    # regression: a path graph has no wedges after orientation; the matched-
+    # triangle join must not see an empty-schema left side
+    df = analytics.local_triangle_counts(_edges([(0, 1), (1, 2)])).to_pandas()
+    assert (df["triangles"] == 0).all() and len(df) == 3
