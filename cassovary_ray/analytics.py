@@ -1097,6 +1097,43 @@ def bfs(edges, sources: list[int], max_depth: int | None = None,
     return visited
 
 
+def ego_net(edges, sources: list[int], radius: int = 1,
+            direction: str = "both", num_partitions: int | None = None):
+    """Induced subgraph of the radius-``radius`` ball around ``sources``:
+    the directed edges ``(src, dst)`` whose BOTH endpoints lie within
+    ``radius`` hops of some source — the ego-network extraction every
+    neighborhood analysis starts from (the reference's per-node
+    ``neighborIds`` expansion generalized to r hops, ``Node.scala``).
+
+    ``direction``: which hops grow the ball — "out" follows edges, "in"
+    follows reversed edges, "both" (default) treats the graph as undirected
+    for reachability. The *induced* edges are always the original directed
+    rows. Two semi-joins against the (small) ball vertex set — no broadcast,
+    scale-shaped at any corpus size."""
+    P = _auto_partitions(num_partitions)
+    edges = edges.materialize()
+    if direction == "out":
+        walk = edges
+    elif direction == "in":
+        walk = edges.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow")
+    elif direction == "both":
+        walk = edges.union(edges.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow"))
+    else:
+        raise ValueError("direction must be 'out', 'in', or 'both'")
+    ball = bfs(walk, sources, max_depth=radius, num_partitions=P)
+    verts = _join_safe(ball.select_columns(["vertex"]), P)
+    e1 = _join_safe(
+        edges.join(verts, "left_semi", P, on=("src",), right_on=("vertex",)), P)
+    if e1.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+    return e1.join(verts, "left_semi", P, on=("dst",), right_on=("vertex",))
+
+
 # ---------------------------------------------------------------------------
 # reciprocity / degree histogram (graph summary statistics)
 # ---------------------------------------------------------------------------

@@ -605,6 +605,30 @@ def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
         f"\nSELECT src AS vertex, count(*) AS degree FROM u{rounds} GROUP BY 1")
 
 
+def ego_net_sql(edges_cte: str, sources: list[int], radius: int) -> str:
+    """Induced directed edges on the radius-``radius`` undirected ball
+    around ``sources`` (``analytics.ego_net`` with direction='both'):
+    unrolled frontier expansion over the both-direction edge list, then
+    two joins inducing the original directed rows."""
+    src_vals = ", ".join(f"({int(s)})" for s in sources)
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "u AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        f"v0 AS (SELECT CAST(vertex AS BIGINT) AS vertex"
+        f" FROM (VALUES {src_vals}) AS t(vertex))",
+    ]
+    for r in range(radius):
+        parts.append(
+            f"v{r + 1} AS MATERIALIZED (SELECT DISTINCT vertex FROM ("
+            f"SELECT vertex FROM v{r}"
+            f" UNION ALL SELECT u.dst AS vertex FROM u"
+            f" JOIN v{r} ON u.src = v{r}.vertex))")
+    return ",\n".join(parts) + (
+        f"\nSELECT e.src, e.dst FROM e"
+        f" JOIN v{radius} a ON a.vertex = e.src"
+        f" JOIN v{radius} b ON b.vertex = e.dst")
+
+
 def edge_supports_sql(edges_cte: str) -> str:
     """Triangle support per canonical undirected edge
     (``analytics.edge_triangle_supports``): enumerate triangles a<b<c over

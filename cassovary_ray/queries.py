@@ -362,6 +362,13 @@ def q_graph_bfs(sf_dir: str):
     return analytics.bfs(derived_edges(sf_dir), [0], max_depth=4)
 
 
+def q_graph_ego_net(sf_dir: str):
+    """Radius-1 undirected ego network of two seed vertices: induced
+    directed edges on the ball."""
+    return analytics.ego_net(derived_edges(sf_dir), [7, 500], radius=1,
+                             direction="both")
+
+
 def q_graph_adjacency_stats(sf_dir: str):
     """Exercises the vectorized adjacency fold: per-src neighbor-list stats
     recomputed FROM the list column (so a wrong fold breaks the values)."""
@@ -505,6 +512,11 @@ def q_doc_token_counts(sf_dir: str):
 
 def q_doc_quality(sf_dir: str):
     return textops.quality_scores(_table(sf_dir, "documents"))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition counts (integer num/denom pairs)."""
+    return textops.repetition_signals(_table(sf_dir, "documents"))
 
 
 def q_doc_langid(sf_dir: str):
@@ -793,6 +805,7 @@ QUERIES = {
     "graph_effective_diameter": q_graph_effective_diameter,
     "graph_anf_hll": q_graph_anf_hll,
     "graph_bfs": q_graph_bfs,
+    "graph_ego_net": q_graph_ego_net,
     "graph_adjacency_stats": q_graph_adjacency_stats,
     "graph_labels": q_graph_labels,
     "graph_numberer": q_graph_numberer,
@@ -804,6 +817,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
+    "doc_repetition": q_doc_repetition,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -935,6 +949,7 @@ ORACLE_SQL = {
     """,
     "graph_local_clustering": oracles.local_clustering_sql(DERIVED_EDGES_CTE),
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
+    "graph_ego_net": oracles.ego_net_sql(DERIVED_EDGES_CTE, [7, 500], radius=1),
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
         DERIVED_WEDGES_CTE, iterations=10),
@@ -990,6 +1005,51 @@ ORACLE_SQL = {
                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
                length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         FROM documents
+    """,
+    "doc_repetition": r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+        lstats AS (
+            SELECT doc_id, count(*) AS n_lines,
+                   count(*) - count(DISTINCT line) AS n_dup_lines,
+                   CAST(sum(length(line)) AS BIGINT) AS total_line_chars
+            FROM lines GROUP BY doc_id),
+        ldup AS (
+            SELECT doc_id,
+                   CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+            FROM (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2)
+            WHERE c > 1 GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, arr, len(arr) AS n FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM d)),
+        g2 AS (
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g FROM (
+                SELECT doc_id, arr, unnest(generate_series(1, n - 1)) AS i
+                FROM toks)),
+        g2top AS (
+            SELECT doc_id, max(c) AS top_2gram_count FROM (
+                SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+            GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+                   || ' ' || arr[i + 3] || ' ' || arr[i + 4] AS g FROM (
+                SELECT doc_id, arr, unnest(generate_series(1, n - 4)) AS i
+                FROM toks)),
+        g5s AS (
+            SELECT doc_id, count(*) - count(DISTINCT g) AS n_dup_5grams
+            FROM g5 GROUP BY doc_id)
+        SELECT d.doc_id, l.n_lines, l.n_dup_lines, l.total_line_chars,
+               coalesce(ld.dup_line_chars, 0) AS dup_line_chars,
+               greatest(t.n - 1, 0) AS n_2grams,
+               coalesce(g2top.top_2gram_count, 0) AS top_2gram_count,
+               greatest(t.n - 4, 0) AS n_5grams,
+               coalesce(g5s.n_dup_5grams, 0) AS n_dup_5grams
+        FROM d JOIN lstats l USING (doc_id) JOIN toks t USING (doc_id)
+        LEFT JOIN ldup ld USING (doc_id)
+        LEFT JOIN g2top USING (doc_id)
+        LEFT JOIN g5s USING (doc_id)
     """,
     "doc_paragraph_dedup": """
         WITH p AS (

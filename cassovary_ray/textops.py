@@ -80,6 +80,50 @@ def quality_scores(docs):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
+def repetition_signals(docs):
+    """Per-doc Gopher-style repetition features (Rae et al. 2021, §A1.1.2),
+    as INTEGER numerator/denominator pairs so the oracle hash is exact:
+
+    - ``n_lines`` / ``n_dup_lines``: '\\n'-split line slots, and slots beyond
+      the first occurrence of each distinct line;
+    - ``total_line_chars`` / ``dup_line_chars``: character mass of all line
+      slots / of the repeated slots;
+    - ``n_2grams`` / ``top_2gram_count``: whitespace-token 2-gram slots and
+      the multiplicity of the most frequent 2-gram;
+    - ``n_5grams`` / ``n_dup_5grams``: 5-gram slots / repeated slots.
+
+    Tokenization mirrors :func:`token_counts` (DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')``). Downstream quality
+    filters divide these into the Gopher fractions; emitting the raw counts
+    keeps the output reduction-order-free."""
+    from collections import Counter
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "n_lines", "n_dup_lines", "total_line_chars", "dup_line_chars",
+            "n_2grams", "top_2gram_count", "n_5grams", "n_dup_5grams")}
+        for t in batch["text"].to_pylist():
+            lines = t.split("\n")
+            lc = Counter(lines)
+            out["n_lines"].append(len(lines))
+            out["n_dup_lines"].append(len(lines) - len(lc))
+            out["total_line_chars"].append(sum(map(len, lines)))
+            out["dup_line_chars"].append(
+                sum((c - 1) * len(s) for s, c in lc.items() if c > 1))
+            toks = _WS_SPLIT.split(t.strip(" "))  # strip(" ") mirrors SQL trim()
+            g2 = Counter(zip(toks, toks[1:]))
+            out["n_2grams"].append(max(len(toks) - 1, 0))
+            out["top_2gram_count"].append(max(g2.values()) if g2 else 0)
+            g5 = Counter(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+            n5 = max(len(toks) - 4, 0)
+            out["n_5grams"].append(n5)
+            out["n_dup_5grams"].append(n5 - len(g5))
+        return pa.table({"doc_id": batch["doc_id"],
+                         **{k: pa.array(v, pa.int64()) for k, v in out.items()}})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
 def exact_dedup(docs):
     """``(text_md5, doc_id)`` — one row per distinct text, keeping the lowest
     doc_id (hash-partitioned dedup; ``groupby(hash).min`` — the

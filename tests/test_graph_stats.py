@@ -312,3 +312,47 @@ def test_local_triangles_wedge_free_path():
     # triangle join must not see an empty-schema left side
     df = analytics.local_triangle_counts(_edges([(0, 1), (1, 2)])).to_pandas()
     assert (df["triangles"] == 0).all() and len(df) == 3
+
+
+# -- ego-net extraction (analytics.ego_net) -----------------------------------
+
+
+def _ego_edges(ds):
+    df = ds.to_pandas() if not isinstance(ds, pa.Table) else ds.to_pandas()
+    return set(zip(df["src"].astype(int), df["dst"].astype(int)))
+
+
+def test_ego_net_out_radius1():
+    pairs = [(0, 1), (0, 2), (1, 3), (3, 4), (10, 11)]
+    got = _ego_edges(analytics.ego_net(_edges(pairs), [0], radius=1,
+                                       direction="out"))
+    assert got == {(0, 1), (0, 2)}
+
+
+def test_ego_net_both_radius():
+    pairs = [(0, 1), (0, 2), (1, 3), (3, 4), (10, 11)]
+    # undirected ball of 4 at r=1: {4,3} → induced edge (3,4)
+    assert _ego_edges(analytics.ego_net(_edges(pairs), [4], radius=1)) \
+        == {(3, 4)}
+    # r=2: {4,3,1} → (1,3),(3,4)
+    assert _ego_edges(analytics.ego_net(_edges(pairs), [4], radius=2)) \
+        == {(1, 3), (3, 4)}
+
+
+def test_ego_net_vs_brute_random():
+    rng = np.random.default_rng(11)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+                    if a != b})
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for sources, r in ([5], 1), ([5, 17], 2):
+        ball = set(sources)
+        frontier = set(sources)
+        for _ in range(r):
+            frontier = {w for v in frontier for w in adj.get(v, ())} - ball
+            ball |= frontier
+        want = {(a, b) for a, b in pairs if a in ball and b in ball}
+        got = _ego_edges(analytics.ego_net(_edges(pairs), sources, radius=r))
+        assert got == want

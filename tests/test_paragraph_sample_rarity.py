@@ -149,3 +149,55 @@ def test_bpe_token_counts():
            for r in textops.bpe_token_counts(docs).take_all()}
     # hand-tokenized with the GPT-2-style coarse split
     assert out == {0: 10, 1: 0, 2: 1, 3: 10}
+
+
+# -- repetition signals (textops.repetition_signals) --------------------------
+
+
+def test_repetition_signals_fixture():
+    # "a b a b\na b a b\nc": lines [x, x, 'c'] → 3 lines, 1 dup slot,
+    # chars 7+7+1=15, dup chars 7; tokens a b a b a b a b c → 8 2-gram
+    # slots, top (a,b)×4; 5 5-gram slots, 3 distinct → 2 dup
+    df = textops.repetition_signals(
+        _docs(["a b a b\na b a b\nc"])).to_pandas()
+    r = df.iloc[0]
+    assert (r.n_lines, r.n_dup_lines, r.total_line_chars, r.dup_line_chars) \
+        == (3, 1, 15, 7)
+    assert (r.n_2grams, r.top_2gram_count, r.n_5grams, r.n_dup_5grams) \
+        == (8, 4, 5, 2)
+
+
+def test_repetition_signals_edge_cases():
+    # empty text: one empty line slot, one empty token, no grams;
+    # no-repeat text: everything distinct
+    df = textops.repetition_signals(
+        _docs(["", "x y z w v u"])).to_pandas().set_index("doc_id")
+    empty = df.loc[0]
+    assert (empty.n_lines, empty.n_dup_lines, empty.total_line_chars,
+            empty.dup_line_chars) == (1, 0, 0, 0)
+    assert (empty.n_2grams, empty.top_2gram_count,
+            empty.n_5grams, empty.n_dup_5grams) == (0, 0, 0, 0)
+    clean = df.loc[1]
+    assert (clean.n_lines, clean.n_dup_lines) == (1, 0)
+    assert (clean.n_2grams, clean.top_2gram_count,
+            clean.n_5grams, clean.n_dup_5grams) == (5, 1, 2, 0)
+
+
+def test_repetition_signals_vs_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from cassovary_ray.queries import ORACLE_SQL
+
+    texts = ["a b a b\na b a b\nc", "", "  lead space\nlead space",
+             "x\tx\nx x x x x x", "one two three four five six seven"]
+    docs = _docs(texts)
+    got = textops.repetition_signals(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = con.sql(ORACLE_SQL["doc_repetition"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
