@@ -1399,6 +1399,68 @@ def k_truss(edges, k: int, max_rounds: int = 32,
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
 
 
+def densest_subgraph(edges, epsilon: float = 0.1, max_rounds: int = 32,
+                     num_partitions: int | None = None):
+    """Greedy (2+2ε)-approximate densest subgraph (Bahmani, Kumar,
+    Vassilvitskii, VLDB 2012): per round drop every vertex of undirected
+    degree ≤ (1+ε)·avg_degree, track the round of maximum density
+    |E(S)|/|S|, return that round's ``(vertex, degree, density)`` (degree
+    within the subgraph; density constant across rows — one integer/integer
+    division, reduction-order-free).
+
+    Each round removes ≥1 vertex (some vertex is ≤ the mean), and the (1+ε)
+    cut guarantees O(log n / ε) rounds. Rounds are the :func:`k_core`
+    dataflow: pre-combined degree groupby + two semi-joins. Raises at
+    ``max_rounds`` so a pinned-round SQL unroll covers the trajectory
+    whenever this returns. Ties in density keep the earliest round."""
+    P = _auto_partitions(num_partitions)
+    und = undirected_canonical_edges(edges)
+    both = und.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(), b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(), b["src"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    e = _join_safe(both, P)
+    best = None  # (density, deg Dataset snapshot)
+    for _ in range(max_rounds):
+        n2 = e.count()  # both-direction rows = 2|E|
+        if n2 == 0:
+            break
+        deg = _join_safe(_partial_counts(e, "src", "deg"), P)
+        nv = deg.count()
+        density = n2 / (2.0 * nv)
+        if best is None or density > best[0]:
+            best = (density, deg)
+        thresh = (1.0 + epsilon) * (n2 / nv)  # (1+ε) × avg undirected degree
+
+        def keep(batch: pa.Table, t: float = thresh) -> pa.Table:
+            return pa.table({"vertex": batch["vertex"].filter(
+                pc.greater(batch["deg"], t))})
+
+        good = _join_safe(deg.map_batches(keep, batch_format="pyarrow"), P)
+        if good.count() == 0:
+            break
+        e = _join_safe(e.join(good, "left_semi", P, on=("src",), right_on=("vertex",)), P)
+        e = _join_safe(e.join(good, "left_semi", P, on=("dst",), right_on=("vertex",)), P)
+    else:
+        raise RuntimeError(
+            f"densest_subgraph did not converge in {max_rounds} rounds")
+    if best is None:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "density": pa.array([], pa.float64())}))
+    density, deg = best
+    return deg.map_batches(
+        lambda b, d=density: pa.table({
+            "vertex": b["vertex"], "degree": b["deg"],
+            "density": pa.array(np.full(len(b), d, np.float64))}),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # connected components over a pair Dataset (hash-min, no layout build)
 # ---------------------------------------------------------------------------

@@ -677,6 +677,48 @@ def k_truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT src, dst, support FROM cu{rounds}"
 
 
+def densest_subgraph_sql(edges_cte: str, epsilon: float, rounds: int) -> str:
+    """Unrolled (1+ε)-peeling densest subgraph
+    (``analytics.densest_subgraph``): per round degrees + scalar
+    (vcnt, ecnt) stats + the ``deg > (1+ε)·avg`` cut, then an argmax over
+    the per-round densities (ties → earliest round). Float expressions
+    mirror the Ray side operation for operation (single divisions of exact
+    integers, so doubles are bitwise-reproducible)."""
+    thresh_mult = repr(1.0 + epsilon)
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e WHERE src <> dst)",
+        "u0 AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT src AS vertex, count(*) AS deg"
+            f" FROM u{r} GROUP BY 1)")
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT count(*) AS vcnt,"
+            f" (SELECT count(*) FROM u{r}) AS ecnt FROM d{r})")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT vertex FROM d{r}, s{r}"
+            f" WHERE deg > {thresh_mult} * (CAST(ecnt AS DOUBLE) / vcnt))")
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT u.src, u.dst FROM u{r} u"
+            f" JOIN g{r} a ON a.vertex = u.src JOIN g{r} b ON b.vertex = u.dst)")
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS r, vcnt, ecnt FROM s{r} WHERE vcnt > 0"
+        for r in range(rounds))
+    allv = " UNION ALL ".join(
+        f"SELECT {r} AS r, vertex, deg FROM d{r}" for r in range(rounds))
+    parts.append(f"stats AS ({stats})")
+    parts.append(
+        "best AS (SELECT r, CAST(ecnt AS DOUBLE) / (2 * vcnt) AS density"
+        " FROM stats ORDER BY density DESC, r ASC LIMIT 1)")
+    parts.append(f"allv AS ({allv})")
+    return ",\n".join(parts) + (
+        "\nSELECT a.vertex, a.deg AS degree, b.density"
+        " FROM allv a, best b WHERE a.r = b.r")
+
+
 def scc_sql(edges_cte: str) -> str:
     """Exact SCC fixpoint via transitive closure: component = min vertex of
     the mutually-reachable set (``analytics.scc`` id convention). Closure is

@@ -54,6 +54,43 @@ DERIVED_EDGES_CTE = f"""
 """
 
 
+# core/periphery split for the densest-subgraph gate: rows with
+# l_orderkey%20==0 land in a dense 89-vertex core (ids 0..88), the rest in a
+# sparse 9973-id periphery — so the greedy peel's argmax lands mid-trajectory
+# (round 3 of 6 at sf0.01), exercising the full density bookkeeping
+SKEWED_EDGES_CTE = """
+    SELECT DISTINCT
+      CASE WHEN l_orderkey % 20 = 0 THEN (l_orderkey * 13 + l_linenumber) % 89
+           ELSE 89 + (l_orderkey * 13 + l_linenumber) % 9973 END AS src,
+      CASE WHEN l_orderkey % 20 = 0 THEN (l_partkey * 31 + l_suppkey * 7) % 89
+           ELSE 89 + (l_partkey * 31 + l_suppkey * 7) % 9973 END AS dst
+    FROM lineitem
+"""
+
+
+def skewed_edges(sf_dir: str):
+    """Core+periphery edge table (matches ``SKEWED_EDGES_CTE`` row for
+    row; self-loops retained — consumers canonicalize)."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        core = (ok % 20) == 0
+        src = np.where(core, (ok * 13 + ln) % 89, 89 + (ok * 13 + ln) % 9973)
+        dst = np.where(core, (pk * 31 + sk * 7) % 89, 89 + (pk * 31 + sk * 7) % 9973)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return analytics.distinct_edges(
+        li.map_batches(kernel, batch_format="pyarrow"), small_domain=True)
+
+
 def derived_edges(sf_dir: str):
     """The deterministic lineitem-derived edge table (matches
     ``DERIVED_EDGES_CTE`` row for row)."""
@@ -645,6 +682,13 @@ def q_graph_ktruss(sf_dir: str):
     return analytics.k_truss(derived_edges(sf_dir), k=8, max_rounds=10)
 
 
+def q_graph_densest(sf_dir: str):
+    """Densest subgraph by (1+ε) greedy peeling over the core/periphery
+    derivation (argmax at round 3 of 6 at sf0.01 — the 89-vertex core)."""
+    return analytics.densest_subgraph(skewed_edges(sf_dir), epsilon=0.1,
+                                      max_rounds=10)
+
+
 def q_graph_scc(sf_dir: str):
     """Strongly connected components (Orzan coloring + backward sweep)."""
     return analytics.scc(derived_edges(sf_dir))
@@ -842,6 +886,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_edge_supports": q_graph_edge_supports,
     "graph_ktruss": q_graph_ktruss,
+    "graph_densest": q_graph_densest,
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
@@ -1213,6 +1258,8 @@ ORACLE_SQL = {
     "graph_kcore": oracles.k_core_sql(DERIVED_EDGES_CTE, k=90, rounds=10),
     "graph_edge_supports": oracles.edge_supports_sql(DERIVED_EDGES_CTE),
     "graph_ktruss": oracles.k_truss_sql(DERIVED_EDGES_CTE, k=8, rounds=10),
+    "graph_densest": oracles.densest_subgraph_sql(
+        SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
     "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
     "graph_harmonic": oracles.harmonic_sql(

@@ -356,3 +356,54 @@ def test_ego_net_vs_brute_random():
         want = {(a, b) for a, b in pairs if a in ball and b in ball}
         got = _ego_edges(analytics.ego_net(_edges(pairs), sources, radius=r))
         assert got == want
+
+
+# -- densest subgraph (analytics.densest_subgraph) ----------------------------
+
+
+def _brute_densest(pairs, eps):
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    best = None
+    while E:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nv = len(deg)
+        density = (2 * len(E)) / (2.0 * nv)
+        if best is None or density > best[0]:
+            best = (density, dict(deg))
+        thresh = (1.0 + eps) * ((2 * len(E)) / nv)
+        keep = {v for v, d in deg.items() if d > thresh}
+        E = {(a, b) for a, b in E if a in keep and b in keep}
+    return best
+
+
+def test_densest_planted_clique():
+    # K8 on 100..107 + sparse 30-vertex periphery: peel finds the clique
+    rng = np.random.default_rng(5)
+    periph = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (25, 2))
+                     if a != b})
+    k8 = [(a, b) for a in range(100, 108) for b in range(100, 108) if a < b]
+    pairs = periph + k8 + [(0, 100)]
+    want_density, want_deg = _brute_densest(pairs, 0.1)
+    df = analytics.densest_subgraph(_edges(pairs), epsilon=0.1,
+                                    num_partitions=2).to_pandas()
+    assert dict(zip(df.vertex.astype(int), df.degree.astype(int))) == want_deg
+    assert set(df.density) == {want_density}
+    assert set(df.vertex) >= set(range(100, 108))
+
+
+def test_densest_vs_brute_random():
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (160, 2))
+                    if a != b})
+    want_density, want_deg = _brute_densest(pairs, 0.1)
+    df = analytics.densest_subgraph(_edges(pairs), epsilon=0.1,
+                                    num_partitions=3).to_pandas()
+    assert dict(zip(df.vertex.astype(int), df.degree.astype(int))) == want_deg
+    assert set(df.density) == {want_density}
+
+
+def test_densest_empty():
+    assert analytics.densest_subgraph(_edges([(1, 1)])).count() == 0
