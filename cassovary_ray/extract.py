@@ -21,6 +21,7 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from cassovary_ray.hashing import hash64_batch
 
@@ -115,6 +116,48 @@ def pages_to_edge_urls(pages_ds):
 def pages_to_edges(pages_ds):
     """Dataset(pages) → Dataset(src:int64, dst:int64) — the engine's edge table."""
     return pages_to_edge_urls(pages_ds).map_batches(hash_edges_batch, batch_format="pyarrow")
+
+
+# host extraction: RE2 both here (pyarrow uses RE2) and in DuckDB's
+# regexp_extract, so the oracle semantics are identical by construction
+_HOST_PATTERN = r"^https?://(?P<host>[^/?#]*)"
+
+
+def host_edges(edge_urls_ds):
+    """``(src_url, dst_url)`` → ``(src_host, dst_host)`` — one row per link,
+    hosts pulled with an RE2 match (rows whose url doesn't parse as http(s)
+    are dropped). Vectorized ``pc.extract_regex``, zero Python per row."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        sh = pc.extract_regex(b["src_url"], _HOST_PATTERN)
+        dh = pc.extract_regex(b["dst_url"], _HOST_PATTERN)
+        keep = pc.and_(pc.is_valid(sh), pc.is_valid(dh))
+        return pa.table({
+            "src_host": pc.struct_field(sh, "host").filter(keep),
+            "dst_host": pc.struct_field(dh, "host").filter(keep),
+        })
+
+    return edge_urls_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def host_graph(edge_urls_ds):
+    """Collapse the page-level link graph to the host level:
+    ``(src_host, dst_host, n_links)`` with per-batch pre-aggregated counts
+    before the global groupby (the degree-combiner discipline) — the
+    standard web-graph reduction feeding host-level PageRank
+    (``hash_edges_batch`` + the engine consume its output directly)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return t.rename_columns(["src_host", "dst_host", "partial"])
+
+    return (
+        host_edges(edge_urls_ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("partial", alias_name="n_links"))
+    )
 
 
 def pages_to_vertices(pages_ds):

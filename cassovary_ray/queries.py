@@ -682,6 +682,25 @@ def q_graph_ktruss(sf_dir: str):
     return analytics.k_truss(derived_edges(sf_dir), k=8, max_rounds=10)
 
 
+def q_web_host_graph(sf_dir: str):
+    """Host-level collapse of a synthetic page-link graph (urls derived
+    deterministically from the edge table): ``(src_host, dst_host,
+    n_links)`` — the web-graph reduction feeding host-level PageRank."""
+    from cassovary_ray import extract
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        # synthetic scaffolding (gate feed), not a hot path — the operator
+        # under test (host_graph) is the vectorized part
+        def mk(col):
+            return pa.array(
+                [f"http://h{v % 53}.test/p/{v}"
+                 for v in b[col].to_numpy(zero_copy_only=False)], pa.string())
+        return pa.table({"src_url": mk("src"), "dst_url": mk("dst")})
+
+    return extract.host_graph(
+        derived_edges(sf_dir).map_batches(to_urls, batch_format="pyarrow"))
+
+
 def q_graph_densest(sf_dir: str):
     """Densest subgraph by (1+ε) greedy peeling over the core/periphery
     derivation (argmax at round 3 of 6 at sf0.01 — the 89-vertex core)."""
@@ -887,6 +906,7 @@ QUERIES = {
     "graph_edge_supports": q_graph_edge_supports,
     "graph_ktruss": q_graph_ktruss,
     "graph_densest": q_graph_densest,
+    "web_host_graph": q_web_host_graph,
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
@@ -1260,6 +1280,19 @@ ORACLE_SQL = {
     "graph_ktruss": oracles.k_truss_sql(DERIVED_EDGES_CTE, k=8, rounds=10),
     "graph_densest": oracles.densest_subgraph_sql(
         SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
+    "web_host_graph": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        urls AS (
+            SELECT 'http://h' || CAST(src % 53 AS VARCHAR) || '.test/p/'
+                   || CAST(src AS VARCHAR) AS src_url,
+                   'http://h' || CAST(dst % 53 AS VARCHAR) || '.test/p/'
+                   || CAST(dst AS VARCHAR) AS dst_url
+            FROM e)
+        SELECT regexp_extract(src_url, '^https?://([^/?#]*)', 1) AS src_host,
+               regexp_extract(dst_url, '^https?://([^/?#]*)', 1) AS dst_host,
+               count(*) AS n_links
+        FROM urls GROUP BY 1, 2
+    """,
     "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),
     "graph_harmonic": oracles.harmonic_sql(

@@ -76,3 +76,57 @@ def test_extraction_parallelism_invariance():
     many = pages_to_edge_urls(ray.data.from_arrow(tbl).repartition(8)).to_pandas()
     key = lambda df: sorted(map(tuple, df[["src_url", "dst_url"]].values))
     assert key(one) == key(many)
+
+
+# -- host-level graph collapse (extract.host_edges / host_graph) --------------
+
+
+def test_host_edges_parsing_and_drops():
+    import pyarrow as pa
+
+    from cassovary_ray.extract import host_edges
+
+    rows = [
+        ("http://a.test/p/1", "https://b.test:8080/x?q=1"),
+        ("https://A.test/q", "http://c.test"),          # host kept verbatim
+        ("ftp://bad.test/f", "http://a.test/"),          # non-http src dropped
+        ("http://a.test/p/2", "mailto:x@y"),             # non-http dst dropped
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "src_url": [r[0] for r in rows],
+        "dst_url": [r[1] for r in rows],
+    }))
+    got = set(map(tuple, host_edges(ds).to_pandas().values))
+    assert got == {("a.test", "b.test:8080"), ("A.test", "c.test")}
+
+
+def test_host_graph_counts_and_duckdb_parity():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from cassovary_ray.extract import host_graph
+
+    urls = [
+        ("http://a.test/1", "http://b.test/1"),
+        ("http://a.test/2", "http://b.test/9"),
+        ("http://a.test/3", "http://c.test/1"),
+        ("http://b.test/1", "http://a.test/8"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "src_url": [u[0] for u in urls],
+        "dst_url": [u[1] for u in urls],
+    }))
+    got = host_graph(ds).to_pandas().sort_values(
+        ["src_host", "dst_host"]).reset_index(drop=True)
+    assert dict(zip(zip(got.src_host, got.dst_host), got.n_links)) == {
+        ("a.test", "b.test"): 2, ("a.test", "c.test"): 1,
+        ("b.test", "a.test"): 1}
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["src_url", "dst_url"]))
+    want = con.sql("""
+        SELECT regexp_extract(src_url, '^https?://([^/?#]*)', 1) AS src_host,
+               regexp_extract(dst_url, '^https?://([^/?#]*)', 1) AS dst_host,
+               count(*) AS n_links FROM u GROUP BY 1, 2
+        ORDER BY 1, 2""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
