@@ -787,6 +787,90 @@ def modularity(edges, communities, num_partitions: int | None = None):
     }))
 
 
+def conductance(edges, communities, num_partitions: int | None = None):
+    """Per-community conductance over the undirected view:
+    ``(community, cut_edges, volume, conductance)`` where ``volume`` is the
+    sum of undirected degrees inside the community, ``cut_edges`` the number
+    of canonical edges with exactly one endpoint inside, and
+    ``conductance = cut / min(vol, total_vol − vol)`` (0.0 when that min is
+    0). Integer counts + ONE division per row — oracle-hashable (the
+    :func:`modularity` discipline). ``communities`` is a
+    ``Dataset(vertex, community)``; endpoints without an assignment are
+    dropped by the inner joins (cover every vertex for exact semantics).
+
+    Scale shape: two edge⋈community joins with per-batch pre-combined cut
+    counts, one degree groupby, one per-community join — no broadcast, no
+    stage larger than the edge table."""
+    P = _auto_partitions(num_partitions)
+    und = _join_safe(undirected_canonical_edges(edges), P)
+    comm = _join_safe(communities, P).materialize()
+
+    def ends(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()])})
+
+    deg = _join_safe(
+        _partial_counts(und.map_batches(ends, batch_format="pyarrow"),
+                        "vertex", "deg"), P)
+    total_vol = 2 * und.count()
+
+    def vol_partial(batch: pa.Table) -> pa.Table:
+        c = batch["community"].to_numpy(zero_copy_only=False)
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, d = c[order], d[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sums = np.add.reduceat(d, starts)
+        return pa.table({"community": pa.array(c[starts], pa.int64()),
+                         "v": pa.array(sums, pa.int64())})
+
+    vol = _join_safe(
+        deg.join(comm, "inner", P, on=("vertex",))
+        .map_batches(vol_partial, batch_format="pyarrow")
+        .groupby("community").aggregate(Sum("v", alias_name="volume")), P)
+
+    es = _join_safe(
+        und.join(comm, "inner", P, on=("src",), right_on=("vertex",))
+        .rename_columns({"community": "c_src"}), P).materialize()
+    ed = es.join(comm, "inner", P, on=("dst",), right_on=("vertex",))
+
+    def cut_partial(batch: pa.Table) -> pa.Table:
+        ca = batch["c_src"].to_numpy(zero_copy_only=False)
+        cb = batch["community"].to_numpy(zero_copy_only=False)
+        diff = ca != cb
+        both = np.concatenate([ca[diff], cb[diff]])
+        ids, cnts = np.unique(both, return_counts=True)
+        return pa.table({"community": pa.array(ids, pa.int64()),
+                         "partial": pa.array(cnts, pa.int64())})
+
+    cut = _join_safe(
+        ed.map_batches(cut_partial, batch_format="pyarrow")
+        .groupby("community").aggregate(Sum("partial", alias_name="cut_edges")),
+        P)
+
+    if cut.count() == 0:
+        joined = vol.map_batches(
+            lambda b: b.append_column(
+                "cut_edges", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow")
+    else:
+        joined = vol.join(cut, "left_outer", P, on=("community",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["volume"].to_numpy(zero_copy_only=False)
+        c = pc.fill_null(batch["cut_edges"], 0).to_numpy(zero_copy_only=False)
+        other = total_vol - v
+        den = np.minimum(v, other)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.where(den > 0, c / den, 0.0)
+        return pa.table({"community": batch["community"],
+                         "cut_edges": pa.array(c, pa.int64()),
+                         "volume": pa.array(v, pa.int64()),
+                         "conductance": pa.array(phi, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # BFS (BreadthFirstTraverser, Traverser.scala:426-450; GraphUtils.bfsWalk)
 # ---------------------------------------------------------------------------

@@ -682,6 +682,30 @@ def q_graph_ktruss(sf_dir: str):
     return analytics.k_truss(derived_edges(sf_dir), k=8, max_rounds=10)
 
 
+def q_graph_conductance(sf_dir: str):
+    """Per-community conductance under the deterministic vertex%7
+    assignment."""
+    e = derived_edges(sf_dir)
+
+    def vert_partial(b: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"vertex": pa.array(v, pa.int64())})
+
+    comm = (
+        e.map_batches(vert_partial, batch_format="pyarrow")
+        .groupby("vertex").aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"],
+                "community": pa.array(
+                    b["vertex"].to_numpy(zero_copy_only=False) % 7, pa.int64())}),
+            batch_format="pyarrow")
+    )
+    return analytics.conductance(e, comm)
+
+
 def q_web_host_graph(sf_dir: str):
     """Host-level collapse of a synthetic page-link graph (urls derived
     deterministically from the edge table): ``(src_host, dst_host,
@@ -907,6 +931,7 @@ QUERIES = {
     "graph_ktruss": q_graph_ktruss,
     "graph_densest": q_graph_densest,
     "web_host_graph": q_web_host_graph,
+    "graph_conductance": q_graph_conductance,
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
@@ -1280,6 +1305,32 @@ ORACLE_SQL = {
     "graph_ktruss": oracles.k_truss_sql(DERIVED_EDGES_CTE, k=8, rounds=10),
     "graph_densest": oracles.densest_subgraph_sql(
         SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
+    "graph_conductance": f"""
+        WITH e AS MATERIALIZED ({DERIVED_EDGES_CTE}),
+        cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,
+                            greatest(src, dst) AS dst FROM e WHERE src <> dst),
+        comm AS (SELECT vertex, vertex % 7 AS community FROM (
+            SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))),
+        deg AS (SELECT vertex, count(*) AS deg FROM (
+            SELECT src AS vertex FROM cu UNION ALL SELECT dst FROM cu)
+            GROUP BY 1),
+        vol AS (SELECT community, CAST(sum(deg) AS BIGINT) AS volume
+                FROM deg JOIN comm USING (vertex) GROUP BY 1),
+        tot AS (SELECT CAST(sum(deg) AS BIGINT) AS t FROM deg),
+        tagged AS (SELECT a.community AS ca, b.community AS cb
+                   FROM cu JOIN comm a ON a.vertex = cu.src
+                   JOIN comm b ON b.vertex = cu.dst),
+        cut AS (SELECT community, count(*) AS cut_edges FROM (
+            SELECT ca AS community FROM tagged WHERE ca <> cb
+            UNION ALL SELECT cb FROM tagged WHERE ca <> cb) GROUP BY 1)
+        SELECT v.community, coalesce(c.cut_edges, 0) AS cut_edges, v.volume,
+               CASE WHEN least(v.volume, t.t - v.volume) > 0
+                    THEN CAST(coalesce(c.cut_edges, 0) AS DOUBLE)
+                         / least(v.volume, t.t - v.volume)
+                    ELSE 0.0 END AS conductance
+        FROM vol v LEFT JOIN cut c USING (community), tot t
+    """,
     "web_host_graph": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
         urls AS (

@@ -407,3 +407,53 @@ def test_densest_vs_brute_random():
 
 def test_densest_empty():
     assert analytics.densest_subgraph(_edges([(1, 1)])).count() == 0
+
+
+# -- conductance (analytics.conductance) ---------------------------------------
+
+
+def _comm_ds(mapping):
+    return ray.data.from_arrow(pa.table({
+        "vertex": pa.array(list(mapping), pa.int64()),
+        "community": pa.array([mapping[v] for v in mapping], pa.int64()),
+    }))
+
+
+def test_conductance_two_triangles_bridge():
+    # triangles {0,1,2} and {10,11,12} joined by one bridge edge (2,10):
+    # each side: vol 7, cut 1, total 14 → phi = 1/7
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    comm = _comm_ds({0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 12: 1})
+    df = analytics.conductance(_edges(pairs), comm).to_pandas()
+    got = {int(r.community): (int(r.cut_edges), int(r.volume), r.conductance)
+           for r in df.itertuples()}
+    assert got == {0: (1, 7, 1 / 7), 1: (1, 7, 1 / 7)}
+
+
+def test_conductance_no_cut_and_brute():
+    # single community covering everything: cut 0, min(vol, tot-vol)=0 → 0.0
+    pairs = [(0, 1), (1, 2)]
+    df = analytics.conductance(_edges(pairs), _comm_ds({0: 5, 1: 5, 2: 5})).to_pandas()
+    assert len(df) == 1 and df.iloc[0].cut_edges == 0 and df.iloc[0].conductance == 0.0
+
+    rng = np.random.default_rng(17)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))
+                    if a != b})
+    cmap = {v: v % 4 for ab in pairs for v in ab}
+    E = {(min(a, b), max(a, b)) for a, b in pairs}
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tot = 2 * len(E)
+    want = {}
+    for c in set(cmap.values()):
+        vol = sum(d for v, d in deg.items() if cmap[v] == c)
+        cut = sum(1 for a, b in E if (cmap[a] == c) != (cmap[b] == c))
+        den = min(vol, tot - vol)
+        want[c] = (cut, vol, cut / den if den > 0 else 0.0)
+    df = analytics.conductance(_edges(pairs), _comm_ds(cmap),
+                               num_partitions=3).to_pandas()
+    got = {int(r.community): (int(r.cut_edges), int(r.volume), r.conductance)
+           for r in df.itertuples()}
+    assert got == want
