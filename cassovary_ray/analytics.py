@@ -1483,6 +1483,123 @@ def k_truss(edges, k: int, max_rounds: int = 32,
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
 
 
+def _group_hindex(pairs, key: str, val: str, out: str):
+    """``(key, out=H-index of the val multiset)`` via ONE global sort by
+    (key, val desc) + vectorized per-block segment fold (the
+    ``_distinct_counts_by_key`` discipline). With values descending inside a
+    group, the H-index is simply the count of positions i (1-based) with
+    v_i ≥ i — a prefix-monotone predicate, so interior groups fold with one
+    reduceat; groups touching a block edge (≤2 per block) divert their value
+    LIST to a tiny boundary merge."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "vals": pa.array([], pa.list_(pa.int64())),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(k) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uniq = k[starts]
+        n = len(uniq)
+        bounds = np.r_[starts, len(k)]
+        tables = []
+        if n > 2:
+            pos = np.arange(len(k)) - np.repeat(bounds[:-1], np.diff(bounds))
+            sat = v >= (pos + 1)
+            h = np.add.reduceat(sat, starts)[1:-1]
+            tables.append(pa.table({
+                key: pa.array(uniq[1:-1], pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "vals": pa.nulls(n - 2, pa.list_(pa.int64())),
+                "boundary": pa.array(np.zeros(n - 2, bool)),
+            }))
+        for gi in ({0, n - 1} if n > 1 else {0}):
+            vs = v[bounds[gi]:bounds[gi + 1]]
+            tables.append(pa.table({
+                key: pa.array([int(uniq[gi])], pa.int64()),
+                "h": pa.array([0], pa.int64()),
+                "vals": pa.array([vs.tolist()], pa.list_(pa.int64())),
+                "boundary": pa.array([True]),
+            }))
+        return pa.concat_tables(tables) if tables else empty
+
+    folded = pairs.sort([key, val], descending=[False, True]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep))
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    interior = split(False).map_batches(
+        lambda b: pa.table({key: b[key], out: b["h"]}), batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in g["vals"]]))[::-1]
+        h = int(np.sum(vs >= np.arange(1, len(vs) + 1)))
+        return pd.DataFrame({key: [int(g[key].iloc[0])], out: [h]})
+
+    merged = split(True).select_columns([key, "vals"]).groupby(key).map_groups(
+        merge, batch_format="pandas")
+    return interior.union(merged)
+
+
+def coreness(edges, max_rounds: int = 64, num_partitions: int | None = None):
+    """Exact core number per vertex over the undirected view:
+    ``Dataset(vertex, coreness)``.
+
+    H-index iteration (Lü et al., *The H-index of a network node*, Nature
+    Physics 2016; = the distributed k-core decomposition of Montresor et
+    al.): c₀(v) = deg(v); c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}) converges
+    pointwise-monotonically to the coreness. Integer-valued and monotone, so
+    Σc is a termination certificate (unchanged Σ ⇔ fixpoint) — one scalar
+    per round, no diff join. Per round: one edge⋈value join + one range
+    sort + vectorized H-index fold (no per-vertex Python). Raises at
+    ``max_rounds`` so a pinned-round SQL unroll covers the fixpoint
+    whenever this returns (the :func:`k_core` discipline)."""
+    P = _auto_partitions(num_partitions)
+    und = undirected_canonical_edges(edges)
+    both = und.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(), b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(), b["src"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    e = _join_safe(both, P)
+    if e.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "coreness": pa.array([], pa.int64())}))
+    cur = _join_safe(_partial_counts(e, "src", "c"), P)
+    total = cur.sum("c")
+    for _ in range(max_rounds):
+        vals = e.join(cur, "inner", P, on=("dst",), right_on=("vertex",))
+        vals = vals.map_batches(
+            lambda t: pa.table({"src": t["src"], "c": t["c"]}),
+            batch_format="pyarrow")
+        nxt = _join_safe(_group_hindex(vals, "src", "c", "c").map_batches(
+            lambda t: pa.table({"vertex": t["src"], "c": t["c"]}),
+            batch_format="pyarrow"), P)
+        s = nxt.sum("c")
+        if s == total:
+            return nxt.map_batches(
+                lambda t: pa.table({"vertex": t["vertex"], "coreness": t["c"]}),
+                batch_format="pyarrow")
+        total, cur = s, nxt
+    raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+
+
 def densest_subgraph(edges, epsilon: float = 0.1, max_rounds: int = 32,
                      num_partitions: int | None = None):
     """Greedy (2+2ε)-approximate densest subgraph (Bahmani, Kumar,

@@ -677,6 +677,30 @@ def k_truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT src, dst, support FROM cu{rounds}"
 
 
+def coreness_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled H-index iteration for exact coreness
+    (``analytics.coreness``): c0 = degree; each round ranks every vertex's
+    neighbor values descending and counts positions with value ≥ rank (the
+    H-index under a descending sort). ``rounds`` ≥ the Ray side's
+    convergence bound makes extra rounds no-ops. Integer-only."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e WHERE src <> dst)",
+        "u AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu)",
+        "c0 AS MATERIALIZED (SELECT src AS vertex, count(*) AS c FROM u GROUP BY 1)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT src AS vertex,"
+            f" count(*) FILTER (WHERE cv >= rn) AS c FROM ("
+            f"SELECT u.src, c.c AS cv,"
+            f" row_number() OVER (PARTITION BY u.src ORDER BY c.c DESC) AS rn"
+            f" FROM u JOIN c{r} c ON c.vertex = u.dst) GROUP BY 1)")
+    return ",\n".join(parts) + (
+        f"\nSELECT vertex, c AS coreness FROM c{rounds}")
+
+
 def densest_subgraph_sql(edges_cte: str, epsilon: float, rounds: int) -> str:
     """Unrolled (1+ε)-peeling densest subgraph
     (``analytics.densest_subgraph``): per round degrees + scalar

@@ -732,6 +732,13 @@ def q_graph_densest(sf_dir: str):
                                       max_rounds=10)
 
 
+def q_graph_coreness(sf_dir: str):
+    """Exact per-vertex core numbers via H-index iteration (15 rounds to
+    fixpoint at sf0.01). max_rounds=18 matches the oracle's 18-round
+    unroll — raises rather than silently mismatching (kcore discipline)."""
+    return analytics.coreness(derived_edges(sf_dir), max_rounds=18)
+
+
 def q_graph_scc(sf_dir: str):
     """Strongly connected components (Orzan coloring + backward sweep)."""
     return analytics.scc(derived_edges(sf_dir))
@@ -930,6 +937,7 @@ QUERIES = {
     "graph_edge_supports": q_graph_edge_supports,
     "graph_ktruss": q_graph_ktruss,
     "graph_densest": q_graph_densest,
+    "graph_coreness": q_graph_coreness,
     "web_host_graph": q_web_host_graph,
     "graph_conductance": q_graph_conductance,
     "graph_scc": q_graph_scc,
@@ -1305,6 +1313,7 @@ ORACLE_SQL = {
     "graph_ktruss": oracles.k_truss_sql(DERIVED_EDGES_CTE, k=8, rounds=10),
     "graph_densest": oracles.densest_subgraph_sql(
         SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
+    "graph_coreness": oracles.coreness_sql(DERIVED_EDGES_CTE, rounds=18),
     "graph_conductance": f"""
         WITH e AS MATERIALIZED ({DERIVED_EDGES_CTE}),
         cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,

@@ -457,3 +457,47 @@ def test_conductance_no_cut_and_brute():
     got = {int(r.community): (int(r.cut_edges), int(r.volume), r.conductance)
            for r in df.itertuples()}
     assert got == want
+
+
+# -- coreness (analytics.coreness, H-index iteration) -------------------------
+
+
+def _brute_coreness(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    a = {v: set(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    while a:
+        k = max(k, min(len(ns) for ns in a.values()))
+        peel = [v for v, ns in a.items() if len(ns) <= k]
+        while peel:
+            for v in peel:
+                core[v] = k
+                for w in a[v]:
+                    a[w].discard(v)
+                del a[v]
+            peel = [v for v, ns in a.items() if len(ns) <= k]
+    return core
+
+
+def test_coreness_k4_with_chain():
+    # K4 + pendant chain 3-10-11: K4 vertices coreness 3, chain coreness 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = k4 + [(3, 10), (10, 11)]
+    df = analytics.coreness(_edges(pairs)).to_pandas()
+    got = dict(zip(df.vertex.astype(int), df.coreness.astype(int)))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
+
+
+def test_coreness_vs_brute_random():
+    rng = np.random.default_rng(23)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 35, (220, 2))
+                    if a != b})
+    want = _brute_coreness(pairs)
+    for P in (1, 3):
+        df = analytics.coreness(_edges(pairs), num_partitions=P).to_pandas()
+        got = dict(zip(df.vertex.astype(int), df.coreness.astype(int)))
+        assert got == want
