@@ -556,6 +556,22 @@ def q_doc_repetition(sf_dir: str):
     return textops.repetition_signals(_table(sf_dir, "documents"))
 
 
+def q_doc_contamination(sf_dir: str):
+    """Benchmark decontamination: distinct 8-gram overlap of every training
+    doc (doc_id%37≠0) against the benchmark subset (doc_id%37==0)."""
+    docs = _table(sf_dir, "documents")
+
+    def part(keep_ref: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 37) == 0
+            return b.filter(pa.array(m if keep_ref else ~m))
+        return f
+
+    ref = docs.map_batches(part(True), batch_format="pyarrow")
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    return textops.contamination_counts(train, ref, n=8)
+
+
 def q_doc_langid(sf_dir: str):
     return textops.lang_id(_table(sf_dir, "documents"))
 
@@ -912,6 +928,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
+    "doc_contamination": q_doc_contamination,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1148,6 +1165,27 @@ ORACLE_SQL = {
         LEFT JOIN ldup ld USING (doc_id)
         LEFT JOIN g2top USING (doc_id)
         LEFT JOIN g5s USING (doc_id)
+    """,
+    "doc_contamination": r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        t_toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM d),
+        grams AS (
+            SELECT doc_id,
+                   arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] || ' '
+                   || arr[i + 3] || ' ' || arr[i + 4] || ' ' || arr[i + 5]
+                   || ' ' || arr[i + 6] || ' ' || arr[i + 7] AS gram
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr) - 7)) AS i
+                  FROM t_toks)),
+        dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+        rg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 37 = 0),
+        tg AS (SELECT * FROM dg WHERE doc_id % 37 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n_shared
+                 FROM tg JOIN rg USING (gram) GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
+        FROM d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 37 <> 0
     """,
     "doc_paragraph_dedup": """
         WITH p AS (

@@ -124,6 +124,70 @@ def repetition_signals(docs):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
+def contamination_counts(train_docs, ref_docs, n: int = 8):
+    """Benchmark-decontamination primitive (GPT-3 App. C / Dolma recipe):
+    for every training doc, the number of DISTINCT whitespace-token
+    ``n``-grams it shares with the reference (benchmark) corpus —
+    ``Dataset(doc_id, n_shared)``, 0 where the doc is clean.
+
+    Tokenization mirrors :func:`token_counts` (trim + ``\\s+`` split); grams
+    join on their space-joined string, so the DuckDB oracle expression is
+    identical by construction. Scale shape: per-doc gram sets emitted
+    locally (each doc is one row), reference grams deduped with a groupby,
+    then ONE hash join on the gram key — no broadcast, no all-pairs."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = _WS_SPLIT.split(t.strip(" "))
+            seen = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            ids.extend([i] * len(seen))
+            grams.extend(seen)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    tg = train_docs.map_batches(gram_rows, batch_format="pyarrow")
+    rg = (
+        ref_docs.map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({"gram": t["gram"]}),
+                     batch_format="pyarrow")
+        .groupby("gram").aggregate(Count(alias_name="_c"))
+        .select_columns(["gram"])
+    )
+    P = 8
+    tg = tg.repartition(P).materialize()
+    rg = rg.repartition(P).materialize()
+    all_ids = train_docs.select_columns(["doc_id"]).repartition(P).materialize()
+    if rg.count() == 0 or tg.count() == 0:
+        return all_ids.map_batches(
+            lambda b: b.append_column(
+                "n_shared", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow")
+    hits = tg.join(rg, "inner", P, on=("gram",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, cnts = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "partial": pa.array(cnts, pa.int64())})
+
+    shared = (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("partial", alias_name="n_shared"))
+        .repartition(P).materialize()
+    )
+    if shared.count() == 0:
+        return all_ids.map_batches(
+            lambda b: b.append_column(
+                "n_shared", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow")
+    joined = all_ids.join(shared, "left_outer", P, on=("doc_id",))
+    return joined.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_shared": pc.fill_null(b["n_shared"], 0)}),
+        batch_format="pyarrow")
+
+
 def exact_dedup(docs):
     """``(text_md5, doc_id)`` — one row per distinct text, keeping the lowest
     doc_id (hash-partitioned dedup; ``groupby(hash).min`` — the

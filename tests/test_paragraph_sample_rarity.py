@@ -201,3 +201,28 @@ def test_repetition_signals_vs_duckdb():
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(want.columns)])
+
+
+# -- decontamination (textops.contamination_counts) ---------------------------
+
+
+def test_contamination_counts_fixture():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 10 tokens → 3 distinct 8-grams; train doc 1 copies the benchmark text
+    # (shares all 3), doc 2 shares a 9-token prefix (2 grams), doc 3 clean
+    ref = _docs([base], ids=[100])
+    train = _docs(
+        [base,
+         "alpha beta gamma delta epsilon zeta eta theta iota X Y",
+         "totally unrelated words " * 5],
+        ids=[1, 2, 3])
+    df = textops.contamination_counts(train, ref, n=8).to_pandas()
+    got = dict(zip(df.doc_id.astype(int), df.n_shared.astype(int)))
+    assert got == {1: 3, 2: 2, 3: 0}
+
+
+def test_contamination_counts_empty_ref():
+    train = _docs(["a b c d e f g h i"], ids=[1])
+    ref = _docs([], ids=[])
+    df = textops.contamination_counts(train, ref, n=8).to_pandas()
+    assert dict(zip(df.doc_id, df.n_shared)) == {1: 0}
