@@ -787,6 +787,30 @@ def modularity(edges, communities, num_partitions: int | None = None):
     }))
 
 
+def latest_by_key(ds, key: str, order_cols: list[str],
+                  num_partitions: int | None = None):
+    """Arg-max row per key: keeps the row whose ``order_cols`` tuple is
+    lexicographically maximal within its key group (ties on the full tuple
+    keep every tying row — pass a unique final column, e.g. an id, for
+    one-row-per-key semantics). The crawl-recency primitive (latest capture
+    per url, latest event per user).
+
+    Scale shape: per order column, ONE pruned-column groupby-max + ONE
+    join-back — wide payload columns (html, props) ride through hash joins
+    on the key only, never through an aggregate. Order columns must be
+    groupby-max-able (int64/float/string; cast timestamps to epoch ints
+    first)."""
+    P = _auto_partitions(num_partitions)
+    cur = _join_safe(ds, P)
+    for c in order_cols:
+        mx = _join_safe(
+            cur.select_columns([key, c])
+            .groupby(key).aggregate(Max(c, alias_name="_mx")), P)
+        cur = _join_safe(
+            cur.join(mx, "inner", P, on=(key, c), right_on=(key, "_mx")), P)
+    return cur
+
+
 def conductance(edges, communities, num_partitions: int | None = None):
     """Per-community conductance over the undirected view:
     ``(community, cut_edges, volume, conductance)`` where ``volume`` is the

@@ -160,6 +160,55 @@ def host_graph(edge_urls_ds):
     )
 
 
+def latest_capture(pages_ds):
+    """Crawl-recency dedup: keep each url's row with the maximal
+    ``warc_ts`` (Common-Crawl re-crawl convention — (url, warc_ts) is
+    unique per archive, so this is one row per url). The timestamp rides as
+    an epoch-µs int64 through one pruned groupby-max + one join-back
+    (``analytics.latest_by_key``); html/text never enter an aggregate."""
+    from cassovary_ray.analytics import latest_by_key
+
+    with_us = pages_ds.map_batches(
+        lambda b: b.append_column("_ts_us", b["warc_ts"].cast(pa.int64())),
+        batch_format="pyarrow")
+    return latest_by_key(with_us, "url", ["_ts_us"]).drop_columns(["_ts_us"])
+
+
+def capture_delta(old_pages_ds, new_pages_ds):
+    """Re-crawl delta: ``(url, status)`` with status ∈ {added, removed,
+    changed, unchanged} comparing html md5 per url across two crawls
+    (inputs deduped via :func:`latest_capture` first). Drives incremental
+    re-extraction: only added/changed pages re-enter ``pages_to_edges``."""
+    import hashlib
+
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+
+    def md5s(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x).hexdigest() for x in b["html"].to_pylist()]
+        return pa.table({"url": b["url"], "h": pa.array(h, pa.string())})
+
+    old = _join_safe(latest_capture(old_pages_ds).map_batches(
+        md5s, batch_format="pyarrow"), P)
+    new = _join_safe(latest_capture(new_pages_ds).map_batches(
+        md5s, batch_format="pyarrow"), P)
+    joined = old.join(new, "full_outer", P, on=("url",),
+                      left_suffix="_old", right_suffix="_new")
+
+    def classify(b: pa.Table) -> pa.Table:
+        ho = b["h_old"]
+        hn = b["h_new"]
+        status = pc.if_else(
+            pc.is_null(ho), pa.scalar("added"),
+            pc.if_else(pc.is_null(hn), pa.scalar("removed"),
+                       pc.if_else(pc.equal(ho, hn), pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return pa.table({"url": b["url"], "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def pages_to_vertices(pages_ds):
     """Dataset(pages) → Dataset(vertex:int64) — one row per page url.
 

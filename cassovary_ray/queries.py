@@ -812,6 +812,18 @@ def q_events_funnel(sf_dir: str):
     return events_ops.funnel(_table(sf_dir, "events"))
 
 
+def q_events_latest(sf_dir: str):
+    """Latest event per user (arg-max by (ts, event_id)) — the crawl-recency
+    primitive (`extract.latest_capture`) gate-checked on the events table."""
+    ev = _table(sf_dir, "events").map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"], "value": b["value"]}),
+        batch_format="pyarrow")
+    return analytics.latest_by_key(ev, "user_id", ["ts_us", "event_id"])
+
+
 def q_graph_dynamic(sf_dir: str):
     """Dynamic-graph mutation log → compacted edge set: seed the log with
     the derived edges, remove every edge with (src+dst)%5==0, then add
@@ -973,6 +985,7 @@ QUERIES = {
     "graph_dynamic": q_graph_dynamic,
     "graph_neighbor_agg": q_graph_neighbor_agg,
     "events_funnel": q_events_funnel,
+    "events_latest": q_events_latest,
     "events_retention": q_events_retention,
 }
 
@@ -1434,6 +1447,15 @@ ORACLE_SQL = {
                v.t1 AS first_step_us
         FROM v LEFT JOIN c ON c.user_id = v.user_id
                LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_latest": """
+        SELECT user_id, event_id, ts_us, event_type, value FROM (
+            SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
     """,
     "graph_dynamic": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),

@@ -130,3 +130,63 @@ def test_host_graph_counts_and_duckdb_parity():
                count(*) AS n_links FROM u GROUP BY 1, 2
         ORDER BY 1, 2""").df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# -- crawl recency (extract.latest_capture / capture_delta) -------------------
+
+
+def _pages(rows):
+    """rows: (url, ts_seconds, html bytes)"""
+    import datetime
+
+    import pyarrow as pa
+
+    epoch = datetime.datetime(2020, 1, 1)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array(
+            [epoch + datetime.timedelta(seconds=r[1]) for r in rows],
+            pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": pa.array(["" for _ in rows], pa.string()),
+        "lang": pa.array(["en" for _ in rows], pa.string()),
+    }))
+
+
+def test_latest_capture_keeps_max_ts():
+    from cassovary_ray.extract import latest_capture
+
+    ds = _pages([
+        ("http://a.test/", 10, b"v1"),
+        ("http://a.test/", 30, b"v3"),
+        ("http://a.test/", 20, b"v2"),
+        ("http://b.test/", 5, b"only"),
+    ])
+    df = latest_capture(ds).to_pandas().sort_values("url")
+    assert list(df.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    got = dict(zip(df.url, df.html))
+    assert got == {"http://a.test/": b"v3", "http://b.test/": b"only"}
+
+
+def test_capture_delta_statuses():
+    from cassovary_ray.extract import capture_delta
+
+    old = _pages([
+        ("http://same.test/", 1, b"x"),
+        ("http://chg.test/", 1, b"old"),
+        ("http://gone.test/", 1, b"bye"),
+        ("http://chg.test/", 0, b"older"),   # superseded within old crawl
+    ])
+    new = _pages([
+        ("http://same.test/", 9, b"x"),
+        ("http://chg.test/", 9, b"new"),
+        ("http://fresh.test/", 9, b"hi"),
+    ])
+    df = capture_delta(old, new).to_pandas()
+    got = dict(zip(df.url, df.status))
+    assert got == {
+        "http://same.test/": "unchanged",
+        "http://chg.test/": "changed",
+        "http://gone.test/": "removed",
+        "http://fresh.test/": "added",
+    }
