@@ -118,6 +118,83 @@ def pages_to_edges(pages_ds):
     return pages_to_edge_urls(pages_ds).map_batches(hash_edges_batch, batch_format="pyarrow")
 
 
+# anchor capture: href (same value forms as _HREF_RE) + inner text up to the
+# closing tag — anchors require a CLOSED <a>…</a>; bare <a href> tags still
+# yield edges via extract_links but carry no anchor text
+_ANCHOR_RE = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_anchors(url: str, html: bytes) -> list[tuple[str, str]]:
+    """``(dst_url, anchor_text)`` per closed ``<a href>…</a>`` in document
+    order — target normalization identical to :func:`extract_links`, anchor
+    text cleaned with the :func:`extract_text` pipeline (tags stripped,
+    entities unescaped, whitespace collapsed). The inbound-anchor signal is
+    a classic web ranking / training-data feature (anchor corpus)."""
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(html):
+        raw = next(g for g in m.groups()[:3] if g is not None)
+        try:
+            href = raw.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            continue
+        href = _htmllib.unescape(href).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        target = urljoin(url, href)
+        parts = urlsplit(target)
+        if parts.scheme not in ("http", "https"):
+            continue
+        dst = urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, ""))
+        body = _TAG_RE.sub(b" ", m.group(4))
+        anchor = _WS_RE.sub(" ", _htmllib.unescape(body.decode("utf-8", "replace"))).strip()
+        out.append((dst, anchor))
+    return out
+
+
+def pages_to_anchor_edges(pages_ds):
+    """Dataset(pages) → ``(src_url, dst_url, anchor)`` — one row per closed
+    anchor tag."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src, dst, anc = [], [], []
+        for u, h in zip(urls, htmls):
+            for d, a in extract_anchors(u, h):
+                src.append(u)
+                dst.append(d)
+                anc.append(a)
+        return pa.table({"src_url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string()),
+                         "anchor": pa.array(anc, pa.string())})
+
+    return pages_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def anchor_texts(pages_ds):
+    """Inbound anchor aggregation: ``(dst_url, anchor, n)`` — how many links
+    point at each target with each exact anchor string (empty anchors
+    dropped). Per-batch pre-combined pair counts before the global groupby
+    (the :func:`host_graph` discipline)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["anchor"], "")
+        t = (b.filter(keep).select(["dst_url", "anchor"])
+             .group_by(["dst_url", "anchor"]).aggregate([([], "count_all")]))
+        return t.rename_columns(["dst_url", "anchor", "partial"])
+
+    return (
+        pages_to_anchor_edges(pages_ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dst_url", "anchor"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
 # host extraction: RE2 both here (pyarrow uses RE2) and in DuckDB's
 # regexp_extract, so the oracle semantics are identical by construction
 _HOST_PATTERN = r"^https?://(?P<host>[^/?#]*)"

@@ -190,3 +190,42 @@ def test_capture_delta_statuses():
         "http://gone.test/": "removed",
         "http://fresh.test/": "added",
     }
+
+
+# -- anchor text (extract.extract_anchors / anchor_texts) ---------------------
+
+
+def test_extract_anchors_cleaning_and_drops():
+    from cassovary_ray.extract import extract_anchors
+
+    html = (b'<a href="/x">see <b>bold</b>\n  text</a>'
+            b'<a href="mailto:z@y">mail</a>'
+            b'<a href="/y"></a>'
+            b"<a href='http://Other.TEST/p?q=1#frag'>other&amp;more</a>"
+            b'<a href="/dangling">')  # unclosed: edge-only, no anchor
+    got = extract_anchors("http://a.test/base", html)
+    assert got == [
+        ("http://a.test/x", "see bold text"),
+        ("http://a.test/y", ""),
+        # netloc case preserved — matches extract_links normalization
+        ("http://Other.TEST/p?q=1", "other&more"),
+    ]
+
+
+def test_anchor_texts_aggregation():
+    from cassovary_ray.extract import anchor_texts
+
+    # toy graph g6: anchors are "node <dst>"; dst 12 has in-edges from 10, 13, 14
+    tbl = pages_table_for_graph(TOY_GRAPHS["g6"])
+    df = anchor_texts(ray.data.from_arrow(tbl)).to_pandas()
+    from cassovary_ray.corpus import node_url
+
+    row = df[(df.dst_url == node_url(12)) & (df.anchor == "node 12")]
+    assert len(row) == 1 and int(row.n.iloc[0]) == 3
+    # every aggregated anchor follows the synth pattern and counts match in-degree
+    indeg = {}
+    for u, vs in TOY_GRAPHS["g6"].items():
+        for v in vs:
+            indeg[v] = indeg.get(v, 0) + 1
+    got = {(r.dst_url, r.anchor): int(r.n) for r in df.itertuples()}
+    assert got == {(node_url(v), f"node {v}"): n for v, n in indeg.items()}
