@@ -180,6 +180,175 @@ def build_edge_layout(
     return manifest
 
 
+def update_edge_layout(layout_dir: str, added_edges=None, removed_edges=None,
+                       *, removals_pre_resolved: bool = False) -> dict:
+    """Incremental layout maintenance for a re-crawl delta
+    (:func:`cassovary_ray.extract.capture_delta` → re-extracted edges):
+    apply added/removed edge Datasets to an existing layout, rewriting ONLY
+    the partitions the delta touches — a 10^12-doc recrawl must not rebuild
+    the world. Returns the updated manifest.
+
+    Semantics:
+    - the manifest's normalization flags (reverse / drop_self_loops /
+      undirected / dedup) are re-applied to the delta, so an updated layout
+      equals a fresh build over the updated edge set;
+    - the vertex universe is MONOTONE: new endpoints are appended, but
+      removing a vertex's last edge leaves it in the universe as an empty
+      node (the reference's ``createEmptyNodes`` semantics — empty nodes
+      are first-class). Shards dedup their vertex partition at load, so
+      appends are cheap (no read-modify-write on the vertex table);
+    - weighted layouts are not supported (combine weights upstream and
+      rebuild);
+    - removals from an UNDIRECTED layout are ambiguous from directed rows
+      alone (the undirected row survives while ANY directed counterpart
+      does — multiplicity the dedup'd layout no longer records), so they
+      raise unless ``removals_pre_resolved=True``, by which the caller
+      asserts each removed (a, b) means "delete the undirected edge
+      entirely" (both mirrored rows);
+    - partition rewrite is write-new-then-delete-old, NOT crash-atomic: a
+      crash between the two steps can leave a partition with both files.
+      Re-running the same update is NOT idempotent for non-dedup layouts;
+      rebuild the affected partitions (or the layout) after a mid-update
+      crash.
+
+    Scale shape: the delta is hash-partitioned by the SAME ``src % P`` key
+    as the layout (one staging write), then one Ray task per affected
+    partition merges old ∖ removed ∪ added — O(delta + touched partitions),
+    independent of total graph size.
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    man = read_layout_manifest(layout_dir)
+    if man.get("weighted"):
+        raise ValueError("update_edge_layout does not support weighted "
+                         "layouts; combine weights upstream and rebuild")
+    if man.get("undirected") and removed_edges is not None \
+            and not removals_pre_resolved:
+        raise ValueError(
+            "removals from an undirected layout are ambiguous (the layout "
+            "no longer records directed multiplicity); pass "
+            "removals_pre_resolved=True if each removed (a, b) means "
+            "'delete the undirected edge entirely', or rebuild")
+    P = int(man["num_parts"])
+    edges_dir = os.path.join(layout_dir, "edges")
+    verts_dir = os.path.join(layout_dir, "vertices")
+    staging = os.path.join(layout_dir, "_delta_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def normalize(ds):
+        if ds is None:
+            return None
+        if man["reverse"]:
+            ds = ds.map_batches(
+                lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+                batch_format="pyarrow")
+        else:
+            ds = ds.select_columns(["src", "dst"])
+        if man["drop_self_loops"]:
+            ds = ds.map_batches(_drop_self_loops, batch_format="pyarrow")
+        if man["undirected"]:
+            ds = ds.map_batches(_undirect, batch_format="pyarrow")
+        return ds.map_batches(lambda b: _add_part_src(b, P),
+                              batch_format="pyarrow")
+
+    def stage(ds, name):
+        if ds is None:
+            return set()
+        out = os.path.join(staging, name)
+        ds.write_parquet(out, partition_cols=["part"])
+        if not os.path.isdir(out):
+            return set()
+        return {int(d.split("=", 1)[1]) for d in os.listdir(out)
+                if d.startswith("part=")}
+
+    parts_add = stage(normalize(added_edges), "add")
+    parts_rm = stage(normalize(removed_edges), "rm")
+    affected = sorted(parts_add | parts_rm)
+    if not affected:
+        shutil.rmtree(staging, ignore_errors=True)
+        return man
+
+    @ray.remote(num_cpus=1)
+    def rewrite(p: int) -> tuple[int, int, int]:
+        part_dir = os.path.join(edges_dir, f"part={p}")
+        os.makedirs(part_dir, exist_ok=True)
+        old_files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                     if f.endswith(".parquet")]
+        old = (pa.concat_tables([pq.read_table(f, columns=["src", "dst"])
+                                 for f in old_files])
+               if old_files else pa.table({"src": pa.array([], pa.int64()),
+                                           "dst": pa.array([], pa.int64())}))
+        n_old = len(old)
+
+        def read_stage(name):
+            d = os.path.join(staging, name, f"part={p}")
+            if not os.path.isdir(d):
+                return None
+            t = pq.read_table(d, columns=["src", "dst"])
+            return t if len(t) else None
+
+        rm = read_stage("rm")
+        cur_s = old["src"].to_numpy(zero_copy_only=False)
+        cur_d = old["dst"].to_numpy(zero_copy_only=False)
+        if rm is not None:
+            # pack (src, dst) via the partition-local dst domain — ids are
+            # arbitrary int64, so match with a structured view instead
+            pairs = np.rec.fromarrays([cur_s, cur_d])
+            drop = np.rec.fromarrays([
+                rm["src"].to_numpy(zero_copy_only=False),
+                rm["dst"].to_numpy(zero_copy_only=False)])
+            keep = ~np.isin(pairs, drop)
+            cur_s, cur_d = cur_s[keep], cur_d[keep]
+        add = read_stage("add")
+        if add is not None:
+            cur_s = np.concatenate([cur_s, add["src"].to_numpy(zero_copy_only=False)])
+            cur_d = np.concatenate([cur_d, add["dst"].to_numpy(zero_copy_only=False)])
+        if man["dedup"] and len(cur_s):
+            pairs = np.rec.fromarrays([cur_s, cur_d])
+            _, idx = np.unique(pairs, return_index=True)
+            cur_s, cur_d = cur_s[idx], cur_d[idx]
+        new = pa.table({"src": pa.array(cur_s, pa.int64()),
+                        "dst": pa.array(cur_d, pa.int64())})
+        tmp = os.path.join(part_dir, "data-updated.parquet.tmp")
+        pq.write_table(new, tmp)
+        os.replace(tmp, os.path.join(part_dir, "data-updated.parquet"))
+        for f in old_files:
+            if os.path.basename(f) != "data-updated.parquet":
+                os.unlink(f)
+        return p, n_old, len(new)
+
+    results = ray.get([rewrite.remote(p) for p in affected])
+    delta_rows = sum(n_new - n_old for _, n_old, n_new in results)
+
+    # vertex universe: append the delta's endpoints (monotone; shards dedup)
+    if parts_add:
+        add_ds = ray.data.read_parquet(
+            os.path.join(staging, "add"), columns=["src", "dst"])
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            v = np.unique(np.concatenate([
+                batch["src"].to_numpy(zero_copy_only=False),
+                batch["dst"].to_numpy(zero_copy_only=False)]))
+            return pa.table({"vertex": pa.array(v, pa.int64()),
+                             "part": pa.array(v % P, pa.int64())})
+
+        add_ds.map_batches(endpoints, batch_format="pyarrow").write_parquet(
+            verts_dir, partition_cols=["part"])
+
+    shutil.rmtree(staging, ignore_errors=True)
+    man["n_edges"] = int(man["n_edges"]) + int(delta_rows)
+    tmp = os.path.join(layout_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(layout_dir, MANIFEST_NAME))
+    return man
+
+
 def _ensure_nonempty(table_dir: str, int_cols: list[str],
                      float_cols: list[str] | None = None) -> None:
     """A Dataset with zero rows writes no files at all; materialize an empty

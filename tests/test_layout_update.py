@@ -1,0 +1,126 @@
+"""Incremental layout maintenance (layout.update_edge_layout): an updated
+layout must equal a fresh build over the updated edge set (edges exactly;
+vertices monotone-superset with identical endpoint coverage)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cassovary_ray.layout import (
+    build_edge_layout,
+    read_layout_manifest,
+    update_edge_layout,
+)
+
+
+def _ds(pairs):
+    s, d = zip(*pairs) if pairs else ((), ())
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(list(s), pa.int64()),
+        "dst": pa.array(list(d), pa.int64()),
+    }))
+
+
+def _edges_of(layout_dir):
+    t = ray.data.read_parquet(os.path.join(layout_dir, "edges")).to_pandas()
+    return sorted(zip(t["src"].astype(int), t["dst"].astype(int)))
+
+
+def _verts_of(layout_dir):
+    t = ray.data.read_parquet(os.path.join(layout_dir, "vertices")).to_pandas()
+    return set(t["vertex"].astype(int))
+
+
+@pytest.mark.parametrize("flags", [
+    {}, {"undirected": True, "dedup": True, "drop_self_loops": True}])
+def test_update_matches_fresh_build(tmp_path, flags):
+    rng = np.random.default_rng(31)
+    e1 = sorted({(int(a), int(b)) for a, b in rng.integers(0, 50, (150, 2))})
+    removed = e1[::7]
+    if flags.get("undirected"):
+        # undirected removal = "delete the undirected edge entirely": only
+        # well-defined when no reverse directed counterpart survives
+        removed = [(a, b) for a, b in removed if (b, a) not in set(e1)]
+    added = [(a + 100, b + 100) for a, b in e1[::11]] + [(1, 2), (3, 3)]
+    e2 = sorted((set(e1) - set(removed)) | set(added))
+
+    upd = str(tmp_path / "upd")
+    build_edge_layout(_ds(e1), upd, 4, **flags)
+    update_edge_layout(upd, added_edges=_ds(added), removed_edges=_ds(removed),
+                       removals_pre_resolved=flags.get("undirected", False))
+
+    fresh = str(tmp_path / "fresh")
+    build_edge_layout(_ds(e2), fresh, 4, **flags)
+
+    assert _edges_of(upd) == _edges_of(fresh)
+    # vertices: superset of the fresh universe (monotone), covering e2
+    assert _verts_of(upd) >= _verts_of(fresh)
+    man = read_layout_manifest(upd)
+    assert man["n_edges"] == len(_edges_of(fresh))
+
+
+def test_update_engine_results_match(tmp_path):
+    from cassovary_ray.engine import ShardedGraph
+
+    rng = np.random.default_rng(41)
+    e1 = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+                 if a != b})
+    removed = e1[::5]
+    # re-add some endpoints so no vertex is orphaned (universes then agree)
+    touched = sorted({v for ab in removed for v in ab})
+    added = [(touched[i], touched[(i + 1) % len(touched)])
+             for i in range(len(touched))]
+    # exclude pairs already present: a non-dedup layout is a multiset, so
+    # re-adding an existing row would duplicate it (as a fresh build from a
+    # list with duplicates would)
+    added = [(a, b) for a, b in added if a != b and (a, b) not in set(e1)]
+    e2 = sorted((set(e1) - set(removed)) | set(added))
+
+    upd = str(tmp_path / "upd")
+    build_edge_layout(_ds(e1), upd, 3)
+    update_edge_layout(upd, added_edges=_ds(added), removed_edges=_ds(removed))
+    fresh = str(tmp_path / "fresh")
+    build_edge_layout(_ds(e2), fresh, 3)
+
+    if _verts_of(upd) == _verts_of(fresh):
+        with ShardedGraph(upd) as g:
+            r_upd = g.pagerank(max_iterations=10).to_pandas()
+        with ShardedGraph(fresh) as g:
+            r_fresh = g.pagerank(max_iterations=10).to_pandas()
+        a = dict(zip(r_upd.vertex, r_upd["rank"]))
+        b = dict(zip(r_fresh.vertex, r_fresh["rank"]))
+        assert a.keys() == b.keys()
+        assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+    else:
+        # monotone universe: extra empty nodes allowed, never missing ones
+        assert _verts_of(upd) >= _verts_of(fresh)
+
+
+def test_update_noop_and_weighted_guard(tmp_path):
+    lay = str(tmp_path / "l")
+    build_edge_layout(_ds([(1, 2), (2, 3)]), lay, 2)
+    man0 = read_layout_manifest(lay)
+    man1 = update_edge_layout(lay)
+    assert man1 == man0
+    assert _edges_of(lay) == [(1, 2), (2, 3)]
+
+    wl = str(tmp_path / "w")
+    wds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64()),
+        "weight": pa.array([1.0], pa.float64())}))
+    build_edge_layout(wds, wl, 2, weighted=True)
+    with pytest.raises(ValueError):
+        update_edge_layout(wl, added_edges=_ds([(5, 6)]))
+
+
+def test_update_undirected_removal_guard(tmp_path):
+    lay = str(tmp_path / "g")
+    build_edge_layout(_ds([(1, 2), (2, 1), (2, 3)]), lay, 2,
+                      undirected=True, dedup=True)
+    with pytest.raises(ValueError):
+        update_edge_layout(lay, removed_edges=_ds([(1, 2)]))
