@@ -256,6 +256,55 @@ def capture_delta(old_pages_ds, new_pages_ds):
     changed, unchanged} comparing html md5 per url across two crawls
     (inputs deduped via :func:`latest_capture` first). Drives incremental
     re-extraction: only added/changed pages re-enter ``pages_to_edges``."""
+    return capture_delta_from_latest(latest_capture(old_pages_ds),
+                                     latest_capture(new_pages_ds))
+
+
+def incremental_recrawl(layout_dir: str, old_pages_ds, new_pages_ds) -> dict:
+    """End-to-end re-crawl maintenance: diff two crawls, re-extract ONLY
+    added/changed pages, and apply the edge delta to a directed layout in
+    place (:func:`cassovary_ray.layout.update_edge_layout`) — the
+    incremental alternative to rebuilding a 10^12-page layout.
+
+    Assumes the layout was built from ``pages_to_edges(latest_capture(old))``.
+    Per-page replacement is exact for edges (a page's out-edges are exactly
+    the rows with its url hash as src — removing the old page's link list
+    and adding the new one reproduces a fresh build, link multiplicity
+    included); the vertex universe grows monotonically (see
+    ``update_edge_layout``). Returns the updated manifest."""
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+    from cassovary_ray.layout import update_edge_layout
+
+    P = _auto_partitions(None)
+    old_latest = latest_capture(old_pages_ds).materialize()
+    new_latest = latest_capture(new_pages_ds).materialize()
+    delta = _join_safe(capture_delta_from_latest(old_latest, new_latest), P)
+
+    def urls_with(statuses):
+        s = set(statuses)
+        picked = delta.map_batches(
+            lambda b, ss=tuple(sorted(s)): b.filter(
+                pc.is_in(b["status"], value_set=pa.array(list(ss)))),
+            batch_format="pyarrow",
+        ).select_columns(["url"])
+        return _join_safe(picked, P)
+
+    def edges_of(pages, statuses):
+        urls = urls_with(statuses)
+        if urls.count() == 0:
+            return None
+        picked = _join_safe(pages, P).join(urls, "left_semi", P, on=("url",))
+        return pages_to_edges(picked)
+
+    removed = edges_of(old_latest, ("changed", "removed"))
+    added = edges_of(new_latest, ("changed", "added"))
+    return update_edge_layout(layout_dir, added_edges=added,
+                              removed_edges=removed)
+
+
+def capture_delta_from_latest(old_latest, new_latest):
+    """:func:`capture_delta` body for inputs ALREADY deduped by
+    :func:`latest_capture` (skips the redundant dedup pass)."""
     import hashlib
 
     from cassovary_ray.analytics import _auto_partitions, _join_safe
@@ -266,16 +315,13 @@ def capture_delta(old_pages_ds, new_pages_ds):
         h = [hashlib.md5(x).hexdigest() for x in b["html"].to_pylist()]
         return pa.table({"url": b["url"], "h": pa.array(h, pa.string())})
 
-    old = _join_safe(latest_capture(old_pages_ds).map_batches(
-        md5s, batch_format="pyarrow"), P)
-    new = _join_safe(latest_capture(new_pages_ds).map_batches(
-        md5s, batch_format="pyarrow"), P)
+    old = _join_safe(old_latest.map_batches(md5s, batch_format="pyarrow"), P)
+    new = _join_safe(new_latest.map_batches(md5s, batch_format="pyarrow"), P)
     joined = old.join(new, "full_outer", P, on=("url",),
                       left_suffix="_old", right_suffix="_new")
 
     def classify(b: pa.Table) -> pa.Table:
-        ho = b["h_old"]
-        hn = b["h_new"]
+        ho, hn = b["h_old"], b["h_new"]
         status = pc.if_else(
             pc.is_null(ho), pa.scalar("added"),
             pc.if_else(pc.is_null(hn), pa.scalar("removed"),

@@ -124,3 +124,36 @@ def test_update_undirected_removal_guard(tmp_path):
                       undirected=True, dedup=True)
     with pytest.raises(ValueError):
         update_edge_layout(lay, removed_edges=_ds([(1, 2)]))
+
+
+def test_incremental_recrawl_end_to_end(tmp_path):
+    """Change one page's links, add a page, drop a page: the incrementally
+    maintained layout's edges equal a fresh build from the new crawl."""
+    import pyarrow.parquet as pq
+
+    from cassovary_ray.corpus import TOY_GRAPHS, pages_table_for_graph
+    from cassovary_ray.extract import (
+        incremental_recrawl,
+        pages_to_edges,
+    )
+
+    adj_old = dict(TOY_GRAPHS["g6"])
+    old_tbl = pages_table_for_graph(adj_old)
+
+    adj_new = dict(adj_old)
+    adj_new[10] = [15]          # changed page: links rewritten
+    adj_new[99] = [10, 11]      # added page
+    del adj_new[13]             # removed page (its out-links vanish)
+    new_tbl = pages_table_for_graph(adj_new)
+
+    old_pages = ray.data.from_arrow(old_tbl)
+    new_pages = ray.data.from_arrow(new_tbl)
+
+    lay = str(tmp_path / "lay")
+    build_edge_layout(pages_to_edges(old_pages), lay, 3)
+    incremental_recrawl(lay, old_pages, new_pages)
+
+    fresh = str(tmp_path / "fresh")
+    build_edge_layout(pages_to_edges(new_pages), fresh, 3)
+    assert _edges_of(lay) == _edges_of(fresh)
+    assert _verts_of(lay) >= _verts_of(fresh)
