@@ -787,6 +787,134 @@ def modularity(edges, communities, num_partitions: int | None = None):
     }))
 
 
+def _group_sorted_join(pairs, key: str, val: str, out: str, sep: str = ","):
+    """``(key, out = sep-join of the group's val strings in sorted order)``
+    via ONE global sort + vectorized per-block segment fold into Arrow list
+    columns + ``pc.binary_join`` (the ``adjacency_lists`` discipline, string
+    values); block-edge groups (≤2 per block) divert to a tiny merge."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        col = batch[val]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            out: pa.array([], pa.string()),
+            "vals": pa.array([], pa.list_(pa.string())),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(k) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uniq = k[starts]
+        n = len(uniq)
+        bounds = np.r_[starts, len(k)]
+        tables = []
+        if n > 2:
+            lists = pa.LargeListArray.from_arrays(
+                pa.array((bounds[1:n] - starts[1]).astype(np.int64), pa.int64()),
+                col.slice(starts[1], starts[n - 1] - starts[1]),
+            )
+            joined = pc.binary_join(
+                lists.cast(pa.list_(pa.string())), sep)
+            tables.append(pa.table({
+                key: pa.array(uniq[1:-1], pa.int64()),
+                out: joined,
+                "vals": pa.nulls(n - 2, pa.list_(pa.string())),
+                "boundary": pa.array(np.zeros(n - 2, bool)),
+            }))
+        for gi in ({0, n - 1} if n > 1 else {0}):
+            vs = col.slice(bounds[gi], bounds[gi + 1] - bounds[gi]).to_pylist()
+            tables.append(pa.table({
+                key: pa.array([int(uniq[gi])], pa.int64()),
+                out: pa.array([""], pa.string()),
+                "vals": pa.array([vs], pa.list_(pa.string())),
+                "boundary": pa.array([True]),
+            }))
+        return pa.concat_tables(tables) if tables else empty
+
+    folded = pairs.sort([key, val]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep))
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    interior = split(False).map_batches(
+        lambda b: pa.table({key: b[key], out: b[out]}), batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame, s: str = sep) -> pd.DataFrame:
+        vs = sorted(x for lst in g["vals"] for x in lst)
+        return pd.DataFrame({key: [int(g[key].iloc[0])], out: [s.join(vs)]})
+
+    merged = split(True).select_columns([key, "vals"]).groupby(key).map_groups(
+        merge, batch_format="pandas")
+    return interior.union(merged)
+
+
+def wl_refinement(edges, rounds: int = 3, num_partitions: int | None = None):
+    """Weisfeiler–Lehman vertex refinement over the undirected view:
+    ``Dataset(vertex, color)`` after ``rounds`` refinements, color a 32-char
+    md5 hex. c₀(v) = md5(str(deg v)); c_{t+1}(v) = md5(c_t(v) + '|' +
+    ','.join(sorted c_t(u) for u ∈ N(v))) — the 1-WL canonical role/
+    structure fingerprint (graph-isomorphism refinement; identical-color
+    vertices are structurally indistinguishable at depth ``rounds``).
+
+    Every piece mirrors a DuckDB expression exactly (md5 strings, ORDER BY
+    over ASCII hex, ',' / '|' separators), so the oracle hash can't drift.
+    Per round: one edge⋈color join + one range sort + a vectorized
+    sorted-join fold (``pc.binary_join``) — no per-vertex Python except the
+    md5 calls themselves."""
+    import hashlib
+
+    P = _auto_partitions(num_partitions)
+    und = undirected_canonical_edges(edges)
+    both = und.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(), b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(), b["src"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    e = _join_safe(both, P)
+
+    def c0(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(d).encode()).hexdigest()
+             for d in batch["deg"].to_numpy(zero_copy_only=False)]
+        return pa.table({"vertex": batch["vertex"],
+                         "color": pa.array(h, pa.string())})
+
+    cur = _join_safe(
+        _partial_counts(e, "src", "deg").map_batches(c0, batch_format="pyarrow"),
+        P)
+    for _ in range(rounds):
+        vals = e.join(cur, "inner", P, on=("dst",), right_on=("vertex",))
+        vals = vals.map_batches(
+            lambda t: pa.table({"src": t["src"], "c": t["color"]}),
+            batch_format="pyarrow")
+        sig = _join_safe(
+            _group_sorted_join(vals, "src", "c", "sig").map_batches(
+                lambda t: pa.table({"vertex": t["src"], "sig": t["sig"]}),
+                batch_format="pyarrow"), P)
+        joined = cur.join(sig, "inner", P, on=("vertex",))
+
+        def rehash(batch: pa.Table) -> pa.Table:
+            h = [hashlib.md5(f"{c}|{s}".encode()).hexdigest()
+                 for c, s in zip(batch["color"].to_pylist(),
+                                 batch["sig"].to_pylist())]
+            return pa.table({"vertex": batch["vertex"],
+                             "color": pa.array(h, pa.string())})
+
+        cur = _join_safe(joined.map_batches(rehash, batch_format="pyarrow"), P)
+    return cur
+
+
 def latest_by_key(ds, key: str, order_cols: list[str],
                   num_partitions: int | None = None):
     """Arg-max row per key: keeps the row whose ``order_cols`` tuple is

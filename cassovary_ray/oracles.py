@@ -677,6 +677,29 @@ def k_truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT src, dst, support FROM cu{rounds}"
 
 
+def wl_refinement_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled 1-WL refinement (``analytics.wl_refinement``): md5 colors,
+    sorted neighbor-color signature via ``string_agg(... ORDER BY ...)``,
+    separators shared with the Ray kernel."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e WHERE src <> dst)",
+        "u AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu)",
+        "c0 AS MATERIALIZED (SELECT src AS vertex,"
+        " md5(CAST(count(*) AS VARCHAR)) AS color FROM u GROUP BY 1)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT v.vertex,"
+            f" md5(v.color || '|' || s.sig) AS color"
+            f" FROM c{r} v JOIN (SELECT u.src AS vertex,"
+            f" string_agg(c.color, ',' ORDER BY c.color) AS sig"
+            f" FROM u JOIN c{r} c ON c.vertex = u.dst GROUP BY 1) s"
+            f" ON s.vertex = v.vertex)")
+    return ",\n".join(parts) + f"\nSELECT vertex, color FROM c{rounds}"
+
+
 def coreness_sql(edges_cte: str, rounds: int) -> str:
     """Unrolled H-index iteration for exact coreness
     (``analytics.coreness``): c0 = degree; each round ranks every vertex's

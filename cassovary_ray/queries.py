@@ -748,6 +748,11 @@ def q_graph_densest(sf_dir: str):
                                       max_rounds=10)
 
 
+def q_graph_wl(sf_dir: str):
+    """1-WL color refinement (3 rounds) — structural role fingerprints."""
+    return analytics.wl_refinement(derived_edges(sf_dir), rounds=3)
+
+
 def q_graph_coreness(sf_dir: str):
     """Exact per-vertex core numbers via H-index iteration (15 rounds to
     fixpoint at sf0.01). max_rounds=18 matches the oracle's 18-round
@@ -967,6 +972,7 @@ QUERIES = {
     "graph_ktruss": q_graph_ktruss,
     "graph_densest": q_graph_densest,
     "graph_coreness": q_graph_coreness,
+    "graph_wl": q_graph_wl,
     "web_host_graph": q_web_host_graph,
     "graph_conductance": q_graph_conductance,
     "graph_scc": q_graph_scc,
@@ -1365,6 +1371,7 @@ ORACLE_SQL = {
     "graph_densest": oracles.densest_subgraph_sql(
         SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
     "graph_coreness": oracles.coreness_sql(DERIVED_EDGES_CTE, rounds=18),
+    "graph_wl": oracles.wl_refinement_sql(DERIVED_EDGES_CTE, rounds=3),
     "graph_conductance": f"""
         WITH e AS MATERIALIZED ({DERIVED_EDGES_CTE}),
         cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,

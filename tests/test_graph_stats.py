@@ -501,3 +501,45 @@ def test_coreness_vs_brute_random():
         df = analytics.coreness(_edges(pairs), num_partitions=P).to_pandas()
         got = dict(zip(df.vertex.astype(int), df.coreness.astype(int)))
         assert got == want
+
+
+# -- Weisfeiler-Lehman refinement (analytics.wl_refinement) --------------------
+
+
+def _brute_wl(pairs, rounds):
+    import hashlib
+
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            a2, b2 = min(a, b), max(a, b)
+            adj.setdefault(a2, set()).add(b2)
+            adj.setdefault(b2, set()).add(a2)
+    c = {v: hashlib.md5(str(len(ns)).encode()).hexdigest()
+         for v, ns in adj.items()}
+    for _ in range(rounds):
+        c = {v: hashlib.md5(
+                (c[v] + "|" + ",".join(sorted(c[u] for u in ns))).encode()
+             ).hexdigest() for v, ns in adj.items()}
+    return c
+
+
+def test_wl_distinguishes_roles():
+    # path P5: ends, their neighbors, and the center get distinct colors
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = analytics.wl_refinement(_edges(pairs), rounds=2).to_pandas()
+    got = dict(zip(df.vertex.astype(int), df.color))
+    assert got == _brute_wl(pairs, 2)
+    assert got[0] == got[4] and got[1] == got[3]  # mirror symmetry
+    assert len({got[0], got[1], got[2]}) == 3     # three distinct roles
+
+
+def test_wl_vs_brute_random():
+    rng = np.random.default_rng(29)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (130, 2))
+                    if a != b})
+    for P in (1, 3):
+        df = analytics.wl_refinement(_edges(pairs), rounds=3,
+                                     num_partitions=P).to_pandas()
+        got = dict(zip(df.vertex.astype(int), df.color))
+        assert got == _brute_wl(pairs, 3)
