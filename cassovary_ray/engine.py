@@ -386,6 +386,44 @@ class GraphShard:
         return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
                          _payload_nbytes(payload))
 
+    # -- Katz centrality (truncated power series) ---------------------------
+
+    def katz_init(self, beta: float) -> None:
+        """x₀ = β·1 (the k=0 term of x = Σ α^k (Aᵀ)^k β·1)."""
+        self.state["katz"] = np.full(len(self.verts), beta)
+
+    def katz_round(self, alpha: float, beta: float, bootstrap: bool,
+                   *sender_payloads):
+        """One fused Katz superstep (the ``pr_round`` shape without
+        normalization, dangling mass, or reset): apply
+        ``x(v) = β + Σ incoming α·x(u)`` then scatter ``α·x`` along
+        out-edges (edge weights multiply in on weighted layouts)."""
+        err = float("nan")
+        t_in = time.perf_counter()
+        t_apply = 0.0
+        if not bootstrap:
+            incoming = [pl[0][self.part] for pl in sender_payloads]
+            old = self.state["katz"]
+            new = np.full(len(self.verts), beta)
+            for sender, payload in enumerate(incoming):
+                if isinstance(payload, tuple):
+                    ids, sums = payload
+                    pos = self._positions("fwd", sender, ids)
+                else:
+                    sums = payload
+                    pos = self._positions("fwd", sender, None)
+                if len(sums):
+                    new[pos] += sums
+            err = float(np.abs(new - old).sum())
+            self.state["katz"] = new
+            t_apply = time.perf_counter() - t_in
+        sums = self.fwd.coef_scatter_sums(alpha * self.state["katz"])
+        # same (per_part, scalar) payload shape as pr_round (no dangling
+        # mass in Katz; the slot keeps _payload_nbytes/positions shared)
+        payload = (self.fwd.per_part(sums, bootstrap), 0.0)
+        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply,
+                         t_in, _payload_nbytes(payload))
+
     # -- WCC (hash-min label propagation; SURVEY §2.5 WCC row) -------------
 
     def wcc_init(self) -> None:
@@ -1793,6 +1831,40 @@ class ShardedGraph:
                 return ck["iteration"]
         init_fn()
         return 0
+
+    def katz(self, *, alpha: float = 0.1, beta: float = 1.0,
+             max_iterations: int | None = 10, tolerance: float | None = None):
+        """Katz centrality ``x = Σ_{k≥0} α^k (Aᵀ)^k β·1`` truncated at
+        ``max_iterations`` terms (or until T1 change ≤ ``tolerance``):
+        ``x_{t+1}(v) = β + α Σ_{u→v} x_t(u)``. Convergence of the full
+        series requires α < 1/λ_max; the truncated sum is well-defined for
+        any α (Katz 1953 status index — the attenuation-factor sibling of
+        PageRank the reference leaves to its users). Beyond the reference.
+        Returns ``Dataset(vertex, katz)``."""
+        ray.get([s.katz_init.remote(beta) for s in self.shards])
+        tol = -1.0 if tolerance is None else tolerance
+        iteration, error = 0, float("inf")
+        stop = max_iterations is not None and iteration >= max_iterations
+        if not stop:
+            outs = [s.katz_round.options(num_returns=2).remote(alpha, beta, True)
+                    for s in self.shards]
+            payloads = [o[0] for o in outs]
+        while not stop:
+            t0 = time.perf_counter()
+            outs = [
+                s.katz_round.options(num_returns=2).remote(
+                    alpha, beta, False, *payloads)
+                for s in self.shards
+            ]
+            payloads = [o[0] for o in outs]
+            stats = ray.get([o[1] for o in outs])
+            error = sum(st[0] for st in stats)
+            iteration += 1
+            self.metrics.append(RoundMetrics(
+                iteration, error, time.perf_counter() - t0, {"algo": "katz"}))
+            stop = (max_iterations is not None and iteration >= max_iterations) \
+                or error <= tol
+        return self._state_dataset("katz", "katz")
 
     def sssp(self, sources, *, max_iterations: int | None = None,
              checkpoint_dir: str | None = None, checkpoint_every: int = 5,

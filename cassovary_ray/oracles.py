@@ -73,6 +73,29 @@ def pagerank_sql(edges_cte: str, iterations: int = 10, damping: float = DAMPING)
     return ",\n".join(parts) + f"\nSELECT vertex, rank FROM r{iterations}"
 
 
+def katz_sql(edges_cte: str, iterations: int, alpha: float,
+             beta: float) -> str:
+    """Unrolled truncated Katz series (``ShardedGraph.katz``):
+    x₀ = β; x_{k+1}(v) = β + α·Σ_{u→v} x_k(u). Returns (vertex, katz);
+    float drift across summation orders is absorbed by the checker's 9-dp
+    rounding (the ``pagerank_sql`` discipline)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        f"x0 AS MATERIALIZED (SELECT vertex, CAST({beta!r} AS DOUBLE) AS x FROM v)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex, sum(p.x) AS contrib"
+            f" FROM e JOIN x{p} p ON p.vertex = e.src GROUP BY e.dst)")
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v.vertex,"
+            f" {beta!r} + {alpha!r} * coalesce(c{k}.contrib, 0.0) AS x"
+            f" FROM v LEFT JOIN c{k} ON c{k}.vertex = v.vertex)")
+    return ",\n".join(parts) + f"\nSELECT vertex, x AS katz FROM x{iterations}"
+
+
 def pagerank_weighted_sql(edges_cte: str, iterations: int = 10,
                           damping: float = DAMPING) -> str:
     """Unrolled WEIGHTED PageRank: ``edges_cte`` yields (src, dst, w) with

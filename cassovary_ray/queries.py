@@ -283,6 +283,16 @@ def q_graph_pagerank_weighted(sf_dir: str):
         return g.pagerank(max_iterations=10, tolerance=0.0)
 
 
+def q_graph_katz(sf_dir: str):
+    # pinned 8 truncated-series terms so the unrolled SQL runs identically;
+    # alpha small enough that α·avg_deg < 1 keeps values O(1) — float
+    # summation-order drift (~1e-16 relative) then stays far below the
+    # checker's 9-dp grid (at alpha=0.05 values reach ~4e3 and straddle it)
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.katz(alpha=0.005, beta=1.0, max_iterations=8)
+
+
 SSSP_SOURCES = {0: 0.0}
 SSSP_ROUNDS = 8
 
@@ -917,6 +927,7 @@ QUERIES = {
     "graph_modularity": q_graph_modularity,
     "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
+    "graph_katz": q_graph_katz,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "graph_sssp": q_graph_sssp,
     "graph_ppr": q_graph_ppr,
@@ -1085,6 +1096,8 @@ ORACLE_SQL = {
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
     "graph_ego_net": oracles.ego_net_sql(DERIVED_EDGES_CTE, [7, 500], radius=1),
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_katz": oracles.katz_sql(DERIVED_EDGES_CTE, iterations=8,
+                                   alpha=0.005, beta=1.0),
     "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
         DERIVED_WEDGES_CTE, iterations=10),
     "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),

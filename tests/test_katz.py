@@ -1,0 +1,61 @@
+"""Katz centrality (ShardedGraph.katz) vs dense numpy truncated power series."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cassovary_ray.corpus import TOY_GRAPHS, graph_vertices
+from cassovary_ray.engine import ShardedGraph
+
+from tests.util import build_toy_layout, state_by_node
+
+
+def numpy_katz(adj, alpha, beta, iterations):
+    verts = sorted(graph_vertices(adj))
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            A[idx[u], idx[v]] += 1.0
+    x = np.full(len(verts), float(beta))
+    for _ in range(iterations):
+        x = beta + alpha * (A.T @ x)
+    return {v: x[idx[v]] for v in verts}
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_katz_g6_truncated_series(tmp_dir, num_parts):
+    adj = TOY_GRAPHS["g6"]
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, num_parts)
+    with ShardedGraph(lay) as g:
+        df = g.katz(alpha=0.1, beta=1.0, max_iterations=5).to_pandas()
+    got = state_by_node(df, adj, "katz")
+    want = numpy_katz(adj, 0.1, 1.0, 5)
+    for n, w in want.items():
+        assert got[n] == pytest.approx(w, rel=1e-12)
+
+
+def test_katz_converges_to_fixed_point(tmp_dir):
+    # alpha far below 1/lambda_max: the truncated sum approaches the solve
+    adj = TOY_GRAPHS["g7"]
+    verts = sorted(graph_vertices(adj))
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            A[idx[u], idx[v]] += 1.0
+    alpha, beta = 0.05, 1.0
+    exact = np.linalg.solve(np.eye(len(verts)) - alpha * A.T,
+                            np.full(len(verts), beta))
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 2)
+    with ShardedGraph(lay) as g:
+        df = g.katz(alpha=alpha, beta=beta, max_iterations=60,
+                    tolerance=1e-14).to_pandas()
+    got = state_by_node(df, adj, "katz")
+    for v in verts:
+        assert got[v] == pytest.approx(exact[idx[v]], rel=1e-9)
