@@ -211,33 +211,85 @@ def _ivf_centroids(n_centroids: int, seed: int, dim: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def kmeans_centroids(emb, n_centroids: int = 16, iters: int = 5,
+                     seed: int = 4242, dim: int = 64) -> np.ndarray:
+    """Lloyd-trained IVF coarse quantizer: init from
+    :func:`_ivf_centroids` (deterministic directions), then ``iters``
+    streaming passes — each batch emits per-cluster (count, vector-sum)
+    partials (≤ n_centroids rows per batch, k×d floats), combined on the
+    driver (tiny: blocks × k rows, never the corpus). Empty clusters keep
+    their previous centroid. Returns the (k, dim) centroid matrix — pass to
+    :func:`ivf_knn` via ``centroids=`` for data-adapted cells (same
+    dataflow, better recall). Summation order across blocks is not pinned,
+    so centroids are deterministic only to float round-off (~1e-15) —
+    document-level results should not hash against an oracle."""
+    cents = _ivf_centroids(n_centroids, seed, dim)
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, k_: int = n_centroids) -> pa.Table:
+            c = ray.get(cref)
+            ids, m = _emb_matrix(batch)
+            if not len(ids):
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k_, m.shape[1]))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k_)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cid": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "vsum": pa.array([sums[i].tolist() for i in nz],
+                                 pa.list_(pa.float64()))})
+
+        parts = emb.select_columns(["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(n_centroids, np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 def ivf_knn(emb, query_ids: list[int], k: int = 5, n_centroids: int = 16,
-            nprobe: int = 4, seed: int = 4242):
+            nprobe: int = 4, seed: int = 4242, centroids: np.ndarray | None = None):
     """IVF-style approximate top-k: brute-force only within the ``nprobe``
     centroid cells nearest each query.
 
     Scale shape mirrors :func:`lsh_knn`: a row's cell is a PURE FUNCTION of
-    its embedding (argmax inner product against the deterministic centroid
+    its embedding (argmax inner product against the broadcast centroid
     matrix, ties → lowest centroid id), so the corpus restriction is one
     streaming ``map_batches`` filter against the broadcast (≤ n_centroids)
     wanted-cell set — no shuffle join, no driver-side assignment map. At
     10^12 vectors the candidate set is ~n·nprobe/n_centroids.
+    ``centroids``: optional trained matrix (:func:`kmeans_centroids`) in
+    place of the fixed random directions.
     Returns ``Dataset(query_id, neighbor_id, rank)``.
     """
     qids, qm = _load_queries(emb, query_ids)
     dim = qm.shape[1]
-    cents = _ivf_centroids(n_centroids, seed, dim)
+    cents = _ivf_centroids(n_centroids, seed, dim) if centroids is None \
+        else np.asarray(centroids, dtype=np.float64)
     # top-nprobe cells per query; stable argsort keeps lowest cid on ties
     probes = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :nprobe]
     wanted = np.unique(probes)
     wref = ray.put(wanted)
+    cref = ray.put(cents)
 
     def in_cells(batch: pa.Table) -> pa.Table:
         w = ray.get(wref)
         ids, m = _emb_matrix(batch)
         if not len(ids):
             return batch
-        c = _ivf_centroids(n_centroids, seed, m.shape[1])
+        c = ray.get(cref)
         assign = np.argmax(m @ c.T, axis=1)  # first max = lowest cid on ties
         pos = np.searchsorted(w, assign)
         ok = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == assign)

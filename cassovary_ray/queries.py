@@ -639,6 +639,16 @@ def q_knn_ivf(sf_dir: str):
     return ann.ivf_knn(_table(sf_dir, "embeddings"), list(range(10)), k=5)
 
 
+def q_knn_ivf_kmeans(sf_dir: str):
+    """IVF with a Lloyd-trained coarse quantizer (rows-only: trained float
+    centroids aren't SQL-expressible; exactness vs brute force is pinned by
+    `tests/test_ann.py` on separated clusters)."""
+    emb = _table(sf_dir, "embeddings")
+    cents = ann.kmeans_centroids(emb, n_centroids=16, iters=3)
+    return ann.ivf_knn(emb, list(range(10)), k=5, n_centroids=16,
+                       centroids=cents)
+
+
 def q_embedding_dups(sf_dir: str):
     # 0.42 sits in a 2.7e-3-wide empty band of the sf0.01 cosine distribution
     # (boundary-flip-safe for the float comparison with the oracle)
@@ -969,6 +979,7 @@ QUERIES = {
     "knn_top5": q_knn_top5,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_kmeans": q_knn_ivf_kmeans,
     "embedding_dups": q_embedding_dups,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,

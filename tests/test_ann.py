@@ -156,3 +156,39 @@ def test_ivf_deterministic_across_runs():
     a = ann.ivf_knn(ds, [7], k=5).to_pandas().sort_values("rank")
     b = ann.ivf_knn(ds, [7], k=5).to_pandas().sort_values("rank")
     assert list(a.neighbor_id) == list(b.neighbor_id)
+
+
+def test_kmeans_centroids_match_numpy_lloyd():
+    rng = np.random.default_rng(3)
+    means = np.array([[5.0] + [0.0] * 7, [-5.0] + [0.0] * 7,
+                      [0.0, 8.0] + [0.0] * 6])
+    vecs = np.concatenate([m + rng.normal(0, 0.3, (40, 8)) for m in means])
+    ds = ray.data.from_arrow(emb_table(vecs)).repartition(4)
+    got = ann.kmeans_centroids(ds, n_centroids=4, iters=4, seed=7, dim=8)
+
+    # numpy Lloyd with the same init and tie rules (embeddings are stored
+    # as float32 in the table — round-trip to match)
+    c = ann._ivf_centroids(4, 7, 8)
+    m = vecs.astype(np.float32).astype(np.float64)
+    for _ in range(4):
+        assign = np.argmax(m @ c.T, axis=1)
+        nc = c.copy()
+        for i in range(4):
+            sel = assign == i
+            if sel.any():
+                nc[i] = m[sel].mean(axis=0)
+        c = nc
+    assert np.allclose(got, c, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_knn_with_trained_centroids_exact_on_clusters():
+    rng = np.random.default_rng(9)
+    means = np.array([[6.0] + [0.0] * 7, [-6.0] + [0.0] * 7])
+    vecs = np.concatenate([m + rng.normal(0, 0.2, (30, 8)) for m in means])
+    ds = ray.data.from_arrow(emb_table(vecs)).repartition(3)
+    cents = ann.kmeans_centroids(ds, n_centroids=2, iters=3, seed=5, dim=8)
+    got = ann.ivf_knn(ds, [0, 35], k=4, n_centroids=2, nprobe=1,
+                      centroids=cents).to_pandas()
+    for q in (0, 35):
+        nb = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert nb == numpy_knn(vecs, q, 4)
