@@ -915,6 +915,120 @@ def wl_refinement(edges, rounds: int = 3, num_partitions: int | None = None):
     return cur
 
 
+def contract_graph(edges, communities, keep_self_loops: bool = False,
+                   num_partitions: int | None = None):
+    """Community contraction (the multilevel-coarsening primitive):
+    ``Dataset(src, dst, weight)`` where src/dst are community ids and
+    weight counts the original directed edges between the two communities
+    (self-community edges dropped unless ``keep_self_loops``). Two
+    vertex-partitioned joins + pre-combined pair counts — the
+    :func:`modularity` shuffle shape."""
+    P = _auto_partitions(num_partitions)
+    e = _join_safe(edges.select_columns(["src", "dst"]), P)
+    comm = _join_safe(communities, P).materialize()
+    es = _join_safe(
+        e.join(comm, "inner", P, on=("src",), right_on=("vertex",))
+        .rename_columns({"community": "c_src"}), P).materialize()
+    ed = es.join(comm, "inner", P, on=("dst",), right_on=("vertex",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch["c_src"], "dst": batch["community"]})
+        if not keep_self_loops:
+            t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        return t
+
+    return _pair_partial_counts(
+        ed.map_batches(project, batch_format="pyarrow"), "weight")
+
+
+def sample_neighbors(edges, k: int, seed: int = 0,
+                     num_partitions: int | None = None):
+    """Deterministic per-vertex neighbor sampling (the GraphSAGE-fanout /
+    minibatch primitive): at most ``k`` out-edges per src, selected by
+    md5(seed|src|dst) order — a pure function of the row, so the sample is
+    identical at any parallelism and reproducible by the SQL oracle
+    (row_number over the same md5 expression). ONE range sort + vectorized
+    prefix-k segment fold; block-edge groups (≤2 per block) divert their
+    candidate lists to a tiny merge."""
+    import hashlib
+
+    def rank_col(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        r = [hashlib.md5(f"{seed}|{a}|{b}".encode()).hexdigest()
+             for a, b in zip(s, d)]
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "r": pa.array(r, pa.string())})
+
+    ranked = edges.select_columns(["src", "dst"]).map_batches(
+        rank_col, batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "rs": pa.array([], pa.list_(pa.string())),
+            "ds": pa.array([], pa.list_(pa.int64())),
+            "boundary": pa.array([], pa.bool_()),
+        })
+        if len(s) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        uniq = s[starts]
+        n = len(uniq)
+        bounds = np.r_[starts, len(s)]
+        tables = []
+        if n > 2:
+            pos = np.arange(len(s)) - np.repeat(bounds[:-1], np.diff(bounds))
+            keep = np.zeros(len(s), bool)
+            keep[starts[1]:starts[n - 1]] = pos[starts[1]:starts[n - 1]] < k
+            kept = batch.filter(pa.array(keep))
+            tables.append(pa.table({
+                "src": kept["src"], "dst": kept["dst"],
+                "rs": pa.nulls(len(kept), pa.list_(pa.string())),
+                "ds": pa.nulls(len(kept), pa.list_(pa.int64())),
+                "boundary": pa.array(np.zeros(len(kept), bool)),
+            }))
+        for gi in ({0, n - 1} if n > 1 else {0}):
+            seg = batch.slice(bounds[gi], bounds[gi + 1] - bounds[gi])
+            tables.append(pa.table({
+                "src": pa.array([int(uniq[gi])], pa.int64()),
+                "dst": pa.array([0], pa.int64()),
+                "rs": pa.array([seg["r"].to_pylist()], pa.list_(pa.string())),
+                "ds": pa.array([seg["dst"].to_pylist()], pa.list_(pa.int64())),
+                "boundary": pa.array([True]),
+            }))
+        return pa.concat_tables(tables) if tables else empty
+
+    folded = ranked.sort(["src", "r", "dst"]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep))
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    interior = split(False).map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+        batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame, kk: int = k) -> pd.DataFrame:
+        cand = sorted(
+            (r, d) for rs, ds in zip(g["rs"], g["ds"]) for r, d in zip(rs, ds))
+        pick = cand[:kk]
+        return pd.DataFrame({"src": [int(g["src"].iloc[0])] * len(pick),
+                             "dst": [int(d) for _, d in pick]})
+
+    merged = split(True).select_columns(["src", "rs", "ds"]).groupby(
+        "src").map_groups(merge, batch_format="pandas")
+    return interior.union(merged)
+
+
 def latest_by_key(ds, key: str, order_cols: list[str],
                   num_partitions: int | None = None):
     """Arg-max row per key: keeps the row whose ``order_cols`` tuple is

@@ -742,6 +742,34 @@ def q_graph_conductance(sf_dir: str):
     return analytics.conductance(e, comm)
 
 
+def q_graph_contract(sf_dir: str):
+    """Community contraction under vertex%7: supergraph edge weights."""
+    e = derived_edges(sf_dir)
+
+    def vert_partial(b: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"vertex": pa.array(v, pa.int64())})
+
+    comm = (
+        e.map_batches(vert_partial, batch_format="pyarrow")
+        .groupby("vertex").aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"],
+                "community": pa.array(
+                    b["vertex"].to_numpy(zero_copy_only=False) % 7, pa.int64())}),
+            batch_format="pyarrow")
+    )
+    return analytics.contract_graph(e, comm)
+
+
+def q_graph_sample_neighbors(sf_dir: str):
+    """Deterministic 3-fanout neighbor sample (md5 order, seed 7)."""
+    return analytics.sample_neighbors(derived_edges(sf_dir), k=3, seed=7)
+
+
 def q_web_host_graph(sf_dir: str):
     """Host-level collapse of a synthetic page-link graph (urls derived
     deterministically from the edge table): ``(src_host, dst_host,
@@ -997,6 +1025,8 @@ QUERIES = {
     "graph_wl": q_graph_wl,
     "web_host_graph": q_web_host_graph,
     "graph_conductance": q_graph_conductance,
+    "graph_contract": q_graph_contract,
+    "graph_sample_neighbors": q_graph_sample_neighbors,
     "graph_scc": q_graph_scc,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_curation": q_doc_curation,
@@ -1396,6 +1426,25 @@ ORACLE_SQL = {
         SKEWED_EDGES_CTE, epsilon=0.1, rounds=10),
     "graph_coreness": oracles.coreness_sql(DERIVED_EDGES_CTE, rounds=18),
     "graph_wl": oracles.wl_refinement_sql(DERIVED_EDGES_CTE, rounds=3),
+    "graph_contract": f"""
+        WITH e AS MATERIALIZED ({DERIVED_EDGES_CTE}),
+        comm AS (SELECT vertex, vertex % 7 AS community FROM (
+            SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)))
+        SELECT a.community AS src, b.community AS dst, count(*) AS weight
+        FROM e JOIN comm a ON a.vertex = e.src
+        JOIN comm b ON b.vertex = e.dst
+        WHERE a.community <> b.community GROUP BY 1, 2
+    """,
+    "graph_sample_neighbors": f"""
+        WITH e AS ({DERIVED_EDGES_CTE})
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+                ORDER BY md5('7|' || CAST(src AS VARCHAR) || '|'
+                             || CAST(dst AS VARCHAR)), dst) AS rn
+            FROM e)
+        WHERE rn <= 3
+    """,
     "graph_conductance": f"""
         WITH e AS MATERIALIZED ({DERIVED_EDGES_CTE}),
         cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,

@@ -543,3 +543,45 @@ def test_wl_vs_brute_random():
                                      num_partitions=P).to_pandas()
         got = dict(zip(df.vertex.astype(int), df.color))
         assert got == _brute_wl(pairs, 3)
+
+
+# -- contraction / neighbor sampling ------------------------------------------
+
+
+def test_contract_graph_counts():
+    # communities {0,1}->A, {2,3}->B, 4->C
+    pairs = [(0, 2), (1, 2), (2, 0), (0, 1), (3, 4), (4, 4)]
+    comm = _comm_ds({0: 10, 1: 10, 2: 20, 3: 20, 4: 30})
+    t = analytics.contract_graph(_edges(pairs), comm).to_pandas()
+    got = {(int(r.src), int(r.dst)): int(r.weight) for r in t.itertuples()}
+    assert got == {(10, 20): 2, (20, 10): 1, (20, 30): 1}
+    t2 = analytics.contract_graph(_edges(pairs), comm,
+                                  keep_self_loops=True).to_pandas()
+    got2 = {(int(r.src), int(r.dst)): int(r.weight) for r in t2.itertuples()}
+    assert got2 == {(10, 20): 2, (20, 10): 1, (20, 30): 1,
+                    (10, 10): 1, (30, 30): 1}
+
+
+def test_sample_neighbors_deterministic_and_bounded():
+    import hashlib
+
+    rng = np.random.default_rng(19)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, (300, 2))
+                    if a != b})
+    k, seed = 3, 7
+    want = {}
+    bysrc = {}
+    for a, b in pairs:
+        bysrc.setdefault(a, []).append(b)
+    for a, ds_ in bysrc.items():
+        ranked = sorted(
+            (hashlib.md5(f"{seed}|{a}|{d}".encode()).hexdigest(), d)
+            for d in ds_)
+        want[a] = sorted(d for _, d in ranked[:k])
+    for P in (1, 4):
+        df = analytics.sample_neighbors(
+            _edges(pairs), k=k, seed=seed, num_partitions=P).to_pandas()
+        got = {}
+        for r in df.itertuples():
+            got.setdefault(int(r.src), []).append(int(r.dst))
+        assert {a: sorted(v) for a, v in got.items()} == want
