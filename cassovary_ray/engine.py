@@ -424,6 +424,45 @@ class GraphShard:
         return payload, (err, t_apply, time.perf_counter() - t_in - t_apply,
                          t_in, _payload_nbytes(payload))
 
+    def eig_init(self) -> float:
+        """y₀ = 1 on every vertex; returns shard Σy² for the global norm.
+        (Normalization needs a global reduction, so eigenvector centrality
+        runs as explicit scatter/apply phases instead of the fused
+        ``pr_round`` shape — one extra actor call per round.)"""
+        self.state["eig"] = np.ones(len(self.verts))
+        return float(len(self.verts))
+
+    def eig_scatter(self, inv_norm: float, first: bool):
+        """Scatter x̂ = y·inv_norm along out-edges; also records x̂ so the
+        next apply can report ‖Δx̂‖₁ convergence. Returns (payload, Σ|Δx̂|
+        vs the previous round's x̂)."""
+        xhat = self.state["eig"] * inv_norm
+        prev = self.state.get("eig_prev")
+        err = float(np.abs(xhat - prev).sum()) if prev is not None else float("nan")
+        self.state["eig_prev"] = xhat
+        sums = self.fwd.coef_scatter_sums(xhat)
+        return (self.fwd.per_part(sums, first), 0.0), err
+
+    def eig_apply(self, *sender_payloads) -> float:
+        """y ← Σ incoming (= Aᵀ x̂); returns shard Σy² for the driver's
+        next-norm reduction."""
+        incoming = [pl[0][self.part] for pl in sender_payloads]
+        new = np.zeros(len(self.verts))
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, sums = payload
+                pos = self._positions("fwd", sender, ids)
+            else:
+                sums = payload
+                pos = self._positions("fwd", sender, None)
+            if len(sums):
+                new[pos] += sums
+        self.state["eig"] = new
+        return float(np.square(new).sum())
+
+    def eig_finalize(self, inv_norm: float) -> None:
+        self.state["eig"] = self.state["eig"] * inv_norm
+
     # -- WCC (hash-min label propagation; SURVEY §2.5 WCC row) -------------
 
     def wcc_init(self) -> None:
@@ -1831,6 +1870,39 @@ class ShardedGraph:
                 return ck["iteration"]
         init_fn()
         return 0
+
+    def eigenvector_centrality(self, *, max_iterations: int = 30,
+                               tolerance: float | None = 1e-10):
+        """Eigenvector centrality by power iteration on Aᵀ (in-edge
+        prestige, the PageRank-without-damping limit): x̂ ← Aᵀx̂ / ‖Aᵀx̂‖₂
+        from x̂₀ ∝ 1. Converges to the principal eigenvector when the graph's
+        reachable core is aperiodic; stops at ``max_iterations`` or when
+        ‖Δx̂‖₁ ≤ ``tolerance``. Vertices with no in-paths from the core get
+        0. Beyond the reference (its users run PageRank instead); returns
+        ``Dataset(vertex, eig)``."""
+        sq = sum(ray.get([s.eig_init.remote() for s in self.shards]))
+        inv = 1.0 / np.sqrt(sq)
+        outs = [s.eig_scatter.options(num_returns=2).remote(inv, True)
+                for s in self.shards]
+        payloads = [o[0] for o in outs]
+        ray.get([o[1] for o in outs])
+        tol = -1.0 if tolerance is None else tolerance
+        for it in range(max_iterations):
+            t0 = time.perf_counter()
+            sq = sum(ray.get([s.eig_apply.remote(*payloads) for s in self.shards]))
+            if sq == 0.0:
+                break  # no edges: zero vector, normalization undefined
+            inv = 1.0 / np.sqrt(sq)
+            outs = [s.eig_scatter.options(num_returns=2).remote(inv, False)
+                    for s in self.shards]
+            payloads = [o[0] for o in outs]
+            err = sum(ray.get([o[1] for o in outs]))
+            self.metrics.append(RoundMetrics(
+                it + 1, err, time.perf_counter() - t0, {"algo": "eigenvector"}))
+            if err <= tol:
+                break
+        ray.get([s.eig_finalize.remote(inv) for s in self.shards])
+        return self._state_dataset("eig", "eig")
 
     def katz(self, *, alpha: float = 0.1, beta: float = 1.0,
              max_iterations: int | None = 10, tolerance: float | None = None):

@@ -96,6 +96,31 @@ def katz_sql(edges_cte: str, iterations: int, alpha: float,
     return ",\n".join(parts) + f"\nSELECT vertex, x AS katz FROM x{iterations}"
 
 
+def eigenvector_sql(edges_cte: str, iterations: int) -> str:
+    """Unrolled power iteration (``ShardedGraph.eigenvector_centrality``):
+    x̂₀ ∝ 1; per round y = Aᵀx̂, x̂ = y/‖y‖₂. Returns (vertex, eig); float
+    drift absorbed by the checker's 9-dp rounding (values are O(n^-1/2))."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "x0 AS MATERIALIZED (SELECT vertex,"
+        " 1.0 / sqrt((SELECT count(*) FROM v)) AS x FROM v)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"y{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.m, 0.0) AS y"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vertex, sum(p.x) AS m"
+            f" FROM e JOIN x{p} p ON p.vertex = e.src GROUP BY 1) s"
+            f" USING (vertex))")
+        parts.append(
+            f"n{k} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{k})")
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT vertex, y / nrm AS x"
+            f" FROM y{k}, n{k})")
+    return ",\n".join(parts) + f"\nSELECT vertex, x AS eig FROM x{iterations}"
+
+
 def pagerank_weighted_sql(edges_cte: str, iterations: int = 10,
                           damping: float = DAMPING) -> str:
     """Unrolled WEIGHTED PageRank: ``edges_cte`` yields (src, dst, w) with

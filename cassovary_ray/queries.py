@@ -293,6 +293,13 @@ def q_graph_katz(sf_dir: str):
         return g.katz(alpha=0.005, beta=1.0, max_iterations=8)
 
 
+def q_graph_eigenvector(sf_dir: str):
+    # pinned 7 power-iteration rounds (tolerance=None) for the SQL unroll
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        return g.eigenvector_centrality(max_iterations=7, tolerance=None)
+
+
 SSSP_SOURCES = {0: 0.0}
 SSSP_ROUNDS = 8
 
@@ -966,6 +973,7 @@ QUERIES = {
     "graph_local_clustering": q_graph_local_clustering,
     "graph_pagerank": q_graph_pagerank,
     "graph_katz": q_graph_katz,
+    "graph_eigenvector": q_graph_eigenvector,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "graph_sssp": q_graph_sssp,
     "graph_ppr": q_graph_ppr,
@@ -1139,6 +1147,8 @@ ORACLE_SQL = {
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_katz": oracles.katz_sql(DERIVED_EDGES_CTE, iterations=8,
                                    alpha=0.005, beta=1.0),
+    "graph_eigenvector": oracles.eigenvector_sql(DERIVED_EDGES_CTE,
+                                                 iterations=7),
     "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
         DERIVED_WEDGES_CTE, iterations=10),
     "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),

@@ -59,3 +59,49 @@ def test_katz_converges_to_fixed_point(tmp_dir):
     got = state_by_node(df, adj, "katz")
     for v in verts:
         assert got[v] == pytest.approx(exact[idx[v]], rel=1e-9)
+
+
+# -- eigenvector centrality (power iteration) ---------------------------------
+
+
+def numpy_power_iteration(adj, iterations):
+    verts = sorted(graph_vertices(adj))
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            A[idx[u], idx[v]] += 1.0
+    x = np.ones(len(verts))
+    x = x / np.linalg.norm(x)
+    for _ in range(iterations):
+        y = A.T @ x
+        x = y / np.linalg.norm(y)
+    return {v: x[idx[v]] for v in verts}
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_eigenvector_matches_numpy_power_iteration(tmp_dir, num_parts):
+    adj = TOY_GRAPHS["g6"]
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, num_parts)
+    with ShardedGraph(lay) as g:
+        df = g.eigenvector_centrality(max_iterations=7,
+                                      tolerance=None).to_pandas()
+    got = state_by_node(df, adj, "eig")
+    want = numpy_power_iteration(adj, 7)
+    for n, w in want.items():
+        assert got[n] == pytest.approx(w, abs=1e-12)
+
+
+def test_eigenvector_complete_graph_uniform(tmp_dir):
+    from cassovary_ray.corpus import complete_graph
+
+    adj = complete_graph(6)
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 2)
+    with ShardedGraph(lay) as g:
+        df = g.eigenvector_centrality(max_iterations=50,
+                                      tolerance=1e-14).to_pandas()
+    got = state_by_node(df, adj, "eig")
+    for v, x in got.items():
+        assert x == pytest.approx(1 / np.sqrt(6), abs=1e-10)
