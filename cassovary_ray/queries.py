@@ -589,6 +589,11 @@ def q_doc_contamination(sf_dir: str):
     return textops.contamination_counts(train, ref, n=8)
 
 
+def q_doc_pii(sf_dir: str):
+    """PII scrub: redacted-text md5 + per-kind match counts."""
+    return textops.redact_pii(_table(sf_dir, "documents"))
+
+
 def q_doc_langid(sf_dir: str):
     return textops.lang_id(_table(sf_dir, "documents"))
 
@@ -1003,6 +1008,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
+    "doc_pii": q_doc_pii,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1248,6 +1254,23 @@ ORACLE_SQL = {
         LEFT JOIN ldup ld USING (doc_id)
         LEFT JOIN g2top USING (doc_id)
         LEFT JOIN g5s USING (doc_id)
+    """,
+    "doc_pii": r"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'))
+                 AS clean_md5,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text,
+                   '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        FROM documents
     """,
     "doc_contamination": r"""
         WITH d AS (SELECT doc_id, text FROM documents),

@@ -124,6 +124,45 @@ def repetition_signals(docs):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
+# PII patterns: RE2 both in pyarrow.compute and DuckDB regexp_* — the
+# replace/count expressions are shared verbatim with the SQL oracle
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(docs):
+    """Corpus PII scrub (the standard pre-training cleaning stage):
+    ``(doc_id, clean_md5, n_emails, n_ips, n_phones)`` — emails, IPv4
+    addresses, then phone-shaped digit runs replaced by ``<EMAIL>`` /
+    ``<IP>`` / ``<PHONE>`` in that fixed order, counts taken on the
+    original text. Fully vectorized (``pc.replace_substring_regex`` /
+    ``count_substring_regex``, RE2 — the same engine as DuckDB's
+    ``regexp_replace``/``regexp_extract_all``, so oracle semantics match by
+    construction); the md5 of the redacted text makes the whole transform
+    hash-checkable without shipping it."""
+    import hashlib
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        out = t
+        for pat, tok in ((_PII_EMAIL, "<EMAIL>"), (_PII_IP, "<IP>"),
+                         (_PII_PHONE, "<PHONE>")):
+            out = pc.replace_substring_regex(out, pat, tok)
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in out.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_md5": pa.array(h, pa.string()),
+            "n_emails": pc.count_substring_regex(t, _PII_EMAIL).cast(pa.int64()),
+            "n_ips": pc.count_substring_regex(t, _PII_IP).cast(pa.int64()),
+            "n_phones": pc.count_substring_regex(t, _PII_PHONE).cast(pa.int64()),
+        })
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
 def contamination_counts(train_docs, ref_docs, n: int = 8):
     """Benchmark-decontamination primitive (GPT-3 App. C / Dolma recipe):
     for every training doc, the number of DISTINCT whitespace-token

@@ -226,3 +226,22 @@ def test_contamination_counts_empty_ref():
     ref = _docs([], ids=[])
     df = textops.contamination_counts(train, ref, n=8).to_pandas()
     assert dict(zip(df.doc_id, df.n_shared)) == {1: 0}
+
+
+# -- PII redaction (textops.redact_pii) ----------------------------------------
+
+
+def test_redact_pii_counts_and_hash():
+    from cassovary_ray.textops import redact_pii
+
+    docs = _docs([
+        "mail bob.smith+x@exa-mple.co.uk or call +1 (415) 555-0199 now",
+        "server 192.168.0.1 and 8.8.8.8",
+        "clean text", ""])
+    df = redact_pii(docs).to_pandas().set_index("doc_id")
+    assert (int(df.loc[0].n_emails), int(df.loc[0].n_phones)) == (1, 1)
+    assert int(df.loc[1].n_ips) == 2
+    assert df.loc[2].clean_md5 == _md5("clean text")
+    assert df.loc[0].clean_md5 == _md5(
+        "mail <EMAIL> or call <PHONE> now")
+    assert df.loc[1].clean_md5 == _md5("server <IP> and <IP>")
