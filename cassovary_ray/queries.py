@@ -589,6 +589,11 @@ def q_doc_contamination(sf_dir: str):
     return textops.contamination_counts(train, ref, n=8)
 
 
+def q_doc_gopher(sf_dir: str):
+    """Gopher-rule quality gate verdicts (integer percent thresholds)."""
+    return textops.gopher_filter(_table(sf_dir, "documents"))
+
+
 def q_doc_pii(sf_dir: str):
     """PII scrub: redacted-text md5 + per-kind match counts."""
     return textops.redact_pii(_table(sf_dir, "documents"))
@@ -1009,6 +1014,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
     "doc_pii": q_doc_pii,
+    "doc_gopher": q_doc_gopher,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1252,6 +1258,48 @@ ORACLE_SQL = {
                coalesce(g5s.n_dup_5grams, 0) AS n_dup_5grams
         FROM d JOIN lstats l USING (doc_id) JOIN toks t USING (doc_id)
         LEFT JOIN ldup ld USING (doc_id)
+        LEFT JOIN g2top USING (doc_id)
+        LEFT JOIN g5s USING (doc_id)
+    """,
+    "doc_gopher": r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+        lstats AS (
+            SELECT doc_id, count(*) AS n_lines,
+                   count(*) - count(DISTINCT line) AS n_dup_lines
+            FROM lines GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, arr, len(arr) AS n FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM d)),
+        g2 AS (
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g FROM (
+                SELECT doc_id, arr, unnest(generate_series(1, n - 1)) AS i
+                FROM toks)),
+        g2top AS (
+            SELECT doc_id, max(c) AS top2 FROM (
+                SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+            GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+                   || ' ' || arr[i + 3] || ' ' || arr[i + 4] AS g FROM (
+                SELECT doc_id, arr, unnest(generate_series(1, n - 4)) AS i
+                FROM toks)),
+        g5s AS (
+            SELECT doc_id, count(*) - count(DISTINCT g) AS dup5
+            FROM g5 GROUP BY doc_id)
+        SELECT d.doc_id, t.n AS n_tokens,
+               CAST(CASE WHEN t.n >= 10
+                    AND 100 * l.n_dup_lines <= 30 * l.n_lines
+                    AND (greatest(t.n - 1, 0) = 0
+                         OR 100 * coalesce(g2top.top2, 0)
+                            <= 20 * greatest(t.n - 1, 0))
+                    AND (greatest(t.n - 4, 0) = 0
+                         OR 100 * coalesce(g5s.dup5, 0)
+                            <= 30 * greatest(t.n - 4, 0))
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM d JOIN lstats l USING (doc_id) JOIN toks t USING (doc_id)
         LEFT JOIN g2top USING (doc_id)
         LEFT JOIN g5s USING (doc_id)
     """,

@@ -727,6 +727,47 @@ def dedup_clusters(docs, *, n: int = 3, max_df: int = 50,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def gopher_filter(docs, *, min_tokens: int = 10,
+                  max_dup_line_pct: int = 30,
+                  max_top_2gram_pct: int = 20,
+                  max_dup_5gram_pct: int = 30):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1.2 thresholds as
+    INTEGER percent comparisons — ``100·num ≤ pct·den``, no float
+    boundary): ``(doc_id, n_tokens, keep)`` with keep=1 iff the doc clears
+    minimum length, duplicate-line-slot fraction, top-2-gram multiplicity
+    fraction, and duplicate-5-gram-slot fraction. Composes
+    :func:`repetition_signals`' counts in the same single pass (one
+    vectorized map, zero shuffle); feed the kept ids to dedup for the full
+    curation pipeline."""
+    from collections import Counter
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out_tok, out_keep = [], []
+        for t in batch["text"].to_pylist():
+            lines = t.split("\n")
+            lc = Counter(lines)
+            n_lines, n_dup = len(lines), len(lines) - len(lc)
+            toks = _WS_SPLIT.split(t.strip(" "))
+            n_tok = len(toks)
+            g2 = Counter(zip(toks, toks[1:]))
+            n2 = max(n_tok - 1, 0)
+            top2 = max(g2.values()) if g2 else 0
+            g5 = Counter(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+            n5 = max(n_tok - 4, 0)
+            dup5 = n5 - len(g5)
+            keep = (n_tok >= min_tokens
+                    and 100 * n_dup <= max_dup_line_pct * n_lines
+                    and (n2 == 0 or 100 * top2 <= max_top_2gram_pct * n2)
+                    and (n5 == 0 or 100 * dup5 <= max_dup_5gram_pct * n5))
+            out_tok.append(n_tok)
+            out_keep.append(1 if keep else 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(out_tok, pa.int64()),
+                         "keep": pa.array(out_keep, pa.int64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
 def curate_corpus(docs, *, min_tokens: int = 10):
     """End-to-end curation: quality filter then exact dedup. Returns
     ``(doc_id, n_tokens)`` for kept documents — a doc survives iff

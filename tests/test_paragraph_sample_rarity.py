@@ -245,3 +245,19 @@ def test_redact_pii_counts_and_hash():
     assert df.loc[0].clean_md5 == _md5(
         "mail <EMAIL> or call <PHONE> now")
     assert df.loc[1].clean_md5 == _md5("server <IP> and <IP>")
+
+
+def test_gopher_filter_rules():
+    from cassovary_ray.textops import gopher_filter
+
+    docs = _docs([
+        "one two three four five six seven eight nine ten eleven",  # clean
+        "short doc",                                                # < 10 toks
+        "spam spam spam spam spam spam spam spam spam spam spam",   # top-2gram
+        "a b\n" * 20 + "c d e f g h i j k l",                       # dup lines
+    ])
+    df = gopher_filter(docs).to_pandas().set_index("doc_id")
+    assert int(df.loc[0].keep) == 1
+    assert int(df.loc[1].keep) == 0      # too short
+    assert int(df.loc[2].keep) == 0      # repeated bigram dominates
+    assert int(df.loc[3].keep) == 0      # duplicate line slots over 30%
