@@ -137,6 +137,11 @@ class _Scatter:
             return np.zeros(0, dtype=per_edge_vals.dtype)
         return np.minimum.reduceat(per_edge_vals, self.seg_starts)
 
+    def segment_maxs(self, per_edge_vals: np.ndarray) -> np.ndarray:
+        if len(self.seg_starts) == 0:
+            return np.zeros(0, dtype=per_edge_vals.dtype)
+        return np.maximum.reduceat(per_edge_vals, self.seg_starts)
+
     def slice_for_part(self, sums: np.ndarray, q: int, with_ids: bool):
         lo, hi = self.part_ptr[q], self.part_ptr[q + 1]
         if with_ids:
@@ -491,6 +496,37 @@ class GraphShard:
                     comp[pos[better]] = mins[better]
                     changed_any[pos[better]] = True
         return int(changed_any.sum())
+
+    # -- topological layers (max-plus longest path on a DAG) ----------------
+
+    def topo_init(self) -> None:
+        self.state["layer"] = np.zeros(len(self.verts), np.int64)
+
+    def topo_scatter(self, first_round: bool):
+        vals = self.state["layer"][self.fwd.src_pos] + 1
+        return self.fwd.per_part(self.fwd.segment_maxs(vals), first_round)
+
+    def topo_apply(self, *sender_payloads) -> tuple[int, int]:
+        """layer(v) ← max(layer(v), incoming max) — Bellman-Ford max-plus;
+        returns (changed count, shard max layer) for termination + the
+        cycle guard (a layer ≥ |V| is impossible on a DAG)."""
+        incoming = [pl[self.part] for pl in sender_payloads]
+        layer = self.state["layer"]
+        changed_any = np.zeros(len(layer), dtype=bool)
+        for sender, payload in enumerate(incoming):
+            if isinstance(payload, tuple):
+                ids, maxs = payload
+                pos = self._positions("fwd", sender, ids)
+            else:
+                maxs = payload
+                pos = self._positions("fwd", sender, None)
+            if len(maxs):
+                cur = layer[pos]
+                better = maxs > cur
+                if better.any():
+                    layer[pos[better]] = maxs[better]
+                    changed_any[pos[better]] = True
+        return int(changed_any.sum()), int(layer.max()) if len(layer) else 0
 
     # -- Weighted SSSP (Bellman-Ford min-plus relaxation) -------------------
 
@@ -1854,6 +1890,35 @@ class ShardedGraph:
             if done:
                 break
         return self._state_dataset("comp", "component")
+
+    def topological_layers(self):
+        """Longest-path layer per vertex on a DAG (= Kahn peel depth:
+        layer(v) = max over in-edges of layer(u)+1, 0 at sources) by
+        Bellman-Ford max-plus supersteps — the distributed topological sort
+        (vertices ordered by (layer, id)). Raises ValueError if the graph
+        has a cycle (a layer reaches |V|, impossible on a DAG — the rounds
+        double as cycle detection). Returns ``Dataset(vertex, layer)``."""
+        ray.get([s.topo_init.remote() for s in self.shards])
+        n = self.n_vertices
+        first = True
+        iteration = 0
+        while True:
+            t0 = time.perf_counter()
+            rets = self._exchange("topo_scatter", "topo_apply", first)
+            first = False
+            iteration += 1
+            changed = sum(r[0] for r in rets)
+            max_layer = max(r[1] for r in rets)
+            self.metrics.append(RoundMetrics(
+                iteration, float(changed), time.perf_counter() - t0,
+                {"algo": "topo", "max_layer": max_layer}))
+            if max_layer >= n:
+                raise ValueError(
+                    "topological_layers: graph has a cycle (longest-path "
+                    f"layer reached |V|={n})")
+            if changed == 0:
+                break
+        return self._state_dataset("layer", "layer")
 
     def _init_or_resume(self, name: str, column: str, checkpoint_dir: str | None,
                         resume: bool, init_fn) -> int:

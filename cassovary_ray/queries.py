@@ -26,6 +26,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count
@@ -184,9 +185,18 @@ def _ensure_layout(sf_dir: str, variant: str) -> str:
         "reversed": {"reverse": True},
         "undirected": {"undirected": True, "dedup": True},
         "weighted": {"weighted": True},
+        "dag": {},
     }[variant]
-    src = derived_weighted_edges if variant == "weighted" else derived_edges
-    build_edge_layout(src(sf_dir), d, ENGINE_PARTS, **kwargs)
+    if variant == "weighted":
+        src_ds = derived_weighted_edges(sf_dir)
+    elif variant == "dag":
+        # id-ordered filter makes any edge table acyclic (src < dst)
+        src_ds = derived_edges(sf_dir).map_batches(
+            lambda b: b.filter(pc.less(b["src"], b["dst"])),
+            batch_format="pyarrow")
+    else:
+        src_ds = derived_edges(sf_dir)
+    build_edge_layout(src_ds, d, ENGINE_PARTS, **kwargs)
     return d
 
 
@@ -291,6 +301,14 @@ def q_graph_katz(sf_dir: str):
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
         return g.katz(alpha=0.005, beta=1.0, max_iterations=8)
+
+
+def q_graph_topo(sf_dir: str):
+    """Topological layers (longest-path depth) of the DAG-ified derived
+    graph (src<dst filter; 101 layers at sf0.01 — real max-plus rounds)."""
+    lay = _ensure_layout(sf_dir, "dag")
+    with ShardedGraph(lay) as g:
+        return g.topological_layers()
 
 
 def q_graph_eigenvector(sf_dir: str):
@@ -984,6 +1002,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_katz": q_graph_katz,
     "graph_eigenvector": q_graph_eigenvector,
+    "graph_topo": q_graph_topo,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "graph_sssp": q_graph_sssp,
     "graph_ppr": q_graph_ppr,
@@ -1161,6 +1180,17 @@ ORACLE_SQL = {
                                    alpha=0.005, beta=1.0),
     "graph_eigenvector": oracles.eigenvector_sql(DERIVED_EDGES_CTE,
                                                  iterations=7),
+    "graph_topo": f"""
+        WITH RECURSIVE de AS ({DERIVED_EDGES_CTE}),
+        e AS (SELECT src, dst FROM de WHERE src < dst),
+        v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        lp(vertex, d) AS (
+            SELECT vertex, 0 FROM v
+            UNION
+            SELECT e.dst, lp.d + 1 FROM lp JOIN e ON e.src = lp.vertex
+        )
+        SELECT vertex, CAST(max(d) AS BIGINT) AS layer FROM lp GROUP BY 1
+    """,
     "graph_pagerank_weighted": oracles.pagerank_weighted_sql(
         DERIVED_WEDGES_CTE, iterations=10),
     "graph_ppr": oracles.ppr_sql(DERIVED_EDGES_CTE, PPR_SEEDS, iterations=10),

@@ -105,3 +105,45 @@ def test_eigenvector_complete_graph_uniform(tmp_dir):
     got = state_by_node(df, adj, "eig")
     for v, x in got.items():
         assert x == pytest.approx(1 / np.sqrt(6), abs=1e-10)
+
+
+# -- topological layers (max-plus longest path) --------------------------------
+
+
+def test_topological_layers_diamond(tmp_dir):
+    adj = {0: [1, 2], 1: [3], 2: [3], 3: [4]}
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 3)
+    with ShardedGraph(lay) as g:
+        df = g.topological_layers().to_pandas()
+    got = state_by_node(df, adj, "layer")
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_layers_cycle_raises(tmp_dir):
+    adj = {0: [1], 1: [2], 2: [0]}
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 2)
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="cycle"):
+            g.topological_layers()
+
+
+def test_topological_layers_vs_brute_random(tmp_dir):
+    rng = np.random.default_rng(37)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2))
+                    if a < b})  # id-ordered → DAG
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, [])
+    # brute longest-path layer by increasing id (a valid topo order here)
+    want = {v: 0 for v in adj}
+    for a, b in sorted(pairs):
+        want[b] = max(want[b], want[a] + 1)
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 3)
+    with ShardedGraph(lay) as g:
+        df = g.topological_layers().to_pandas()
+    got = state_by_node(df, adj, "layer")
+    assert got == want
