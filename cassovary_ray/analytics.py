@@ -915,6 +915,150 @@ def wl_refinement(edges, rounds: int = 3, num_partitions: int | None = None):
     return cur
 
 
+def _group_min_row(tagged, num_partitions: int):
+    """Per-``comp`` minimum row under the (w, src, dst) total order: ONE
+    global range sort + per-block first-row-per-group fold (interior groups
+    exact; the ≤2 block-edge groups per block divert their block-local
+    minimum to a tiny merge — a block-local first is a valid candidate, so
+    the merge only compares ≤ blocks rows per group)."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch["comp"].to_numpy(zero_copy_only=False)
+        empty = batch.slice(0, 0).append_column(
+            "boundary", pa.array([], pa.bool_()))
+        if len(c) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        n = len(starts)
+        firsts = batch.take(pa.array(starts, pa.int64()))
+        boundary = np.zeros(n, bool)
+        boundary[0] = True
+        boundary[n - 1] = True
+        return firsts.append_column("boundary", pa.array(boundary))
+
+    folded = tagged.sort(["comp", "w", "src", "dst"]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep)).drop_columns(["boundary"])
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["w", "src", "dst"]).head(1)
+
+    cols = [c for c in folded.schema().names if c != "boundary"]
+    merged = split(True).groupby("comp").map_groups(
+        merge, batch_format="pandas"
+    ).map_batches(  # back to arrow blocks with the interior column order
+        lambda b, cc=tuple(cols): pa.Table.from_pandas(
+            b[list(cc)], preserve_index=False),
+        batch_format="pandas")
+    return split(False).union(merged)
+
+
+def minimum_spanning_forest(edges_w, max_rounds: int = 64,
+                            num_partitions: int | None = None):
+    """Borůvka minimum spanning forest over the undirected view of
+    ``Dataset(src, dst, w)``: returns the forest's ``(src, dst, w)`` edges
+    (canonical src<dst; parallel edges collapse to their minimum weight).
+    The strict (w, src, dst) total order makes the forest UNIQUE, ties
+    included, so results are parallelism-invariant.
+
+    Per round (classic Borůvka, O(log V) rounds): tag each edge with its
+    endpoints' component labels (2 joins), keep cross-component edges, pick
+    each component's minimum edge (ONE range sort + first-per-group fold —
+    :func:`_group_min_row`), add the (deduped) picks to the forest, contract
+    by running hash-min components over the tiny pick graph
+    (:func:`components_from_pairs`) and relabeling. Everything is Dataset
+    dataflow; the driver holds only round counters."""
+    P = _auto_partitions(num_partitions)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": pa.array(np.minimum(s, d)[keep], pa.int64()),
+                         "dst": pa.array(np.maximum(s, d)[keep], pa.int64()),
+                         "w": pa.array(batch["w"].to_numpy(
+                             zero_copy_only=False)[keep], pa.float64())})
+
+    e = _join_safe(
+        edges_w.map_batches(canon, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Min("w", alias_name="w")), P)
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.float64())})
+    if e.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def ends(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"vertex": pa.array(v, pa.int64())})
+
+    comp = _join_safe(
+        e.map_batches(ends, batch_format="pyarrow")
+        .groupby("vertex").aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: pa.table({"vertex": b["vertex"],
+                                         "comp": b["vertex"]}),
+                     batch_format="pyarrow"), P)
+    forest = ray.data.from_arrow(empty)
+    for _ in range(max_rounds):
+        es = _join_safe(
+            e.join(comp, "inner", P, on=("src",), right_on=("vertex",))
+            .rename_columns({"comp": "c_src"}), P).materialize()
+        ed = es.join(comp, "inner", P, on=("dst",), right_on=("vertex",))
+
+        def cross(batch: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(batch["c_src"], batch["comp"]))
+            return batch.filter(keep)
+
+        cr = _join_safe(ed.map_batches(cross, batch_format="pyarrow"), P)
+        if cr.count() == 0:
+            return forest
+
+        def both_sides(batch: pa.Table) -> pa.Table:
+            base = {c: pa.concat_arrays([batch[c].combine_chunks()] * 2)
+                    for c in ("src", "dst", "w", "c_src", "comp")}
+            comp_col = pa.concat_arrays([batch["c_src"].combine_chunks(),
+                                         batch["comp"].combine_chunks()])
+            return pa.table({"comp": comp_col, "src": base["src"],
+                             "dst": base["dst"], "w": base["w"],
+                             "other": pa.concat_arrays([
+                                 batch["comp"].combine_chunks(),
+                                 batch["c_src"].combine_chunks()])})
+
+        picks = _group_min_row(
+            cr.map_batches(both_sides, batch_format="pyarrow"), P)
+        # dedup picks chosen from both sides; also the contraction pairs
+        pick_edges = _join_safe(
+            picks.groupby(["src", "dst"]).aggregate(Min("w", alias_name="w")),
+            P)
+        forest = forest.union(pick_edges).materialize()
+        pick_pairs = picks.map_batches(
+            lambda b: pa.table({"a": b["comp"], "b": b["other"]}),
+            batch_format="pyarrow")
+        relabel = _join_safe(
+            components_from_pairs(pick_pairs, num_partitions=P)
+            .map_batches(lambda b: pa.table({"comp": b["vertex"],
+                                             "newc": b["component"]}),
+                         batch_format="pyarrow"), P)
+        joined = comp.join(relabel, "left_outer", P, on=("comp",))
+        comp = _join_safe(joined.map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"],
+                "comp": pc.coalesce(b["newc"], b["comp"])}),
+            batch_format="pyarrow"), P)
+    raise RuntimeError(
+        f"minimum_spanning_forest did not converge in {max_rounds} rounds")
+
+
 def contract_graph(edges, communities, keep_self_loops: bool = False,
                    num_partitions: int | None = None):
     """Community contraction (the multilevel-coarsening primitive):

@@ -311,6 +311,17 @@ def q_graph_topo(sf_dir: str):
         return g.topological_layers()
 
 
+def q_graph_msf(sf_dir: str):
+    """Borůvka minimum spanning forest of the multiplicity-weighted derived
+    graph (rows-only: no SQL MST; uniqueness under the (w,src,dst) total
+    order is pinned by the Kruskal-parity tests)."""
+    e = derived_weighted_edges(sf_dir).map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "w": b["weight"]}),
+        batch_format="pyarrow")
+    return analytics.minimum_spanning_forest(e)
+
+
 def q_graph_eigenvector(sf_dir: str):
     # pinned 7 power-iteration rounds (tolerance=None) for the SQL unroll
     lay = _ensure_layout(sf_dir, "directed")
@@ -1003,6 +1014,7 @@ QUERIES = {
     "graph_katz": q_graph_katz,
     "graph_eigenvector": q_graph_eigenvector,
     "graph_topo": q_graph_topo,
+    "graph_msf": q_graph_msf,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "graph_sssp": q_graph_sssp,
     "graph_ppr": q_graph_ppr,

@@ -585,3 +585,60 @@ def test_sample_neighbors_deterministic_and_bounded():
         for r in df.itertuples():
             got.setdefault(int(r.src), []).append(int(r.dst))
         assert {a: sorted(v) for a, v in got.items()} == want
+
+
+# -- Boruvka minimum spanning forest -------------------------------------------
+
+
+def _wedges(triples):
+    s, d, w = zip(*triples) if triples else ((), (), ())
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(list(s), pa.int64()),
+        "dst": pa.array(list(d), pa.int64()),
+        "w": pa.array(list(w), pa.float64()),
+    }))
+
+
+def _brute_kruskal(triples):
+    best = {}
+    for a, b, w in triples:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        if k not in best or w < best[k]:
+            best[k] = w
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.add((a, b, w))
+    return forest
+
+
+def test_msf_small_fixture():
+    triples = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0), (3, 4, 1.0),
+               (2, 1, 0.5)]  # parallel (1,2) collapses to 0.5
+    got = analytics.minimum_spanning_forest(_wedges(triples)).to_pandas()
+    gset = set(zip(got.src.astype(int), got.dst.astype(int), got.w))
+    assert gset == {(0, 1, 1.0), (1, 2, 0.5), (3, 4, 1.0)}
+
+
+def test_msf_vs_kruskal_random():
+    rng = np.random.default_rng(43)
+    triples = [(int(a), int(b), float(rng.integers(1, 500)))
+               for a, b in rng.integers(0, 40, (150, 2)) if a != b]
+    want = _brute_kruskal(triples)
+    for P in (1, 3):
+        got = analytics.minimum_spanning_forest(
+            _wedges(triples), num_partitions=P).to_pandas()
+        gset = set(zip(got.src.astype(int), got.dst.astype(int), got.w))
+        assert gset == want
