@@ -40,6 +40,7 @@ the driver. For corpus-scale bipartite flow, use
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from cassovary_ray.analytics import _auto_partitions, _join_safe, distinct_edges
@@ -95,7 +96,12 @@ def iterative_link_analysis(
         else:
             rw = new
         if record:
-            ranked = flows.sort_values(["share", src_col], ascending=[False, True])
+            # nano-quantized ranking (floor(share·1e9)) — shares of truly
+            # tied contributors are summation-order-sensitive at the ulp
+            # level; quantizing collapses the ties so the src-asc tie-break
+            # decides (mirrors engine.bila_contrib_apply and the SQL oracle)
+            flows = flows.assign(share_q=np.floor(flows["share"] * 1e9).astype(np.int64))
+            ranked = flows.sort_values(["share_q", src_col], ascending=[False, True])
             top = ranked.groupby(dst_col)[src_col].apply(
                 lambda s: s.head(num_top_contributors).tolist()
             )

@@ -1308,7 +1308,15 @@ class GraphShard:
     def bila_contrib_apply(self, direction: str, k: int, *sender_payloads) -> int:
         """Top-k contributors per owned destination: share desc, src id asc
         (``SmallBoundedPriorityQueue`` ordering; ranking by contributed share
-        is the documented divergence — see bipartite.py docstring)."""
+        is the documented divergence — see bipartite.py docstring).
+
+        Shares are NANO-QUANTIZED (floor(share·1e9), mirrored in the SQL
+        oracle and the pandas fallback) before ranking: pass-2 shares are
+        sums whose value depends on summation order at the ulp level, so two
+        truly-TIED contributors would otherwise rank by float noise and the
+        top-k would flip between runs/engines (observed as a flaky oracle
+        hash); quantized, true ties collapse and the src-asc tie-break
+        decides deterministically."""
         incoming = [pl[self.part] for pl in sender_payloads]
         dst = np.concatenate([p[0] for p in incoming])
         src = np.concatenate([p[1] for p in incoming])
@@ -1321,7 +1329,8 @@ class GraphShard:
             dst, src, share = dst[keep], src[keep], share[keep]
         contrib: dict[int, np.ndarray] = {}
         if len(dst):
-            order = np.lexsort((src, -share, dst))
+            share_q = np.floor(share * 1e9).astype(np.int64)
+            order = np.lexsort((src, -share_q, dst))
             d, s = dst[order], src[order]
             new_grp = np.r_[True, d[1:] != d[:-1]]
             grp_start = np.flatnonzero(new_grp)

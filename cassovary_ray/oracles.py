@@ -538,11 +538,13 @@ def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
             FROM e JOIN linit ON linit.vertex = e.src JOIN ldeg ON ldeg.src = e.src),
         rw AS MATERIALIZED (SELECT dst, sum(share) AS weight FROM f1 GROUP BY 1),
         rc AS (SELECT dst, string_agg(CAST(src AS VARCHAR), ','
-                                      ORDER BY share DESC, src ASC) AS contributors
-               FROM (SELECT dst, src, share,
+                                      ORDER BY share_q DESC, src ASC) AS contributors
+               FROM (SELECT dst, src, share_q,
                             row_number() OVER (PARTITION BY dst
-                                               ORDER BY share DESC, src ASC) AS rn
-                     FROM f1)
+                                               ORDER BY share_q DESC, src ASC) AS rn
+                     FROM (SELECT dst, src,
+                                  CAST(floor(share * 1000000000.0) AS BIGINT)
+                                    AS share_q FROM f1))
                WHERE rn <= {k} GROUP BY dst),
         f2 AS MATERIALIZED (
             SELECT e.dst AS s, e.src AS d, rw.weight / rdeg.c * (1.0 - {reset_left}) AS share
@@ -551,11 +553,13 @@ def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
         lw AS (SELECT linit.vertex, {reset_left} * linit.w0 + coalesce(lsum.ws, 0.0) AS weight
                FROM linit LEFT JOIN lsum ON lsum.d = linit.vertex),
         lc AS (SELECT d, string_agg(CAST(s AS VARCHAR), ','
-                                    ORDER BY share DESC, s ASC) AS contributors
-               FROM (SELECT d, s, share,
+                                    ORDER BY share_q DESC, s ASC) AS contributors
+               FROM (SELECT d, s, share_q,
                             row_number() OVER (PARTITION BY d
-                                               ORDER BY share DESC, s ASC) AS rn
-                     FROM f2)
+                                               ORDER BY share_q DESC, s ASC) AS rn
+                     FROM (SELECT d, s,
+                                  CAST(floor(share * 1000000000.0) AS BIGINT)
+                                    AS share_q FROM f2))
                WHERE rn <= {k} GROUP BY d)
         SELECT lw.vertex, lw.weight, coalesce(lc.contributors, '') AS contributors,
                'left' AS side
