@@ -133,6 +133,36 @@ def sliding_window_counts(events, window_minutes: int = 60, step_minutes: int = 
     )
 
 
+def sliding_unique_users(events, window_minutes: int = 60, step_minutes: int = 15):
+    """``(window_start_us, n_users)`` — DISTINCT active users per sliding
+    window (the standard engagement metric): same vectorized window
+    expansion as :func:`sliding_window_counts`, then the one-sort
+    boundary-safe distinct fold (``analytics._distinct_counts_by_key`` —
+    distinct counts aren't additive, so a hash aggregate would need two
+    all-to-all passes)."""
+    if window_minutes % step_minutes:
+        raise ValueError("window_minutes must be a multiple of step_minutes")
+    from cassovary_ray.analytics import _distinct_counts_by_key
+
+    step_us = step_minutes * 60_000_000
+    k = window_minutes // step_minutes
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        base = ts // step_us
+        offs = np.arange(k, dtype=np.int64)
+        starts = ((np.repeat(base, k) - np.tile(offs, len(ts))) * step_us)
+        return pa.table({
+            "window_start_us": pa.array(starts[starts >= 0], pa.int64()),
+            "user_id": pa.array(np.repeat(uid, k)[starts >= 0], pa.int64()),
+        })
+
+    return _distinct_counts_by_key(
+        events.map_batches(expand, batch_format="pyarrow"),
+        "window_start_us", "user_id", "n_users")
+
+
 def top_users_per_type(events, k: int = 3):
     """``(event_type, user_id, n_events, rank)`` — the ``k`` heaviest users
     per event type (heavy-hitters). Per-batch (type, user) partial counts

@@ -719,6 +719,13 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_events_sliding_users(sf_dir: str):
+    """Distinct active users per 60-min sliding window (15-min step)."""
+    return events_ops.sliding_unique_users(
+        _table(sf_dir, "events"), window_minutes=60, step_minutes=15
+    )
+
+
 def q_events_retention(sf_dir: str):
     return events_ops.hourly_retention(_table(sf_dir, "events"))
 
@@ -1064,6 +1071,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_type_totals": q_events_type_totals,
     "events_sliding": q_events_sliding,
+    "events_sliding_users": q_events_sliding_users,
     "doc_vocab": q_doc_vocab,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_degree_hist": q_graph_degree_hist,
@@ -1501,6 +1509,13 @@ ORACLE_SQL = {
         SELECT (epoch_us(ts) // 900000000 - j.j) * 900000000 AS window_start_us,
                count(*) AS n_events,
                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        FROM events, unnest(generate_series(0, 3)) AS j(j)
+        WHERE (epoch_us(ts) // 900000000 - j.j) >= 0
+        GROUP BY 1
+    """,
+    "events_sliding_users": """
+        SELECT (epoch_us(ts) // 900000000 - j.j) * 900000000 AS window_start_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events, unnest(generate_series(0, 3)) AS j(j)
         WHERE (epoch_us(ts) // 900000000 - j.j) >= 0
         GROUP BY 1

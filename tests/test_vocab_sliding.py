@@ -50,3 +50,26 @@ def test_sliding_windows_validation():
     }))
     with pytest.raises(ValueError):
         events_ops.sliding_window_counts(ev, 60, 25)
+
+
+def test_sliding_unique_users_fixture():
+    import datetime
+
+    import pyarrow as pa
+
+    from cassovary_ray.events import sliding_unique_users
+
+    epoch = datetime.datetime(2024, 1, 1)
+    # user 1 twice in the same 15-min step (counted once), user 2 an hour on
+    rows = [(1, 0), (1, 5), (2, 70)]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([epoch + datetime.timedelta(minutes=r[1])
+                        for r in rows], pa.timestamp("us")),
+    }))
+    df = sliding_unique_users(ev, 60, 15).to_pandas()
+    got = dict(zip((df.window_start_us // 900_000_000).astype(int), df.n_users))
+    base = int(epoch.timestamp() * 1_000_000) // 900_000_000
+    # user1 (min 0-5) covers window starts base-3..base; user2 (min 70)
+    # covers base+1..base+4 — all windows here hold exactly one distinct user
+    assert got == {base + o: 1 for o in range(-3, 5)}
