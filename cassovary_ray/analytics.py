@@ -1398,7 +1398,8 @@ def all_paths_visit_counts(edges, sources: list[int], max_depth: int,
 def closeness_centrality(edges, sources: list[int] | None = None,
                          normalized: bool = True, n_vertices: int | None = None,
                          num_partitions: int | None = None,
-                         max_depth: int | None = None):
+                         max_depth: int | None = None,
+                         max_all_sources: int = 100_000):
     """Closeness centrality, formula cloned from
     ``ClosenessCentrality._recalc`` (``ClosenessCentrality.scala:26-39``):
 
@@ -1409,6 +1410,10 @@ def closeness_centrality(edges, sources: list[int] | None = None,
     Exact all-sources closeness is O(n·m); pass a sampled ``sources`` list at
     scale (None = all vertices — only sensible on small graphs; the
     reference has the same O(n·m) shape, it just hides it in a loop).
+    ``sources=None`` enumerates the vertex set on the driver, so it is
+    GUARDED: more than ``max_all_sources`` vertices raises ValueError
+    instead of silently pulling the vertex universe — pass an explicit
+    sample (or raise the cap knowingly) on big graphs.
     Returns ``Dataset(vertex, closeness)``.
     """
     import ray.data
@@ -1417,6 +1422,11 @@ def closeness_centrality(edges, sources: list[int] | None = None,
     if n_vertices is None:
         n_vertices = vertex_count(edges)
     if sources is None:
+        if int(n_vertices) > max_all_sources:
+            raise ValueError(
+                f"closeness_centrality(sources=None) would enumerate "
+                f"{n_vertices} vertices on the driver (cap {max_all_sources}); "
+                f"pass a sampled sources list, or raise max_all_sources")
         srcs = edges.select_columns(["src"]).rename_columns({"src": "vertex"})
         dsts = edges.select_columns(["dst"]).rename_columns({"dst": "vertex"})
         sources = sorted(
@@ -1875,7 +1885,7 @@ def k_truss(edges, k: int, max_rounds: int = 32,
     n = work.count()
     for _ in range(max_rounds):
         if n == 0:
-            return empty
+            return ray.data.from_arrow(empty)
         sup = _join_safe(_edge_supports(work, P), P)
 
         def keep(batch: pa.Table, kk: int = k) -> pa.Table:
@@ -1888,7 +1898,7 @@ def k_truss(edges, k: int, max_rounds: int = 32,
             # computed within it — surv carries the fixpoint supports
             return surv
         if m == 0:
-            return empty
+            return ray.data.from_arrow(empty)
         work, n = surv.select_columns(["src", "dst"]), m
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
 

@@ -218,11 +218,15 @@ def kmeans_centroids(emb, n_centroids: int = 16, iters: int = 5,
     streaming passes — each batch emits per-cluster (count, vector-sum)
     partials (≤ n_centroids rows per batch, k×d floats), combined on the
     driver (tiny: blocks × k rows, never the corpus). Empty clusters keep
-    their previous centroid. Returns the (k, dim) centroid matrix — pass to
-    :func:`ivf_knn` via ``centroids=`` for data-adapted cells (same
-    dataflow, better recall). Summation order across blocks is not pinned,
-    so centroids are deterministic only to float round-off (~1e-15) —
-    document-level results should not hash against an oracle."""
+    their previous centroid. Non-empty centroids are RENORMALIZED to unit
+    length after each Lloyd update (spherical k-means, Dhillon & Modha
+    2001): assignment is max-inner-product, so unnormalized means would
+    bias assignment toward large-norm centroids on cosine-style embeddings.
+    Returns the (k, dim) centroid matrix — pass to :func:`ivf_knn` via
+    ``centroids=`` for data-adapted cells (same dataflow, better recall).
+    Summation order across blocks is not pinned, so centroids are
+    deterministic only to float round-off (~1e-15) — document-level results
+    should not hash against an oracle."""
     cents = _ivf_centroids(n_centroids, seed, dim)
     for _ in range(iters):
         cref = ray.put(cents)
@@ -256,6 +260,8 @@ def kmeans_centroids(emb, n_centroids: int = 16, iters: int = 5,
         nz = counts > 0
         cents = cents.copy()
         cents[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(cents[nz], axis=1, keepdims=True)
+        cents[nz] = cents[nz] / np.where(norms > 0, norms, 1.0)
     return cents
 
 

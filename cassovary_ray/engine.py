@@ -179,6 +179,28 @@ class _Scatter:
         return [self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts)]
 
 
+def _pickle_by_value(obj) -> bytes:
+    """cloudpickle an object forcing BY-VALUE class serialization when its
+    defining module isn't part of this package: user VertexPrograms live in
+    driver scripts/notebooks whose modules the worker processes can't
+    import, and default by-reference pickling would ModuleNotFoundError in
+    the actor."""
+    import sys
+
+    from ray import cloudpickle
+
+    mod_name = type(obj).__module__
+    mod = sys.modules.get(mod_name)
+    if (mod is None or mod_name.startswith("cassovary_ray")
+            or mod_name == "builtins"):
+        return cloudpickle.dumps(obj)
+    cloudpickle.register_pickle_by_value(mod)
+    try:
+        return cloudpickle.dumps(obj)
+    finally:
+        cloudpickle.unregister_pickle_by_value(mod)
+
+
 def _payload_nbytes(payload) -> int:
     """Plasma bytes this sender ships per round (the exchange-volume metric
     recorded in RoundMetrics; see BASELINE.md's dense/sparse regime note)."""
@@ -253,6 +275,74 @@ class GraphShard:
             pos = np.searchsorted(self.verts, ids).astype(np.int64)
             self._pos_cache[key] = pos
         return self._pos_cache[key]
+
+    # -- generic vertex programs (rounds.VertexProgram protocol) ------------
+
+    def vp_init(self, program_blob: bytes, n_total: int) -> None:
+        """Install a user VertexProgram (shipped by VALUE as a cloudpickle
+        blob — the defining module need not be importable on workers) and
+        run its ``init`` hook against this shard's ctx (rounds.py module
+        docstring; the ``defaultInitialState`` slot of
+        ``LinkAnalysis.scala:64-68``)."""
+        from ray import cloudpickle
+
+        from cassovary_ray.rounds import ShardCtx
+
+        self._vp = program = cloudpickle.loads(program_blob)
+        self._vp_ctx = ShardCtx(self.part, self.num_parts, n_total,
+                                self.verts, self.fwd.out_deg, self.fwd.w_out,
+                                self.state)
+        program.init(self._vp_ctx)
+
+    def vp_round(self, bootstrap: bool, *sender_payloads):
+        """One fused program superstep — the ``katz_round`` shape
+        generalized: apply (combine ≤P incoming partials, hand to the
+        program) then scatter (program coefficient pushed along out-edges,
+        pre-combined per destination)."""
+        from cassovary_ray.rounds import _COMBINE_IDENTITY
+
+        prog, ctx = self._vp, self._vp_ctx
+        combine = prog.combine
+        err = float("nan")
+        t_in = time.perf_counter()
+        t_apply = 0.0
+        if not bootstrap:
+            incoming = [pl[0][self.part] for pl in sender_payloads]
+            acc = np.full(len(self.verts), _COMBINE_IDENTITY[combine])
+            for sender, payload in enumerate(incoming):
+                if isinstance(payload, tuple):
+                    ids, sums = payload
+                    pos = self._positions("fwd", sender, ids)
+                else:
+                    sums = payload
+                    pos = self._positions("fwd", sender, None)
+                if len(sums):
+                    # uniq-dst ids are distinct per sender, so fancy-index
+                    # assignment is race-free within a sender
+                    if combine == "sum":
+                        acc[pos] += sums
+                    elif combine == "min":
+                        acc[pos] = np.minimum(acc[pos], sums)
+                    else:
+                        acc[pos] = np.maximum(acc[pos], sums)
+            err = float(prog.apply(ctx, acc))
+            t_apply = time.perf_counter() - t_in
+        coef = np.asarray(prog.scatter(ctx), dtype=np.float64)
+        if combine == "sum":
+            sums = self.fwd.coef_scatter_sums(coef)
+        elif combine == "min":
+            sums = self.fwd.segment_mins(coef[self.fwd.src_pos]) \
+                if self.fwd.n_edges else np.zeros(0)
+        else:
+            sums = self.fwd.segment_maxs(coef[self.fwd.src_pos]) \
+                if self.fwd.n_edges else np.zeros(0)
+        payload = (self.fwd.per_part(sums, bootstrap), 0.0)
+        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply,
+                         t_in, _payload_nbytes(payload))
+
+    def vp_post(self) -> None:
+        """Run the program's ``postRun`` hook (``LinkAnalysis.scala:111-117``)."""
+        self._vp.post(self._vp_ctx)
 
     # -- PageRank ----------------------------------------------------------
 
@@ -1987,6 +2077,9 @@ class ShardedGraph:
         any α (Katz 1953 status index — the attenuation-factor sibling of
         PageRank the reference leaves to its users). Beyond the reference.
         Returns ``Dataset(vertex, katz)``."""
+        if max_iterations is None and tolerance is None:
+            raise ValueError("katz: max_iterations=None requires a tolerance "
+                             "(otherwise the loop has no stopping condition)")
         ray.get([s.katz_init.remote(beta) for s in self.shards])
         tol = -1.0 if tolerance is None else tolerance
         iteration, error = 0, float("inf")
@@ -2011,6 +2104,50 @@ class ShardedGraph:
             stop = (max_iterations is not None and iteration >= max_iterations) \
                 or error <= tol
         return self._state_dataset("katz", "katz")
+
+    def run_program(self, program, *, max_iterations: int | None = 10,
+                    tolerance: float | None = None):
+        """Run a user :class:`cassovary_ray.rounds.VertexProgram` to the
+        standard stop rule (``iteration >= max_iterations or error <=
+        tolerance``, ``LinkAnalysis.scala:87-109``) — the documented way to
+        add an iterative algorithm WITHOUT editing ``GraphShard``. The
+        engine owns the distributed machinery (CSR shards, packed plasma
+        exchange, per-round :class:`RoundMetrics` lineage); the program owns
+        only pure-numpy per-shard math. See ``rounds.py`` for the protocol
+        and a worked Katz example (engine-parity tested).
+        Returns ``Dataset(vertex, program.output_column)``."""
+        if max_iterations is None and tolerance is None:
+            raise ValueError("run_program: max_iterations=None requires a "
+                             "tolerance (no stopping condition otherwise)")
+        if program.combine not in ("sum", "min", "max"):
+            raise ValueError(f"unknown combine {program.combine!r}")
+        blob = _pickle_by_value(program)
+        ray.get([s.vp_init.remote(blob, self.n_vertices)
+                 for s in self.shards])
+        tol = -1.0 if tolerance is None else tolerance
+        iteration, error = 0, float("inf")
+        algo = f"program:{type(program).__name__}"
+        stop = max_iterations is not None and iteration >= max_iterations
+        if not stop:
+            outs = [s.vp_round.options(num_returns=2).remote(True)
+                    for s in self.shards]
+            payloads = [o[0] for o in outs]
+        while not stop:
+            t0 = time.perf_counter()
+            outs = [s.vp_round.options(num_returns=2).remote(False, *payloads)
+                    for s in self.shards]
+            payloads = [o[0] for o in outs]
+            stats = ray.get([o[1] for o in outs])
+            error = sum(st[0] for st in stats)
+            iteration += 1
+            self.metrics.append(RoundMetrics(
+                iteration, error, time.perf_counter() - t0,
+                {"algo": algo,
+                 "exchange_mb": sum(st[4] for st in stats) / 2**20}))
+            stop = (max_iterations is not None and iteration >= max_iterations) \
+                or error <= tol
+        ray.get([s.vp_post.remote() for s in self.shards])
+        return self._state_dataset(program.state_name, program.output_column)
 
     def sssp(self, sources, *, max_iterations: int | None = None,
              checkpoint_dir: str | None = None, checkpoint_every: int = 5,

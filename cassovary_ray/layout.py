@@ -49,6 +49,105 @@ def _drop_self_loops(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
 
 
+# per-process batch sequence numbers keyed by task id: a Ray retry reuses
+# the task id and replays the same batches in order, so (task_id, seq)
+# filenames make the direct partitioned write idempotent under retries.
+_TASK_SEQ: dict[str, int] = {}
+
+
+def _task_file_stem() -> str:
+    import uuid
+
+    import ray
+
+    try:
+        tid = ray.get_runtime_context().get_task_id() or ""
+    except Exception:
+        tid = ""
+    if not tid:  # driver-side execution (local scheduler edge case)
+        tid = f"drv-{uuid.uuid4().hex[:12]}"
+    seq = _TASK_SEQ.get(tid, 0)
+    _TASK_SEQ[tid] = seq + 1
+    return f"t{tid[:20]}-{seq}"
+
+
+def _write_part_file(table: pa.Table, table_dir: str, part: int, stem: str) -> None:
+    import pyarrow.parquet as pq
+
+    d = os.path.join(table_dir, f"part={part}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{stem}.parquet.tmp")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, f"{stem}.parquet"))
+
+
+def _write_partitioned(ds, edges_dir, verts_dir, num_parts: int, *,
+                       weighted: bool = False, vertex_only: bool = False,
+                       batch_size: int = 1 << 22) -> int:
+    """One streaming pass: split each batch by hash partition and write the
+    per-part parquet files directly (plus, for edge batches, the batch's
+    local unique endpoints into the vertex table). Returns total rows
+    written to the primary table. See build_edge_layout for the rationale
+    vs sort+write_parquet(partition_cols)."""
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        stem = _task_file_stem()
+        n = len(batch)
+        if n == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        if vertex_only:
+            v = batch["vertex"].to_numpy(zero_copy_only=False)
+            vp = v % num_parts
+            order = np.argsort(vp, kind="stable")
+            v, vp = v[order], vp[order]
+            bounds = np.searchsorted(vp, np.arange(num_parts + 1))
+            for p in range(num_parts):
+                lo, hi = bounds[p], bounds[p + 1]
+                if lo == hi:
+                    continue
+                _write_part_file(pa.table({"vertex": pa.array(v[lo:hi], pa.int64())}),
+                                 verts_dir, p, stem)
+            return pa.table({"rows": pa.array([n], pa.int64())})
+
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False) if weighted else None
+        part = src % num_parts
+        order = np.argsort(part, kind="stable")
+        src, dst, part = src[order], dst[order], part[order]
+        if w is not None:
+            w = w[order]
+        bounds = np.searchsorted(part, np.arange(num_parts + 1))
+        for p in range(num_parts):
+            lo, hi = bounds[p], bounds[p + 1]
+            if lo == hi:
+                continue
+            cols = {"src": pa.array(src[lo:hi], pa.int64()),
+                    "dst": pa.array(dst[lo:hi], pa.int64())}
+            if w is not None:
+                cols["weight"] = pa.array(w[lo:hi], pa.float64())
+            _write_part_file(pa.table(cols), edges_dir, p, stem)
+        # vertex universe contribution: this batch's unique endpoints,
+        # re-split by vertex % P (shards np.unique their partition at load)
+        v = np.unique(np.concatenate([src, dst]))
+        vp = v % num_parts
+        vorder = np.argsort(vp, kind="stable")
+        v, vp = v[vorder], vp[vorder]
+        vbounds = np.searchsorted(vp, np.arange(num_parts + 1))
+        for p in range(num_parts):
+            lo, hi = vbounds[p], vbounds[p + 1]
+            if lo == hi:
+                continue
+            _write_part_file(pa.table({"vertex": pa.array(v[lo:hi], pa.int64())}),
+                             verts_dir, p, stem)
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    stats = ds.map_batches(write_batch, batch_format="pyarrow",
+                           batch_size=batch_size)
+    total = stats.sum("rows")
+    return int(total or 0)
+
+
 def build_edge_layout(
     edges_ds,
     layout_dir: str,
@@ -119,48 +218,30 @@ def build_edge_layout(
         # exact dedup = groupby both key columns, emit one row per group.
         ds = ds.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).select_columns(["src", "dst"])
 
-    ds = ds.map_batches(lambda b: _add_part_src(b, num_parts), batch_format="pyarrow")
-    # cluster by part before the partitioned write: without it every write
-    # task emits one small file into EVERY part dir (O(tasks × P) tiny files;
-    # 8.5k files for 100M edges — shard loads were dominated by file-open
-    # churn). After the sort each dir holds a handful of large files.
-    ds = ds.sort("part")
-    ds.write_parquet(edges_dir, partition_cols=["part"], min_rows_per_file=1 << 21)
-    _ensure_nonempty(edges_dir, ["src", "dst"],
-                     float_cols=["weight"] if weighted else None)
-
-    # vertex universe = src ∪ dst ∪ explicit, hash-partitioned. No global
-    # distinct: each batch emits its LOCAL unique endpoints (per-batch
-    # combiner), the hive-partitioned write is the shuffle, and each CSR
-    # shard dedups its own partition at load (np.unique) — the
-    # markEmptyNodes shuffle without a groupby.
+    # SINGLE streaming pass, no sort shuffle (VERDICT r2 #3): each write
+    # task splits its batch by part with one argsort and appends one parquet
+    # file per TOUCHED part dir directly, and derives the batch's LOCAL
+    # unique endpoints (per-batch combiner) into vertex part files in the
+    # same pass — the hive directory tree IS the shuffle, materialized at
+    # write time instead of through a full range-partition sort + a second
+    # read-back pass for the vertex universe and a third for the count.
+    # File-count discipline: a large batch_size (4M rows) keeps files ≥
+    # ~batch/P rows, so shard loads stay open()-cheap (the r1 8.5k-tiny-file
+    # regression was from unsorted write_parquet fan-out of SMALL blocks).
+    # Retry-safety: filenames are (task_id, seq) — a retried task reproduces
+    # its batch sequence and os.replace()-overwrites its own files, so a
+    # retry never duplicates rows.
     import ray.data
 
-    def endpoints(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        v = np.unique(np.concatenate([s, d]))
-        return pa.table({"vertex": pa.array(v, pa.int64()),
-                         "part": pa.array(v % num_parts, pa.int64())})
-
-    vds = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
-        endpoints, batch_format="pyarrow", batch_size=1 << 22
-    )
-    vds = vds.sort("part")
-    vds.write_parquet(verts_dir, partition_cols=["part"], min_rows_per_file=1 << 21)
+    n_edges = _write_partitioned(
+        ds, edges_dir, verts_dir, num_parts, weighted=weighted)
+    _ensure_nonempty(edges_dir, ["src", "dst"],
+                     float_cols=["weight"] if weighted else None)
     if vertices_ds is not None:
-        vertices_ds.select_columns(["vertex"]).map_batches(
-            lambda b: pa.table({
-                "vertex": b["vertex"],
-                "part": pa.array(
-                    b["vertex"].to_numpy(zero_copy_only=False) % num_parts, pa.int64()
-                ),
-            }),
-            batch_format="pyarrow",
-        ).write_parquet(verts_dir, partition_cols=["part"])
+        _write_partitioned(
+            vertices_ds.select_columns(["vertex"]), None, verts_dir,
+            num_parts, vertex_only=True)
     _ensure_nonempty(verts_dir, ["vertex"])
-
-    n_edges = ray.data.read_parquet(edges_dir, columns=["src"]).count()
     manifest = {
         "num_parts": num_parts,
         # distinct vertex count is shard-local knowledge; ShardedGraph sums
@@ -199,6 +280,13 @@ def update_edge_layout(layout_dir: str, added_edges=None, removed_edges=None,
       appends are cheap (no read-modify-write on the vertex table);
     - weighted layouts are not supported (combine weights upstream and
       rebuild);
+    - removal is ALL-COPIES: in a non-dedup layout, removing (u, v) deletes
+      every multiset copy of that edge in the partition, regardless of how
+      many times (u, v) appears in ``removed_edges``. This is exact for the
+      whole-page-replacement recrawl flow (a page's outlinks are replaced
+      wholesale, so every prior copy must go), but callers wanting to delete
+      ONE instance of a duplicated edge need a counted anti-join upstream —
+      this function does not do multiplicity-aware removal;
     - removals from an UNDIRECTED layout are ambiguous from directed rows
       alone (the undirected row survives while ANY directed counterpart
       does — multiplicity the dedup'd layout no longer records), so they

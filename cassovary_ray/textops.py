@@ -353,28 +353,47 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, band_bits: int = 8):
     cand = (
         cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
     )
-    # verify: hamming distance over the simhash table (broadcast — the
-    # simhash table is 16 bytes/doc; at 10^12 docs verify would instead join
-    # candidates back to the simhash table)
-    import ray
+    # verify: hamming distance via JOINING the candidate pairs back to the
+    # simhash table (once on a, once on b) — the same 2-pass shuffle shape
+    # minhash verify uses. Only pair rows move; nothing corpus-sized is
+    # collected on the driver or broadcast, so this scales with the
+    # candidate count, not the corpus size.
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
 
-    sh_ref = ray.put(sh.to_pandas().set_index("doc_id")["simhash"].to_dict())
+    P = _auto_partitions(None)
+    if cand.count() == 0:
+        import ray.data
 
-    class Verify:
-        def __init__(self):
-            self.sh = ray.get(sh_ref)
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            ha = np.array([self.sh[x] for x in a], dtype=np.int64).view(np.uint64)
-            hb = np.array([self.sh[x] for x in b], dtype=np.int64).view(np.uint64)
-            ham = np.array([bin(int(x)).count("1") for x in (ha ^ hb)], dtype=np.int64)
-            keep = ham <= max_hamming
-            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                             "hamming": pa.array(ham[keep])})
+    with_a = _join_safe(
+        cand.join(sh, "inner", P, on=("a",), right_on=("doc_id",))
+        .rename_columns({"simhash": "sh_a"})
+        .select_columns(["a", "b", "sh_a"]),
+        P,
+    )
+    both = (
+        with_a.join(sh, "inner", P, on=("b",), right_on=("doc_id",))
+        .rename_columns({"simhash": "sh_b"})
+        .select_columns(["a", "b", "sh_a", "sh_b"])
+    )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ha = batch["sh_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        hb = batch["sh_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        x = ha ^ hb
+        # vectorized popcount over 8 bytes
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1).astype(np.int64) if len(x) else np.zeros(0, np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    return both.map_batches(verify, batch_format="pyarrow")
 
 
 def rolling_fingerprint(docs, window: int = 8):

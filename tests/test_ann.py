@@ -177,6 +177,9 @@ def test_kmeans_centroids_match_numpy_lloyd():
             sel = assign == i
             if sel.any():
                 nc[i] = m[sel].mean(axis=0)
+                nrm = np.linalg.norm(nc[i])
+                if nrm > 0:
+                    nc[i] = nc[i] / nrm
         c = nc
     assert np.allclose(got, c, rtol=1e-9, atol=1e-12)
 

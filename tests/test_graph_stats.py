@@ -257,7 +257,7 @@ def _brute_truss(pairs, k):
 
 
 def _truss_map(ds):
-    df = ds.to_pandas() if not isinstance(ds, pa.Table) else ds.to_pandas()
+    df = ds.to_pandas()
     return {(int(r.src), int(r.dst)): int(r.support) for r in df.itertuples()}
 
 
@@ -318,7 +318,7 @@ def test_local_triangles_wedge_free_path():
 
 
 def _ego_edges(ds):
-    df = ds.to_pandas() if not isinstance(ds, pa.Table) else ds.to_pandas()
+    df = ds.to_pandas()
     return set(zip(df["src"].astype(int), df["dst"].astype(int)))
 
 
@@ -642,3 +642,11 @@ def test_msf_vs_kruskal_random():
             _wedges(triples), num_partitions=P).to_pandas()
         gset = set(zip(got.src.astype(int), got.dst.astype(int), got.w))
         assert gset == want
+
+
+def test_k_truss_empty_returns_dataset():
+    # ADVICE r2: empty-truss branches must return a Dataset, not a raw
+    # pyarrow.Table, so callers can keep chaining Dataset ops.
+    ds = analytics.k_truss(_edges([(0, 1), (1, 2)]), k=4)
+    assert hasattr(ds, "map_batches")
+    assert ds.count() == 0

@@ -147,3 +147,12 @@ def test_topological_layers_vs_brute_random(tmp_dir):
         df = g.topological_layers().to_pandas()
     got = state_by_node(df, adj, "layer")
     assert got == want
+
+
+def test_katz_requires_stop_condition(tmp_dir):
+    adj = TOY_GRAPHS["g6"]
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 1)
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="stopping condition"):
+            g.katz(max_iterations=None, tolerance=None)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -100,3 +101,19 @@ def test_closeness_multi_source_matches_formula():
     assert out.loc[3] == 0.0
     # source 9: depths 1..4 → reachable=5, dsum=1+2+3+4
     assert np.isclose(out.loc[9], (5 - 1) ** 2 / ((n - 1) * 10))
+
+
+def test_closeness_all_sources_guard_fires():
+    # sources=None enumerates the vertex set on the driver — guarded above
+    # max_all_sources (VERDICT r2 #6). n_vertices passed explicitly so the
+    # guard triggers without building a huge graph.
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="max_all_sources"):
+        analytics.closeness_centrality(edges, sources=None,
+                                       n_vertices=10_000_000)
+    # under the cap, sources=None still works
+    out = analytics.closeness_centrality(edges, sources=None).to_pandas()
+    assert set(out.vertex) == {0, 1, 2}
