@@ -95,7 +95,10 @@ def run_bench() -> dict:
     # real shuffle-path layout build (VERDICT r1: the headline excludes the
     # cached direct-builder layout; this measures the actual
     # edges → hash-partition shuffle → partitioned-parquet write path on a
-    # FRESH directory every run, so the number is never a cache hit)
+    # FRESH directory every run, so the number is never a cache hit).
+    # VERDICT r2 #3: measured at the FULL bench edge count (100M at sf0.1),
+    # median of 3 runs — the single-pass direct writer's wall time is
+    # writeback-noise-sensitive (±2x observed on this VM's disk).
     shuffle_build = {}
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         import shutil
@@ -103,18 +106,86 @@ def run_bench() -> dict:
         from cassovary_ray.corpus import powerlaw_edges_dataset
         from cassovary_ray.layout import build_edge_layout
 
-        sb_edges = min(n_edges, 10_000_000)
+        sb_edges = min(n_edges, 100_000_000)
         sb_dir = f"/tmp/cassovary_ray_bench/shufbuild_{os.getpid()}"
+        walls = []
+        for _ in range(3):
+            shutil.rmtree(sb_dir, ignore_errors=True)
+            eds = powerlaw_edges_dataset(sb_edges, max(10_000, sb_edges // 10),
+                                         seed=SEED)
+            t0 = time.perf_counter()
+            build_edge_layout(eds, sb_dir, num_parts)
+            walls.append(time.perf_counter() - t0)
         shutil.rmtree(sb_dir, ignore_errors=True)
-        eds = powerlaw_edges_dataset(sb_edges, max(10_000, sb_edges // 10), seed=SEED)
-        t0 = time.perf_counter()
-        build_edge_layout(eds, sb_dir, num_parts)
-        sb_wall = time.perf_counter() - t0
-        shutil.rmtree(sb_dir, ignore_errors=True)
+        sb_wall = sorted(walls)[1]
         shuffle_build = {
             "layout_build_shuffle_sec": round(sb_wall, 2),
+            "layout_build_shuffle_runs": [round(w, 2) for w in walls],
             "layout_build_shuffle_edges": sb_edges,
             "layout_build_shuffle_eps": round(sb_edges / sb_wall),
+        }
+
+    # flagship north-star pipeline (VERDICT r2 #2): pages(url, html) →
+    # extract links → hash urls → shuffle-build layout → PageRank to 1e-6.
+    # The pages corpus (~2 KB logical/page: html + extracted text, zipf
+    # vocab + zipf link targets) is generated once and cached on disk; the
+    # TIMED phases are the real extract+shuffle ingest and the iteration
+    # loop, exactly the north_star's dataflow.
+    flagship = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        import shutil
+
+        import pyarrow as pa
+
+        from cassovary_ray.corpus import write_powerlaw_pages
+        from cassovary_ray.engine import ShardedGraph as SG
+        from cassovary_ray.extract import pages_to_edges
+        from cassovary_ray.layout import build_edge_layout
+
+        n_pages = max(50_000, int(sf * 62_500_000))  # ×16 links ≈ sf×1e9 edges
+        pages_dir = f"/tmp/cassovary_ray_bench/pages_{n_pages}_s{SEED}"
+        write_powerlaw_pages(pages_dir, n_pages, seed=SEED)
+        import ray.data as rd
+
+        pages = rd.read_parquet(pages_dir)
+        logical_bytes = int(pages.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [b["html"].nbytes + b["text"].nbytes], pa.int64())}),
+            batch_format="pyarrow").sum("n"))
+        fl_lay = f"/tmp/cassovary_ray_bench/flagship_{os.getpid()}"
+        shutil.rmtree(fl_lay, ignore_errors=True)
+        t0 = time.perf_counter()
+        # materialize() between extract and layout write: the two map stages
+        # otherwise FUSE, and Ray Data bundles the fused task's input to the
+        # write stage's batch_size counted in INPUT (pages) rows — with 16
+        # links/page that serialized the whole corpus into one task (10x
+        # wall). The barrier costs one object-store copy of the edge table.
+        fl_edges = pages_to_edges(
+            rd.read_parquet(pages_dir, columns=["url", "html"])).materialize()
+        t_extract = time.perf_counter() - t0
+        fl_man = build_edge_layout(fl_edges, fl_lay, num_parts)
+        t_ingest = time.perf_counter() - t0
+        del fl_edges
+        t0 = time.perf_counter()
+        with SG(fl_lay) as fg:
+            t_csr = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fg.pagerank(max_iterations=None, tolerance=1e-6)
+            t_pr = time.perf_counter() - t0
+            fl_iters = len(fg.metrics)
+        shutil.rmtree(fl_lay, ignore_errors=True)
+        flagship = {
+            "flagship_pages": n_pages,
+            "flagship_logical_gb": round(logical_bytes / 2**30, 2),
+            "flagship_edges": fl_man["n_edges"],
+            "flagship_extract_sec": round(t_extract, 2),
+            "flagship_ingest_sec": round(t_ingest, 2),
+            "flagship_pages_per_sec": round(n_pages / t_ingest),
+            "flagship_ingest_mb_per_sec": round(logical_bytes / 2**20 / t_ingest),
+            "flagship_csr_load_sec": round(t_csr, 2),
+            "flagship_pagerank_sec": round(t_pr, 2),
+            "flagship_pagerank_iters": fl_iters,
+            "flagship_end_to_end_sec": round(t_ingest + t_csr + t_pr, 2),
         }
 
     # representative query timings over the driver testdata at this sf
@@ -146,6 +217,7 @@ def run_bench() -> dict:
         "exchange_mb_per_iter": round(max(exch) if exch else 0.0, 1),
         "layout_build_sec": round(build_s, 2),
         **shuffle_build,
+        **flagship,
     }
     ray.shutdown()
     return out

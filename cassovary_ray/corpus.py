@@ -282,6 +282,96 @@ def build_powerlaw_layout_direct(
     return manifest
 
 
+def powerlaw_pages_batch(ids: np.ndarray, n_pages: int, *, links_per_page: int = 16,
+                         filler_tokens: int = 120, seed: int = 42,
+                         alpha: float = 0.7) -> pa.Table:
+    """Pages-table rows (input_hint schema) for page ids ``ids`` of a
+    deterministic Common-Crawl-shaped corpus: page ``i`` carries
+    ``links_per_page`` out-links whose targets follow the same truncated-Zipf
+    in-degree skew as :func:`powerlaw_edge_batch` (a few hub pages receive a
+    large share of in-links), plus ``filler_tokens`` Zipf-vocabulary filler
+    words so html/text sizes and compressibility are web-ish rather than
+    degenerate. Pure function of (ids, seed): any worker generates any slice,
+    and the stored ``text`` column is produced by running the REAL
+    :func:`cassovary_ray.extract.extract_text` over the html — so the
+    per-url byte-identity invariant holds by construction."""
+    from cassovary_ray.extract import extract_text  # circular-safe
+
+    ids = np.asarray(ids, dtype=np.int64)
+    L = links_per_page
+    # all link targets for the batch in one vectorized draw
+    k = (ids[:, None] * L + np.arange(L)[None, :]).reshape(-1)
+    u = counter_rng_uniform(seed, k, 2)
+    tgt = np.minimum((n_pages * np.power(u, 1.0 / (1.0 - alpha))).astype(np.int64),
+                     n_pages - 1).reshape(len(ids), L)
+    # filler vocabulary draws (50k-word Zipf)
+    kw = (ids[:, None] * filler_tokens + np.arange(filler_tokens)[None, :]).reshape(-1)
+    uw = counter_rng_uniform(seed, kw, 3)
+    words = np.minimum((50_000 * np.power(uw, 1.0 / (1.0 - 0.85))).astype(np.int64),
+                       49_999).reshape(len(ids), filler_tokens)
+
+    urls, tss, htmls, texts = [], [], [], []
+    for row, pid in enumerate(ids):
+        pid = int(pid)
+        links = " ".join(f'<a href="/{t}">ref {t}</a>' for t in tgt[row])
+        filler = " ".join(f"w{w}" for w in words[row])
+        html = (
+            f"<html><head><title>Page {pid}</title>"
+            f"<script>var p = {pid};</script>"
+            f"<style>a {{ color: blue }}</style></head>\n"
+            f"<body><h1>Crawled page {pid}</h1>\n<p>{filler}</p>\n"
+            f"<p>{links}</p>\n</body></html>"
+        ).encode("utf-8")
+        urls.append(f"{URL_PREFIX}{pid}")
+        tss.append(_EPOCH + datetime.timedelta(seconds=pid % 86_400))
+        htmls.append(html)
+        texts.append(extract_text(html))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
+def powerlaw_pages_dataset(n_pages: int, *, links_per_page: int = 16,
+                           filler_tokens: int = 120, seed: int = 42,
+                           alpha: float = 0.7):
+    """Distributed deterministic pages-table generator → Dataset with the
+    input_hint schema (url, warc_ts, html, text, lang). n_pages × links_per_page
+    extracted edges; see :func:`powerlaw_pages_batch`."""
+    import ray
+    import ray.data
+
+    def gen(batch: dict[str, np.ndarray]) -> pa.Table:
+        return powerlaw_pages_batch(batch["id"], n_pages,
+                                    links_per_page=links_per_page,
+                                    filler_tokens=filler_tokens,
+                                    seed=seed, alpha=alpha)
+
+    blocks = max(16, int(ray.cluster_resources().get("CPU", 16)) * 2) \
+        if ray.is_initialized() else 32
+    return ray.data.range(n_pages, override_num_blocks=blocks).map_batches(
+        gen, batch_format="numpy", batch_size=1 << 15)
+
+
+def write_powerlaw_pages(out_dir: str, n_pages: int, **kwargs) -> str:
+    """Materialize :func:`powerlaw_pages_dataset` as parquet under
+    ``out_dir`` (idempotent: returns immediately if a _SUCCESS marker
+    exists — bench runs reuse the corpus across invocations)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    powerlaw_pages_dataset(n_pages, **kwargs).write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write(str(n_pages))
+    return out_dir
+
+
 def powerlaw_edges_dataset(n_edges: int, n_vertices: int, seed: int = 42, alpha: float = 0.7):
     """Distributed deterministic generator → ``Dataset(src:int64, dst:int64)``."""
     import ray.data

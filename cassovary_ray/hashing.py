@@ -41,10 +41,16 @@ def hash64_batch(strings) -> np.ndarray:
     out = np.empty(len(strings), dtype=np.int64)
     blake2b = hashlib.blake2b
     fb = int.from_bytes
+    # batch-scoped memo: link targets are Zipf-hot (a few hub urls dominate
+    # the dst column), so most rows are dict hits instead of blake2b calls
+    memo: dict = {}
     for i, s in enumerate(strings):
-        if isinstance(s, str):
-            s = s.encode("utf-8")
-        out[i] = fb(blake2b(s, digest_size=8).digest(), "little") & _MASK63
+        h = memo.get(s)
+        if h is None:
+            b = s.encode("utf-8") if isinstance(s, str) else s
+            h = fb(blake2b(b, digest_size=8).digest(), "little") & _MASK63
+            memo[s] = h
+        out[i] = h
     return out
 
 

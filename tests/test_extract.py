@@ -229,3 +229,26 @@ def test_anchor_texts_aggregation():
             indeg[v] = indeg.get(v, 0) + 1
     got = {(r.dst_url, r.anchor): int(r.n) for r in df.itertuples()}
     assert got == {(node_url(v), f"node {v}"): n for v, n in indeg.items()}
+
+
+def test_fast_path_href_resolution_matches_urljoin():
+    """The root-relative fast path in extract_links must be byte-identical
+    to the uncached urljoin+urlsplit+urlunsplit pipeline across adversarial
+    href forms (dot segments, queries, fragments, tabs, protocol-relative,
+    non-http bases)."""
+    import html as htmllib
+
+    from cassovary_ray.extract import _resolve_href, extract_links
+
+    bases = ["https://ex.test/a/b?q=1", "http://UP.Host/x",
+             "https://u:p@h:8080/d/", "ftp://h/x"]
+    hrefs = ["/1", "/", "/x?", "/x?a=1", "/x?a?b", "/x#f", "/x?a=1#f",
+             "/a/./b", "/a/../b", "/..", "//other/x", "/x%20y", "/x\ty",
+             "/TABLE", "/a//b", "/x;p", "/x?#", "/ x"]
+    for b in bases:
+        for h in hrefs:
+            doc = f'<a href="{h}">x</a>'.encode()
+            got = extract_links(b, doc, _memo={})
+            want = _resolve_href(b, htmllib.unescape(h).strip())
+            want = [want] if want is not None else []
+            assert got == want, (b, h, got, want)
