@@ -967,3 +967,124 @@ def sssp_sql(wedges_cte: str, sources: dict[int, float], rounds: int) -> str:
             f") GROUP BY vertex)"
         )
     return ",\n".join(parts) + f"\nSELECT vertex, dist FROM d{rounds}"
+
+
+def betweenness_sql(edges_cte: str, sources: list[int], max_depth: int) -> str:
+    """Unrolled Brandes betweenness from a pinned source set — exactly
+    ``analytics.betweenness_centrality(sources=sources, max_depth=max_depth)``
+    (Brandes 2001; the engine's forward BFS-with-σ and per-level backward δ
+    sweep, ``analytics.py`` dataflow):
+
+    - forward, level d→d+1: σ of a NEW vertex = Σ σ of its frontier
+      predecessors (anti-joined against all earlier levels);
+    - backward, deepest first: δ(v) = Σ_{(v,w)∈E, w at level d+1}
+      σ(v)/σ(w) · (1 + δ(w)); the deepest level's δ is 0;
+    - bc(v) = Σ over sources s≠v of δ_s(v), zero-filled over every visited
+      vertex.
+
+    σ is integer-exact both sides; δ divisions/sums are doubles whose
+    summation-order divergence (~1e-15 relative, values ≤ |sources|·n) sits
+    far below the checker's 9-dp grid. The unroll bound must equal the
+    query's pinned ``max_depth``; extra rounds past BFS exhaustion are
+    empty-table no-ops. Returns (vertex, betweenness)."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT CAST({int(s)} AS BIGINT) AS source" for s in sorted(set(sources)))
+    D = max_depth
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        f"srcs AS MATERIALIZED ({src_rows})",
+        "lvl0 AS MATERIALIZED (SELECT source, source AS vertex,"
+        " CAST(1 AS BIGINT) AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT source, vertex FROM lvl0)",
+    ]
+    for d in range(1, D + 1):
+        p = d - 1
+        parts.append(
+            f"lvl{d} AS MATERIALIZED ("
+            f" SELECT l.source, e.dst AS vertex,"
+            f"        CAST(sum(l.sigma) AS BIGINT) AS sigma"
+            f" FROM lvl{p} l JOIN e ON e.src = l.vertex"
+            f" WHERE NOT EXISTS (SELECT 1 FROM vis{p} v"
+            f"   WHERE v.source = l.source AND v.vertex = e.dst)"
+            f" GROUP BY l.source, e.dst)")
+        parts.append(
+            f"vis{d} AS MATERIALIZED (SELECT source, vertex FROM vis{p}"
+            f" UNION ALL SELECT source, vertex FROM lvl{d})")
+    parts.append(
+        f"del{D} AS MATERIALIZED (SELECT source, vertex, sigma,"
+        f" CAST(0.0 AS DOUBLE) AS delta FROM lvl{D})")
+    for d in range(D - 1, -1, -1):
+        parts.append(
+            f"del{d} AS MATERIALIZED ("
+            f" SELECT l.source, l.vertex, l.sigma,"
+            f"   coalesce(sum(CAST(l.sigma AS DOUBLE) / w.sigma"
+            f"                * (1.0 + w.delta)), 0.0) AS delta"
+            f" FROM lvl{d} l"
+            f" LEFT JOIN e ON e.src = l.vertex"
+            f" LEFT JOIN del{d+1} w"
+            f"   ON w.source = l.source AND w.vertex = e.dst"
+            f" GROUP BY l.source, l.vertex, l.sigma)")
+    alld = " UNION ALL ".join(
+        f"SELECT source, vertex, delta FROM del{d}" for d in range(D + 1))
+    parts.append(f"alld AS ({alld})")
+    parts.append(
+        "bc AS (SELECT vertex, sum(delta) AS betweenness FROM alld"
+        " WHERE source <> vertex GROUP BY vertex)")
+    parts.append(f"allv AS (SELECT DISTINCT vertex FROM vis{D})")
+    return ",\n".join(parts) + (
+        "\nSELECT a.vertex, coalesce(bc.betweenness, 0.0) AS betweenness"
+        " FROM allv a LEFT JOIN bc ON bc.vertex = a.vertex")
+
+
+def msf_sql(wedges_cte: str, rounds: int = 12) -> str:
+    """Unrolled Borůvka minimum spanning forest — exactly
+    ``analytics.minimum_spanning_forest`` over the canonical undirected view
+    (src<dst, self-loops dropped, parallel edges collapsed to min w).
+
+    The strict (w, src, dst) total order makes the MSF UNIQUE, so ANY
+    correct MST algorithm under that order returns the engine's forest;
+    this unrolls classic Borůvka: per round, per-component minimum cross
+    edge under the total order (window rank), union into the forest,
+    components recomputed as the min-reachable-id fixpoint over forest
+    edges (one recursive CTE per round — DuckDB allows several recursive
+    CTEs in one WITH RECURSIVE list). ``rounds`` must be ≥ ⌈log2(V)⌉
+    (component count at least halves per round); extra rounds are no-ops
+    at the fixpoint. Returns the forest (src, dst, w)."""
+    parts = [
+        f"WITH RECURSIVE we AS MATERIALIZED ({wedges_cte})",
+        "ce AS MATERIALIZED (SELECT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst, min(w) AS w FROM we"
+        " WHERE src <> dst GROUP BY 1, 2)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM ce UNION SELECT dst FROM ce)",
+        "f0(src, dst, w) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS DOUBLE) WHERE 1 = 0)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"fu{r} AS (SELECT src AS a, dst AS b FROM f{r}"
+            f" UNION ALL SELECT dst, src FROM f{r})")
+        parts.append(
+            f"reach{r}(vertex, m) AS ("
+            f" SELECT vertex, vertex FROM v"
+            f" UNION"
+            f" SELECT fu.b, c.m FROM reach{r} c JOIN fu{r} fu ON fu.a = c.vertex"
+            f" WHERE c.m < fu.b)")
+        parts.append(
+            f"comp{r} AS MATERIALIZED (SELECT vertex, min(m) AS comp"
+            f" FROM reach{r} GROUP BY vertex)")
+        parts.append(
+            f"tag{r} AS (SELECT e.src, e.dst, e.w, cs.comp AS ca, cd.comp AS cb"
+            f" FROM ce e JOIN comp{r} cs ON cs.vertex = e.src"
+            f" JOIN comp{r} cd ON cd.vertex = e.dst WHERE cs.comp <> cd.comp)")
+        parts.append(
+            f"pick{r} AS (SELECT src, dst, w FROM ("
+            f"   SELECT comp, src, dst, w, row_number() OVER ("
+            f"     PARTITION BY comp ORDER BY w, src, dst) AS rn"
+            f"   FROM (SELECT ca AS comp, src, dst, w FROM tag{r}"
+            f"         UNION ALL SELECT cb, src, dst, w FROM tag{r}))"
+            f" WHERE rn = 1)")
+        parts.append(
+            f"f{r+1} AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM"
+            f" (SELECT src, dst, w FROM f{r}"
+            f"  UNION ALL SELECT src, dst, w FROM pick{r}))")
+    return ",\n".join(parts) + f"\nSELECT src, dst, w FROM f{rounds}"

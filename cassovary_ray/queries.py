@@ -972,10 +972,14 @@ def q_events_top_users(sf_dir: str):
 
 
 def q_graph_betweenness(sf_dir: str):
-    """Sampled-source Brandes betweenness (float δ sums — golden-tested in
-    pytest, rows-only for the driver, same policy as the walk family)."""
+    """Sampled-source Brandes betweenness. max_depth pinned to 8 (actual
+    BFS depth from these sources is 3 at sf0.01) so the SQL oracle's unroll
+    bound and the engine's truncation agree on ANY input; δ float sums are
+    ~1e-15-relative divergent, far below the checker's 9-dp grid (the
+    pagerank-oracle argument). Golden-tested against brute Brandes in
+    pytest as well."""
     return analytics.betweenness_centrality(
-        derived_edges(sf_dir), sources=list(range(8)))
+        derived_edges(sf_dir), sources=list(range(8)), max_depth=8)
 
 
 def _media_ids(sf_dir: str):
@@ -1196,6 +1200,9 @@ ORACLE_SQL = {
     "graph_bfs": oracles.bfs_sql(DERIVED_EDGES_CTE, source=0, max_depth=4),
     "graph_ego_net": oracles.ego_net_sql(DERIVED_EDGES_CTE, [7, 500], radius=1),
     "graph_pagerank": oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_betweenness": oracles.betweenness_sql(
+        DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=8),
+    "graph_msf": oracles.msf_sql(DERIVED_WEDGES_CTE, rounds=12),
     "graph_katz": oracles.katz_sql(DERIVED_EDGES_CTE, iterations=8,
                                    alpha=0.005, beta=1.0),
     "graph_eigenvector": oracles.eigenvector_sql(DERIVED_EDGES_CTE,
