@@ -1009,6 +1009,13 @@ class GraphShard:
                              "count": pa.array([], pa.int64())})
         cur = np.concatenate([p[0] for p in self._walk_prev_pairs])
         prv = np.concatenate([p[1] for p in self._walk_prev_pairs])
+        if len(cur) == 0:
+            # pairs recorded but all empty (shard participated in rounds
+            # without ever receiving a tracked step): np.r_[True, ...] on
+            # the empty diff would fabricate one segment start
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "prev": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
         order = np.lexsort((prv, cur))
         cur, prv = cur[order], prv[order]
         new = np.r_[True, (cur[1:] != cur[:-1]) | (prv[1:] != prv[:-1])]
