@@ -116,6 +116,26 @@ class _Scatter:
         self._vals = np.empty(self.n_edges)
         self._sums = np.empty(len(self.uniq_dst))
 
+    @classmethod
+    def from_arrays(cls, *, num_parts: int, src_pos, seg_starts, uniq_dst,
+                    part_ptr, out_deg, w_sorted=None, w_out=None) -> "_Scatter":
+        """Rebuild from cached lexsorted arrays (the binary shard cache,
+        engine._load_scatter_cache) — skips the searchsorted/lexsort work
+        of __init__; only the reusable round buffers are allocated."""
+        self = cls.__new__(cls)
+        self.num_parts = num_parts
+        self.src_pos = src_pos
+        self.seg_starts = seg_starts
+        self.uniq_dst = uniq_dst
+        self.part_ptr = part_ptr
+        self.out_deg = out_deg
+        self.n_edges = len(src_pos)
+        self.w_sorted = w_sorted
+        self.w_out = w_out
+        self._vals = np.empty(self.n_edges)
+        self._sums = np.empty(len(self.uniq_dst))
+        return self
+
     def segment_sums(self, per_edge_vals: np.ndarray) -> np.ndarray:
         if len(self.seg_starts) == 0:
             return np.zeros(0, dtype=per_edge_vals.dtype)
@@ -179,6 +199,76 @@ class _Scatter:
         return [self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts)]
 
 
+def _partition_digest(ldir: str, primary_dir: str, part: int) -> str:
+    """Content key for one shard's CSR cache: the (name, size) list of the
+    partition's edge files in ``ldir`` plus the PRIMARY layout's vertex
+    files (verts define src_pos/out_deg indexing) plus the manifest's
+    weighted flag. Any partition rewrite (update_edge_layout names new
+    files) or rebuild changes the digest and invalidates the cache."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for base, table in ((ldir, "edges"), (primary_dir, "vertices")):
+        d = os.path.join(base, table, f"part={part}")
+        entries = []
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                st = os.stat(os.path.join(d, name))
+                # mtime_ns included: update_edge_layout rewrites a partition
+                # under the same filename, and int64 columns make equal-size
+                # different-content rewrites plausible
+                entries.append(f"{table}/{name}:{st.st_size}:{st.st_mtime_ns}")
+        h.update("|".join(entries).encode())
+        h.update(b";")
+    h.update(str(read_layout_manifest(ldir).get("weighted", False)).encode())
+    return h.hexdigest()
+
+
+def _csr_cache_path(ldir: str, part: int) -> str:
+    return os.path.join(ldir, "csr_cache", f"part{part}.npz")
+
+
+_CSR_CACHE_ARRAYS = ("src_pos", "seg_starts", "uniq_dst", "part_ptr", "out_deg")
+
+
+def _save_scatter_cache(path: str, digest: str, sc: "_Scatter") -> None:
+    """Persist the lexsorted scatter arrays (atomic tmp+rename; best-effort:
+    a read-only layout dir just skips caching)."""
+    if os.environ.get("CASSOVARY_CSR_CACHE", "1") == "0":
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arrays = {name: getattr(sc, name) for name in _CSR_CACHE_ARRAYS}
+        if sc.w_sorted is not None:
+            arrays["w_sorted"] = sc.w_sorted
+            arrays["w_out"] = sc.w_out
+        arrays["digest"] = np.frombuffer(digest.encode(), dtype=np.uint8)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _load_scatter_cache(path: str, digest: str, num_parts: int):
+    """Rebuild a _Scatter from the cache iff the digest matches; None on
+    any miss/mismatch/corruption (falls back to the parquet build)."""
+    if os.environ.get("CASSOVARY_CSR_CACHE", "1") == "0":
+        return None
+    try:
+        with np.load(path) as z:
+            if z["digest"].tobytes().decode() != digest:
+                return None
+            arrays = {name: z[name] for name in _CSR_CACHE_ARRAYS}
+            w_sorted = z["w_sorted"] if "w_sorted" in z.files else None
+            w_out = z["w_out"] if "w_out" in z.files else None
+        return _Scatter.from_arrays(num_parts=num_parts, w_sorted=w_sorted,
+                                    w_out=w_out, **arrays)
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def _pickle_by_value(obj) -> bytes:
     """cloudpickle an object forcing BY-VALUE class serialization when its
     defining module isn't part of this package: user VertexPrograms live in
@@ -238,10 +328,19 @@ class GraphShard:
         self.verts = np.unique(vt["vertex"].to_numpy(zero_copy_only=False))
 
         def load_scatter(ldir: str) -> _Scatter:
+            # binary shard cache (MemoryMappedDirectedGraph.scala:35-46
+            # analogue): the lexsorted scatter arrays are persisted keyed by
+            # a digest of the partition's parquet files, so an actor restart
+            # / resumed run skips the parquet decode + lexsort rebuild
+            digest = _partition_digest(ldir, layout_dir, part)
+            cpath = _csr_cache_path(ldir, part)
+            sc = _load_scatter_cache(cpath, digest, num_parts)
+            if sc is not None:
+                return sc
             weighted = bool(read_layout_manifest(ldir).get("weighted", False))
             cols = ["src", "dst"] + (["weight"] if weighted else [])
             et = read_partition(ldir, "edges", part, cols)
-            return _Scatter(
+            sc = _Scatter(
                 et["src"].to_numpy(zero_copy_only=False),
                 et["dst"].to_numpy(zero_copy_only=False),
                 self.verts,
@@ -249,6 +348,8 @@ class GraphShard:
                 weights=et["weight"].to_numpy(zero_copy_only=False)
                 if weighted else None,
             )
+            _save_scatter_cache(cpath, digest, sc)
+            return sc
 
         self.fwd = load_scatter(layout_dir)
         self.rev = load_scatter(reverse_layout_dir) if reverse_layout_dir else None

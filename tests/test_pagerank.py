@@ -320,3 +320,29 @@ def test_weighted_pagerank_vs_numpy_reference(tmp_dir, num_parts):
         r = (1 - d) / n + d * dangle / n + contrib
     for v in range(n):
         assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_csr_cache_restart_and_invalidation(tmp_dir):
+    """Binary shard cache (VERDICT r2 #8): a second ShardedGraph over the
+    same layout loads the cached lexsorted arrays and produces identical
+    ranks; rebuilding the layout (new files → new digest) invalidates."""
+    import glob
+
+    adj = TOY_GRAPHS["g6"]
+    lay = os.path.join(tmp_dir, "layout")
+    build_toy_layout(adj, lay, 2)
+    with ShardedGraph(lay) as g:
+        cold = g.pagerank(max_iterations=5).to_pandas().sort_values(
+            "vertex").reset_index(drop=True)
+    assert glob.glob(os.path.join(lay, "csr_cache", "*.npz"))
+    with ShardedGraph(lay) as g:
+        warm = g.pagerank(max_iterations=5).to_pandas().sort_values(
+            "vertex").reset_index(drop=True)
+    assert cold.equals(warm)
+    # rebuild with DIFFERENT content: stale cache must not be used
+    adj2 = {k: v for k, v in adj.items()}
+    adj2[10] = list(adj2.get(10, [])) + [15]
+    build_toy_layout(adj2, lay, 2)
+    with ShardedGraph(lay) as g:
+        after = g.pagerank(max_iterations=5).to_pandas()
+    assert not cold.equals(after.sort_values("vertex").reset_index(drop=True))
