@@ -71,19 +71,28 @@ def _task_file_stem() -> str:
     return f"t{tid[:20]}-{seq}"
 
 
-def _write_part_file(table: pa.Table, table_dir: str, part: int, stem: str) -> None:
+def _write_part_file(table: pa.Table, table_dir: str, part: int, stem: str,
+                     sorted_ints: bool = False) -> None:
     import pyarrow.parquet as pq
 
     d = os.path.join(table_dir, f"part={part}")
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".{stem}.parquet.tmp")
-    pq.write_table(table, tmp, compression="zstd")
+    # snappy: measured ~2x faster than zstd on int64 edge columns and the
+    # build is write-throughput-bound; shard loads re-read each file once.
+    # sorted int64 columns (the vertex stream) delta-pack ~5x smaller.
+    if sorted_ints:
+        pq.write_table(table, tmp, compression="snappy",
+                       use_dictionary=False,
+                       column_encoding="DELTA_BINARY_PACKED")
+    else:
+        pq.write_table(table, tmp, compression="snappy")
     os.replace(tmp, os.path.join(d, f"{stem}.parquet"))
 
 
 def _write_partitioned(ds, edges_dir, verts_dir, num_parts: int, *,
                        weighted: bool = False, vertex_only: bool = False,
-                       batch_size: int = 1 << 22) -> int:
+                       batch_size: int = 1 << 21) -> int:
     """One streaming pass: split each batch by hash partition and write the
     per-part parquet files directly (plus, for edge batches, the batch's
     local unique endpoints into the vertex table). Returns total rows
@@ -106,7 +115,7 @@ def _write_partitioned(ds, edges_dir, verts_dir, num_parts: int, *,
                 if lo == hi:
                     continue
                 _write_part_file(pa.table({"vertex": pa.array(v[lo:hi], pa.int64())}),
-                                 verts_dir, p, stem)
+                                 verts_dir, p, stem, sorted_ints=True)
             return pa.table({"rows": pa.array([n], pa.int64())})
 
         src = batch["src"].to_numpy(zero_copy_only=False)
@@ -139,7 +148,7 @@ def _write_partitioned(ds, edges_dir, verts_dir, num_parts: int, *,
             if lo == hi:
                 continue
             _write_part_file(pa.table({"vertex": pa.array(v[lo:hi], pa.int64())}),
-                             verts_dir, p, stem)
+                             verts_dir, p, stem, sorted_ints=True)
         return pa.table({"rows": pa.array([n], pa.int64())})
 
     stats = ds.map_batches(write_batch, batch_format="pyarrow",
