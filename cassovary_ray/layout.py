@@ -38,6 +38,32 @@ def _add_part_src(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, pa.int64()))
 
 
+def random_node_parts(vertex_ids, num_parts: int, seed: int = 1) -> np.ndarray:
+    """``RandomNodeMapper`` analogue (``Partitioner.scala:36-38``): a
+    "random" partition per node, as a PURE FUNCTION of (seed, id) via the
+    counter RNG — deterministic at any parallelism, unlike the reference's
+    stateful ``Random``. Use for storage balancing; the engine's CSR
+    layouts need the co-locating ``src % P`` (``HashSourceMapper``) instead.
+    Returns int64 partition ids in [0, num_parts)."""
+    from cassovary_ray.hashing import counter_rng_uniform
+
+    u = counter_rng_uniform(seed, np.asarray(vertex_ids, dtype=np.int64), 0)
+    return (u * num_parts).astype(np.int64)
+
+
+def assign_random_parts(ds, num_parts: int, seed: int = 1,
+                        id_col: str = "vertex"):
+    """Dataset helper over :func:`random_node_parts`: append a ``part``
+    column for a random (but deterministic) node→instance assignment."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(random_node_parts(ids, num_parts, seed), pa.int64()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def _undirect(batch: pa.Table) -> pa.Table:
     """Edge batch → batch ∪ reversed batch (weak-direction view for WCC/LP)."""
     fwd = batch.select(["src", "dst"])

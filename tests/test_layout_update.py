@@ -157,3 +157,23 @@ def test_incremental_recrawl_end_to_end(tmp_path):
     build_edge_layout(pages_to_edges(new_pages), fresh, 3)
     assert _edges_of(lay) == _edges_of(fresh)
     assert _verts_of(lay) >= _verts_of(fresh)
+
+
+def test_random_node_parts_deterministic_and_balanced():
+    # RandomNodeMapper analogue (Partitioner.scala:36-38): deterministic
+    # pure function of (seed, id), roughly balanced, covers all parts
+    import numpy as np
+
+    from cassovary_ray.layout import assign_random_parts, random_node_parts
+
+    ids = np.arange(10_000, dtype=np.int64)
+    p1 = random_node_parts(ids, 8, seed=3)
+    p2 = random_node_parts(ids, 8, seed=3)
+    assert (p1 == p2).all()
+    assert set(np.unique(p1)) == set(range(8))
+    counts = np.bincount(p1, minlength=8)
+    assert counts.min() > 10_000 / 8 * 0.8
+    assert (random_node_parts(ids, 8, seed=4) != p1).any()
+    ds = ray.data.from_arrow(pa.table({"vertex": pa.array(ids, pa.int64())}))
+    out = assign_random_parts(ds, 8, seed=3).to_pandas()
+    assert (out["part"].to_numpy() == p1).all()
