@@ -602,6 +602,12 @@ def q_doc_repetition(sf_dir: str):
     return textops.repetition_signals(_table(sf_dir, "documents"))
 
 
+def q_doc_substring_dups(sf_dir: str):
+    """ExactSubstr duplicate-span counts: per doc, positional 8-gram slots
+    shared (as exact text) with at least one OTHER document."""
+    return textops.substring_dup_counts(_table(sf_dir, "documents"), n=8)
+
+
 def q_doc_contamination(sf_dir: str):
     """Benchmark decontamination: distinct 8-gram overlap of every training
     doc (doc_id%37≠0) against the benchmark subset (doc_id%37==0)."""
@@ -1055,6 +1061,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
+    "doc_substring_dups": q_doc_substring_dups,
     "doc_pii": q_doc_pii,
     "doc_gopher": q_doc_gopher,
     "doc_langid": q_doc_langid,
@@ -1376,6 +1383,27 @@ ORACLE_SQL = {
                CAST(len(regexp_extract_all(text,
                    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
         FROM documents
+    """,
+    "doc_substring_dups": r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        t_toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM d),
+        grams AS (
+            SELECT doc_id,
+                   arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] || ' '
+                   || arr[i + 3] || ' ' || arr[i + 4] || ' ' || arr[i + 5]
+                   || ' ' || arr[i + 6] || ' ' || arr[i + 7] AS gram
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr) - 7)) AS i
+                  FROM t_toks)),
+        dupg AS (SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS ndocs
+                    FROM grams GROUP BY 1) WHERE ndocs >= 2),
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+                FROM grams JOIN dupg USING (gram) GROUP BY 1)
+        SELECT d.doc_id, coalesce(c.n_dup_spans, 0) AS n_dup_spans
+        FROM d LEFT JOIN cnt c USING (doc_id)
     """,
     "doc_contamination": r"""
         WITH d AS (SELECT doc_id, text FROM documents),

@@ -163,6 +163,75 @@ def redact_pii(docs):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
+def substring_dup_counts(docs, n: int = 8):
+    """ExactSubstr-style duplicate-span signal (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*): per doc,
+    the number of POSITIONAL whitespace-token ``n``-gram slots whose gram
+    occurs in ≥ 2 DISTINCT documents — ``Dataset(doc_id, n_dup_spans)``,
+    0 where nothing is cross-document repeated. Downstream dedup divides by
+    the doc's slot count for the duplicated-text fraction, or cuts the
+    repeated spans out.
+
+    Tokenization mirrors :func:`token_counts` (trim + ``\\s+`` split), and
+    every expression is shared with the DuckDB oracle. Scale shape
+    (inverted-index discipline — never the suffix-array merge's pairwise
+    doc×doc expansion): positional gram rows emitted per batch, the
+    dup-gram set derived by a distinct (gram, doc) pre-combine + a count
+    groupby, then ONE hash join of gram rows against the dup-gram set and
+    a per-doc count; a boilerplate gram shared by every doc costs its slot
+    count, not doc² pairs."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = _WS_SPLIT.split(t.strip(" "))
+            for j in range(len(toks) - n + 1):
+                ids.append(i)
+                grams.append(" ".join(toks[j:j + n]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    P = 8
+    g = docs.map_batches(gram_rows, batch_format="pyarrow") \
+            .repartition(P).materialize()
+    all_ids = docs.select_columns(["doc_id"]).repartition(P).materialize()
+
+    def zero_fill(counts):
+        have = counts.select_columns(["doc_id"])
+        zero = all_ids.join(have, "left_anti", P, on=("doc_id",))
+        zero = zero.map_batches(
+            lambda b: b.append_column(
+                "n_dup_spans", pa.array(np.zeros(len(b), np.int64))),
+            batch_format="pyarrow")
+        return counts.union(zero)
+
+    if g.count() == 0:
+        import ray.data
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_dup_spans": pa.array([], pa.int64())})
+        return zero_fill(ray.data.from_arrow(empty))
+    dupg = (
+        g.groupby(["gram", "doc_id"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["gram", "doc_id"])                 # distinct (gram, doc)
+        .groupby("gram").aggregate(Count(alias_name="ndocs"))
+    )
+    dupg = dupg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ndocs"], 2)).select(["gram"]),
+        batch_format="pyarrow").repartition(P).materialize()
+    if dupg.count() == 0:
+        import ray.data
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_dup_spans": pa.array([], pa.int64())})
+        return zero_fill(ray.data.from_arrow(empty))
+    counts = (
+        g.join(dupg, "inner", P, on=("gram",))
+        .groupby("doc_id").aggregate(Count(alias_name="n_dup_spans"))
+    )
+    return zero_fill(counts.repartition(P).materialize())
+
+
 def contamination_counts(train_docs, ref_docs, n: int = 8):
     """Benchmark-decontamination primitive (GPT-3 App. C / Dolma recipe):
     for every training doc, the number of DISTINCT whitespace-token

@@ -167,3 +167,37 @@ def test_fingerprint_deterministic():
     fp = dict(zip(df.doc_id, df.fingerprint))
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_substring_dup_counts_constructed():
+    """ExactSubstr slots: per doc, positional 8-gram slots whose gram text
+    appears in >= 2 distinct docs — brute-force parity on constructed
+    overlaps, including intra-doc-only repeats (not counted)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    d0 = shared + " unique0 tail0 tail1 tail2"
+    d1 = "lead1 " + shared + " unique1"
+    d2 = "totally different words here nothing matches at all ok"
+    # d3 repeats an 8-gram WITHIN itself only -> ndocs=1 -> not counted
+    d3 = ("r1 r2 r3 r4 r5 r6 r7 r8 sep " * 2).strip()
+    texts = [d0, d1, d2, d3]
+    got = textops.substring_dup_counts(_docs(texts), n=8).to_pandas()
+    got = dict(zip(got.doc_id, got.n_dup_spans))
+
+    # brute force
+    import re
+    ws = re.compile(r"\s+")
+    grams_per_doc = []
+    for t in texts:
+        toks = ws.split(t.strip(" "))
+        grams_per_doc.append([" ".join(toks[j:j + 8])
+                              for j in range(len(toks) - 8 + 1)])
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    for i, gs in enumerate(grams_per_doc):
+        for g in gs:
+            docs_of[g].add(i)
+    want = {i: sum(1 for g in gs if len(docs_of[g]) >= 2)
+            for i, gs in enumerate(grams_per_doc)}
+    assert got == want
+    assert want[0] >= 1 and want[1] >= 1  # the shared gram counted both sides
+    assert want[2] == 0 and want[3] == 0
