@@ -267,6 +267,131 @@ class ImageDecodeStage:
         })
 
 
+class ImageAHashStage:
+    """Actor-pool stage: BMP payload → 64-bit perceptual average-hash
+    (aHash — the standard image near-dup baseline): gray = r+g+b per pixel
+    (integer), the image split into an 8×8 grid of equal pixel blocks, one
+    bit per block set iff ``block_sum × 64 > total_sum`` (the integer
+    cross-multiplied form of block_mean > global_mean — no float division,
+    so the DuckDB oracle matches bit-for-bit). Emitted as two int64 halves
+    (``ahash_hi`` bits 32–63, ``ahash_lo`` bits 0–31) because a set bit 63
+    would wrap a single BIGINT on both sides. Requires height % 8 == 0 and
+    width % 8 == 0 (the synthetic corpus is 24×40 → 3×5 blocks)."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+        self._decode = ImageDecodeStage()._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids, his, los = [], [], []
+        for i, p in zip(batch["media_id"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            rgb = self._decode(p)
+            h, w = rgb.shape[0], rgb.shape[1]
+            if h % g or w % g:
+                raise ValueError(f"aHash grid {g} needs dims divisible by it,"
+                                 f" got {h}x{w}")
+            gray = rgb.astype(np.int64).sum(axis=2)
+            cells = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+            total = int(cells.sum())
+            bits = (cells.ravel() * (g * g) > total)  # row-major: i = gy*g+gx
+            hi = int((bits[32:].astype(np.int64) << np.arange(32)).sum())
+            lo = int((bits[:32].astype(np.int64) << np.arange(32)).sum())
+            ids.append(i)
+            his.append(hi)
+            los.append(lo)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "ahash_hi": pa.array(his, pa.int64()),
+                         "ahash_lo": pa.array(los, pa.int64())})
+
+
+def image_ahash(media_ds, *, concurrency: int = 4, batch_size: int = 64):
+    """``(media_id, ahash_hi, ahash_lo)`` perceptual hashes (see
+    :class:`ImageAHashStage`)."""
+    return media_ds.map_batches(
+        ImageAHashStage, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size)
+
+
+def image_ahash_dup_pairs(media_ds, *, max_hamming: int = 4,
+                          concurrency: int = 4):
+    """Perceptual near-duplicate image pairs ``(a, b, hamming)`` with a < b:
+    aHash → band buckets (4×16-bit bands over the 64 bits; pigeonhole —
+    any pair within Hamming distance 3 shares a band, wider distances found
+    opportunistically) → per-bucket candidate pairs → Hamming verify via a
+    JOIN back to the hash table (the simhash verify discipline: nothing
+    corpus-sized is collected or broadcast)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ah = image_ahash(media_ds, concurrency=concurrency).materialize()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        hi = batch["ahash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch["ahash_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        full = (hi << np.uint64(32)) | lo
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_b, out_k, out_i = [], [], []
+        for b in range(4):
+            key = (full >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+            out_b.append(np.full(len(ids), b, np.int64))
+            out_k.append(key.astype(np.int64))
+            out_i.append(ids)
+        return pa.table({"band": pa.array(np.concatenate(out_b)),
+                         "key": pa.array(np.concatenate(out_k)),
+                         "media_id": pa.array(np.concatenate(out_i))})
+
+    def pairs(group):
+        import pandas as pd
+
+        ids = np.sort(group["media_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(None)
+    cand = (
+        ah.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+    with_a = _join_safe(
+        cand.join(ah, "inner", P, on=("a",), right_on=("media_id",))
+        .rename_columns({"ahash_hi": "hi_a", "ahash_lo": "lo_a"})
+        .select_columns(["a", "b", "hi_a", "lo_a"]), P)
+    both = (
+        with_a.join(ah, "inner", P, on=("b",), right_on=("media_id",))
+        .rename_columns({"ahash_hi": "hi_b", "ahash_lo": "lo_b"})
+        .select_columns(["a", "b", "hi_a", "lo_a", "hi_b", "lo_b"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        def full(hi_col, lo_col):
+            hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (hi << np.uint64(32)) | lo
+
+        x = full("hi_a", "lo_a") ^ full("hi_b", "lo_b")
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1).astype(np.int64) if len(x) else np.zeros(0, np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep]),
+            "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep]),
+            "hamming": pa.array(ham[keep])})
+
+    return both.map_batches(verify, batch_format="pyarrow")
+
+
 class AudioDecodeStage:
     """Actor-pool stage: WAV payload → integer stats + windowed RMS energy."""
 

@@ -1004,6 +1004,15 @@ def q_media_image_stats(sf_dir: str):
     return multimodal.decode_images(media).drop_columns(["features"])
 
 
+def q_media_image_ahash(sf_dir: str):
+    """Perceptual average-hash per image through the REAL BMP round-trip —
+    the image near-dup primitive; the oracle recomputes the 8×8 block bits
+    from the generator's closed form (integer cross-multiplied mean test),
+    so hash equality certifies codec + pooling + bit packing."""
+    media = multimodal.media_from_ids(_media_ids(sf_dir), "image")
+    return multimodal.image_ahash(media)
+
+
 def q_media_audio_stats(sf_dir: str):
     """RIFF/WAVE PCM16 round-trip (stdlib wave codec) + integer sample stats."""
     media = multimodal.media_from_ids(_media_ids(sf_dir), "audio")
@@ -1104,6 +1113,7 @@ QUERIES = {
     "graph_assortativity": q_graph_assortativity,
     "doc_tfidf": q_doc_tfidf,
     "media_image_stats": q_media_image_stats,
+    "media_image_ahash": q_media_image_ahash,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
     "graph_betweenness": q_graph_betweenness,
@@ -1763,6 +1773,32 @@ ORACLE_SQL = {
                CAST(sum(v) AS BIGINT) AS px_sum,
                min(v) AS px_min, max(v) AS px_max
         FROM px GROUP BY doc_id
+    """,
+    "media_image_ahash": """
+        WITH g AS (SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 11 + 2 AS b,
+                          (doc_id * 13) % 256 AS c
+                   FROM documents),
+        px AS (SELECT doc_id, x.x AS x, y.y AS y,
+                      (a * x.x + b * y.y + c) % 256
+                      + (a * x.x + b * y.y + c + 31) % 256
+                      + (a * x.x + b * y.y + c + 62) % 256 AS gray
+               FROM g, range(0, 40) x(x), range(0, 24) y(y)),
+        cells AS (SELECT doc_id, y // 3 AS gy, x // 5 AS gx,
+                         CAST(sum(gray) AS BIGINT) AS cs
+                  FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total
+                FROM cells GROUP BY 1),
+        bits AS (SELECT cells.doc_id, gy * 8 + gx AS i,
+                        CASE WHEN cs * 64 > total THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (doc_id))
+        SELECT doc_id AS media_id,
+               CAST(sum(CASE WHEN bit = 1 AND i >= 32
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                    AS BIGINT) AS ahash_hi,
+               CAST(sum(CASE WHEN bit = 1 AND i < 32
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY doc_id
     """,
     "media_audio_stats": """
         WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 100 AS n,

@@ -112,3 +112,54 @@ def test_audio_stage_rejects_stereo():
     with pytest.raises(ValueError):
         stage(pa.table({"media_id": pa.array([0], pa.int64()),
                         "payload": pa.array([buf.getvalue()], pa.binary())}))
+
+
+def test_image_ahash_near_dup_pairs():
+    """aHash over real BMP payloads: an identical copy is Hamming 0; a
+    mildly brightened copy stays within the near-dup threshold; a very
+    different image does not pair."""
+    import ray.data
+
+    from cassovary_ray.multimodal import (
+        encode_bmp,
+        image_ahash,
+        image_ahash_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    media = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_bmp(base), encode_bmp(base),
+                             encode_bmp(bright), encode_bmp(other)],
+                            pa.binary()),
+    }))
+    ah = image_ahash(media).to_pandas().set_index("media_id")
+    assert tuple(ah.loc[0]) == tuple(ah.loc[1])  # identical bytes, same hash
+    pairs = image_ahash_dup_pairs(media, max_hamming=8).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got
+    ham01 = int(pairs[(pairs.a == 0) & (pairs.b == 1)]["hamming"].iloc[0])
+    assert ham01 == 0
+    # +3 brightness barely moves block means relative to the global mean
+    assert (0, 2) in got or (1, 2) in got
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_image_ahash_matches_brute_force():
+    from cassovary_ray.multimodal import ImageAHashStage, encode_bmp, image_pixels_for_id
+
+    stage = ImageAHashStage()
+    for i in (0, 7, 123):
+        rgb = image_pixels_for_id(i)
+        out = stage(pa.table({"media_id": pa.array([i], pa.int64()),
+                              "payload": pa.array([encode_bmp(rgb)], pa.binary())}))
+        gray = rgb.astype(np.int64).sum(axis=2)
+        cells = gray.reshape(8, 3, 8, 5).sum(axis=(1, 3))
+        bits = (cells.ravel() * 64 > cells.sum())
+        lo = int((bits[:32].astype(np.int64) << np.arange(32)).sum())
+        hi = int((bits[32:].astype(np.int64) << np.arange(32)).sum())
+        assert out["ahash_lo"][0].as_py() == lo
+        assert out["ahash_hi"][0].as_py() == hi
