@@ -423,3 +423,39 @@ def embedding_dup_pairs_lsh(emb, threshold: float = 0.95, *,
         .aggregate(Count(alias_name="_c"))
         .select_columns(["a", "b"])
     )
+
+
+def embedding_dup_clusters(emb, threshold: float = 0.42,
+                           num_partitions: int | None = None):
+    """``(vec_id, canonical)`` for EVERY vector: canonical = smallest vec_id
+    in the vector's near-duplicate cluster (connected components over the
+    cosine near-dup pair graph; singletons map to themselves) — the
+    embedding-space twin of ``textops.dedup_clusters``, same composition:
+    the pair graph is orders of magnitude smaller than the corpus, so
+    clustering shuffles pairs, never vectors. ``keep = (vec_id == canonical)``
+    is the deduplicated embedding set."""
+    from cassovary_ray.analytics import (
+        _auto_partitions,
+        _join_safe,
+        components_from_pairs,
+    )
+
+    P = _auto_partitions(num_partitions)
+    pairs = embedding_dup_pairs(emb, threshold=threshold) \
+        .select_columns(["a", "b"]).materialize()
+    ids = emb.select_columns(["vec_id"])
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({"vec_id": b["vec_id"], "canonical": b["vec_id"]}),
+            batch_format="pyarrow")
+    comp = components_from_pairs(pairs, num_partitions=P)
+    joined = _join_safe(ids, P).join(
+        comp, "left_outer", P, on=("vec_id",), right_on=("vertex",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"vec_id": b["vec_id"],
+                         "canonical": pc.coalesce(b["component"], b["vec_id"])})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -707,6 +707,14 @@ def q_embedding_dups(sf_dir: str):
     return ann.embedding_dup_pairs(_table(sf_dir, "embeddings"), threshold=0.42)
 
 
+def q_embedding_dup_clusters(sf_dir: str):
+    """Embedding near-dup clustering: components over the cosine pair graph
+    (same 0.42 boundary-safe threshold as embedding_dups), canonical = min
+    vec_id, singletons map to themselves."""
+    return ann.embedding_dup_clusters(_table(sf_dir, "embeddings"),
+                                      threshold=0.42)
+
+
 def q_events_hourly(sf_dir: str):
     return events_ops.hourly_user_counts(_table(sf_dir, "events"))
 
@@ -1087,6 +1095,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_kmeans": q_knn_ivf_kmeans,
     "embedding_dups": q_embedding_dups,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_type_totals": q_events_type_totals,
@@ -1503,6 +1512,25 @@ ORACLE_SQL = {
                                         ORDER BY sim DESC, neighbor_id) AS rank
               FROM sims)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+    "embedding_dup_clusters": """
+        WITH RECURSIVE p AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.42),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p)),
+        reach(vertex, m) AS (
+            SELECT src AS vertex, src AS m FROM und
+            UNION
+            SELECT und.dst AS vertex, reach.m
+            FROM reach JOIN und ON und.src = reach.vertex
+            WHERE reach.m < und.dst
+        ),
+        comp AS (SELECT vertex, min(m) AS canonical FROM reach GROUP BY vertex)
+        SELECT e.vec_id, coalesce(comp.canonical, e.vec_id) AS canonical
+        FROM embeddings e LEFT JOIN comp ON comp.vertex = e.vec_id
     """,
     "embedding_dups": """
         SELECT a.vec_id AS a, b.vec_id AS b

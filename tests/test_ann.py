@@ -195,3 +195,24 @@ def test_ivf_knn_with_trained_centroids_exact_on_clusters():
     for q in (0, 35):
         nb = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
         assert nb == numpy_knn(vecs, q, 4)
+
+
+def test_embedding_dup_clusters_constructed():
+    # three exact duplicates of one vector + chain via a mid vector; cluster
+    # canonical = min id; singletons map to themselves
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    v1 = base / np.linalg.norm(base)
+    near = v1 + 0.01 * rng.normal(size=8)
+    near = near / np.linalg.norm(near)
+    far = rng.normal(size=8)
+    far = far / np.linalg.norm(far)
+    if abs(far @ v1) > 0.5:
+        far = np.eye(8)[0] - v1 * (v1[0])  # orthogonalize
+        far = far / np.linalg.norm(far)
+    vecs = np.stack([v1, v1, near, far])
+    ds = ray.data.from_arrow(emb_table(vecs))
+    out = ann.embedding_dup_clusters(ds, threshold=0.9).to_pandas()
+    canon = dict(zip(out.vec_id, out.canonical))
+    assert canon[0] == 0 and canon[1] == 0 and canon[2] == 0
+    assert canon[3] == 3
