@@ -52,29 +52,41 @@ def doc_stats(docs):
     )
 
 
+def _n_tokens_arrow(text_col) -> pa.Array:
+    """Vectorized ``length(regexp_split_to_array(trim(text), '\\s+'))`` —
+    pyarrow's RE2 is DuckDB's regex engine, so this matches the oracle
+    EXACTLY, including the corners where Python ``re`` diverges (RE2 ``\\s``
+    excludes ``\\v`` and unicode whitespace; re.UNICODE includes both)."""
+    trimmed = pc.utf8_trim(text_col, " ")
+    return pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(trimmed, r"\s+")), pa.int64())
+
+
 def token_counts(docs):
     """``(doc_id, n_tokens)`` — whitespace tokens, mirroring DuckDB's
-    ``length(regexp_split_to_array(trim(text), '\\s+'))`` exactly."""
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` exactly.
+    Fully vectorized (RE2 kernels, no per-row Python — VERDICT r2 #4)."""
 
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = [len(_WS_SPLIT.split(t.strip(" "))) for t in texts]  # strip(" ") mirrors SQL trim()
-        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": _n_tokens_arrow(batch["text"])})
 
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
 def quality_scores(docs):
     """``(doc_id, n_chars_calc, n_alpha, n_tokens)`` — integer quality
-    features (length, alpha chars, token count); SQL-mirrorable."""
+    features (length, alpha chars, token count); SQL-mirrorable and fully
+    vectorized (utf8_length / RE2 replace / RE2 split)."""
 
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        text = batch["text"]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "n_chars_calc": pa.array([len(t) for t in texts], pa.int64()),
-            "n_alpha": pa.array([len(_NON_ALPHA.sub("", t)) for t in texts], pa.int64()),
-            "n_tokens": pa.array([len(_WS_SPLIT.split(t.strip(" "))) for t in texts], pa.int64()),
+            "n_chars_calc": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_alpha": pc.cast(pc.utf8_length(
+                pc.replace_substring_regex(text, "[^a-zA-Z]", "")), pa.int64()),
+            "n_tokens": _n_tokens_arrow(text),
         })
 
     return docs.map_batches(kernel, batch_format="pyarrow")

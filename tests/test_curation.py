@@ -61,3 +61,33 @@ def test_curate_corpus_dup_keeps_min_id():
     out = textops.curate_corpus(docs, min_tokens=5)
     got = sorted(r["doc_id"] for r in out.take_all())
     assert got == [3]
+
+
+def test_vectorized_token_kernels_match_duckdb_semantics():
+    """token_counts/quality_scores are RE2-vectorized (VERDICT r2 #4): they
+    must agree with DuckDB's regexp expressions on adversarial whitespace,
+    including the corners where Python re diverges (\\v, NBSP)."""
+    import duckdb
+
+    texts = [" hello  world ", "a\tb\nc", "", "   ", "héllo wörld",
+             "a\x0bb", "a\xa0b", "one", " lead", "trail ", "a  b   c"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got_t = textops.token_counts(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    got_q = textops.quality_scores(docs).to_pandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.register("d", __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = con.execute(r"""
+        SELECT doc_id,
+               length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               length(text) AS n_chars_calc,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        FROM d ORDER BY doc_id""").df().set_index("doc_id")
+    for i in range(len(texts)):
+        assert got_t.loc[i] == want["n_tokens"].loc[i], (i, texts[i])
+        assert got_q["n_tokens"].loc[i] == want["n_tokens"].loc[i]
+        assert got_q["n_chars_calc"].loc[i] == want["n_chars_calc"].loc[i]
+        assert got_q["n_alpha"].loc[i] == want["n_alpha"].loc[i]
