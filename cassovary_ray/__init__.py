@@ -44,6 +44,15 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "encode_bmp": ("cassovary_ray.multimodal", "encode_bmp"),
         "decode_images": ("cassovary_ray.multimodal", "decode_images"),
         "decode_audio": ("cassovary_ray.multimodal", "decode_audio"),
+        "VertexProgram": ("cassovary_ray.rounds", "VertexProgram"),
+        "ShardCtx": ("cassovary_ray.rounds", "ShardCtx"),
+        "InfoKeeper": ("cassovary_ray.tourist", "InfoKeeper"),
+        "IntInfoKeeper": ("cassovary_ray.tourist", "IntInfoKeeper"),
+        "BoolInfoKeeper": ("cassovary_ray.tourist", "BoolInfoKeeper"),
+        "VisitsCounter": ("cassovary_ray.tourist", "VisitsCounter"),
+        "PrevNbrCounter": ("cassovary_ray.tourist", "PrevNbrCounter"),
+        "PathsCounter": ("cassovary_ray.tourist", "PathsCounter"),
+        "image_ahash": ("cassovary_ray.multimodal", "image_ahash"),
     }
     if name in public:
         import importlib
