@@ -260,11 +260,24 @@ def _load_scatter_cache(path: str, digest: str, num_parts: int):
         with np.load(path) as z:
             if z["digest"].tobytes().decode() != digest:
                 return None
-            arrays = {name: z[name] for name in _CSR_CACHE_ARRAYS}
-            w_sorted = z["w_sorted"] if "w_sorted" in z.files else None
-            w_out = z["w_out"] if "w_out" in z.files else None
-        return _Scatter.from_arrays(num_parts=num_parts, w_sorted=w_sorted,
-                                    w_out=w_out, **arrays)
+            # .copy(): npz members are filled through zipfile's small
+            # chunked reads, leaving the buffers on fragmented 4 KB pages;
+            # the gather-heavy round kernels (np.take over src_pos) then run
+            # ~6x slower TLB-bound (measured 0.1 -> 0.7 s/round/shard at
+            # 3.1M edges). A fresh copy reallocates each array as one block
+            # (transparent-hugepage-eligible), restoring build-path speed
+            # for one memcpy per array.
+            arrays = {name: z[name].copy() for name in _CSR_CACHE_ARRAYS}
+            w_sorted = z["w_sorted"].copy() if "w_sorted" in z.files else None
+            w_out = z["w_out"].copy() if "w_out" in z.files else None
+        sc = _Scatter.from_arrays(num_parts=num_parts, w_sorted=w_sorted,
+                                  w_out=w_out, **arrays)
+        # one throwaway gather+reduceat: pre-faults every page the round
+        # kernels touch (the fresh-build path warms the heap as a side
+        # effect of the lexsort; without this the first ~6 cached rounds ran
+        # 2-4x slow while the actor's arenas faulted in lazily)
+        sc.coef_scatter_sums(np.zeros(len(sc.out_deg)))
+        return sc
     except (OSError, KeyError, ValueError):
         return None
 
@@ -319,7 +332,8 @@ class GraphShard:
     (``PageRank.scala:38``, ``Hits.scala:35-39``).
     """
 
-    def __init__(self, part: int, num_parts: int, layout_dir: str, reverse_layout_dir: str | None = None):
+    def __init__(self, part: int, num_parts: int, layout_dir: str,
+                 reverse_layout_dir: str | None = None, csr_cache: bool = True):
         self.part = part
         self.num_parts = num_parts
         self.layout_dir = layout_dir
@@ -331,12 +345,15 @@ class GraphShard:
             # binary shard cache (MemoryMappedDirectedGraph.scala:35-46
             # analogue): the lexsorted scatter arrays are persisted keyed by
             # a digest of the partition's parquet files, so an actor restart
-            # / resumed run skips the parquet decode + lexsort rebuild
-            digest = _partition_digest(ldir, layout_dir, part)
+            # / resumed run skips the parquet decode + lexsort rebuild.
+            # csr_cache=False (or CASSOVARY_CSR_CACHE=0 in the actor env)
+            # bypasses both read and write — benchmarking cold loads.
+            digest = _partition_digest(ldir, layout_dir, part) if csr_cache else ""
             cpath = _csr_cache_path(ldir, part)
-            sc = _load_scatter_cache(cpath, digest, num_parts)
-            if sc is not None:
-                return sc
+            if csr_cache:
+                sc = _load_scatter_cache(cpath, digest, num_parts)
+                if sc is not None:
+                    return sc
             weighted = bool(read_layout_manifest(ldir).get("weighted", False))
             cols = ["src", "dst"] + (["weight"] if weighted else [])
             et = read_partition(ldir, "edges", part, cols)
@@ -348,7 +365,8 @@ class GraphShard:
                 weights=et["weight"].to_numpy(zero_copy_only=False)
                 if weighted else None,
             )
-            _save_scatter_cache(cpath, digest, sc)
+            if csr_cache:
+                _save_scatter_cache(cpath, digest, sc)
             return sc
 
         self.fwd = load_scatter(layout_dir)
@@ -1838,7 +1856,7 @@ class ShardedGraph:
     """
 
     def __init__(self, layout_dir: str, *, reverse_layout_dir: str | None = None,
-                 shard_cpus: float = 0.0):
+                 shard_cpus: float = 0.0, csr_cache: bool = True):
         self.layout_dir = layout_dir
         self.has_reverse = reverse_layout_dir is not None
         man = read_layout_manifest(layout_dir)
@@ -1854,7 +1872,7 @@ class ShardedGraph:
         # shard per node on a real cluster.
         self.shards = [
             GraphShard.options(num_cpus=shard_cpus, scheduling_strategy="SPREAD").remote(
-                p, self.num_parts, layout_dir, reverse_layout_dir
+                p, self.num_parts, layout_dir, reverse_layout_dir, csr_cache
             )
             for p in range(self.num_parts)
         ]
