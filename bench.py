@@ -325,26 +325,33 @@ def run_scaling() -> dict:
     # efficiency moves with per-shard work — at the 100 TB design point
     # shards carry hundreds of MB and per-round fixed overhead amortizes
     per_shard = int(os.environ.get("BENCH_PER_SHARD", "12500000"))
+    # BENCH_SPANS=knee|full|both: larger per-shard probes can only afford the
+    # knee span (the full span's hi config would exceed one VM's memory)
+    spans = os.environ.get("BENCH_SPANS", "both")
     out = {"metric": "pagerank_weak_scaling_efficiency", "unit": "ratio"}
 
     # below-the-contention-knee measurement (2→8 CPUs): the VM's shared
     # memory bus is not yet saturated at 8 streaming workers, so engine
     # coordination loss is observable directly instead of being buried
     # under the hardware ceiling
-    k_lo, k_hi = 2, 8
-    m_lo, m_hi, raw_lo, raw_hi = paired_medians(
-        k_lo, k_hi, k_lo * per_shard, k_hi * per_shard, 5)
-    knee_eff = (m_hi / m_lo) / (k_hi / k_lo)
-    hw_k_lo, hw_k_hi = hw_bandwidth_probe(k_lo), hw_bandwidth_probe(k_hi)
-    knee_ceiling = hw_k_lo / hw_k_hi if hw_k_hi > 0 else 1.0
-    out.update({
-        "knee_num_cpus": [k_lo, k_hi],
-        "knee_weak_scaling_efficiency": round(knee_eff, 3),
-        "knee_eps_lo_runs": raw_lo, "knee_eps_hi_runs": raw_hi,
-        "knee_eps_lo_median": m_lo, "knee_eps_hi_median": m_hi,
-        "knee_hw_bandwidth_ceiling_weak_eff": round(knee_ceiling, 3),
-        "knee_engine_eff_vs_hw_ceiling": round(knee_eff / knee_ceiling, 2),
-    })
+    if spans in ("knee", "both"):
+        k_lo, k_hi = 2, 8
+        m_lo, m_hi, raw_lo, raw_hi = paired_medians(
+            k_lo, k_hi, k_lo * per_shard, k_hi * per_shard, 5)
+        knee_eff = (m_hi / m_lo) / (k_hi / k_lo)
+        hw_k_lo, hw_k_hi = hw_bandwidth_probe(k_lo), hw_bandwidth_probe(k_hi)
+        knee_ceiling = hw_k_lo / hw_k_hi if hw_k_hi > 0 else 1.0
+        out.update({
+            "per_shard_edges": per_shard,
+            "knee_num_cpus": [k_lo, k_hi],
+            "knee_weak_scaling_efficiency": round(knee_eff, 3),
+            "knee_eps_lo_runs": raw_lo, "knee_eps_hi_runs": raw_hi,
+            "knee_eps_lo_median": m_lo, "knee_eps_hi_median": m_hi,
+            "knee_hw_bandwidth_ceiling_weak_eff": round(knee_ceiling, 3),
+            "knee_engine_eff_vs_hw_ceiling": round(knee_eff / knee_ceiling, 2),
+        })
+    if spans == "knee":
+        return out
 
     # full-span measurement (8→32) — dominated by the bandwidth ceiling here
     lo, hi = 8, 32

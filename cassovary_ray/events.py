@@ -306,3 +306,114 @@ def funnel(events, steps: tuple[str, str, str] = ("view", "click", "purchase")):
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _typed_pair_prep(events, probe_type: str, build_type: str):
+    """Shared prep for the temporal joins: keep only the two event types,
+    tag the side, and carry ``(event_id, user_id, ts_us)``. One column-pruned
+    pass; the single shuffle that follows is keyed on user_id."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.equal(batch["event_type"], probe_type),
+                      pc.equal(batch["event_type"], build_type))
+        b = batch.filter(keep)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_probe": pc.equal(b["event_type"], probe_type),
+        })
+
+    return events.select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+
+_ASOF_DTYPES = {"event_id": np.int64, "user_id": np.int64, "ts_us": np.int64,
+                "prior_event_id": np.int64, "gap_us": np.int64}
+
+
+def asof_latest(events, probe_type: str = "purchase",
+                build_type: str = "click"):
+    """AS-OF join inside the events stream: for every ``probe_type`` event,
+    the LATEST ``build_type`` event of the same user with ``ts <= probe.ts``
+    (non-strict, matching DuckDB ``ASOF LEFT JOIN``'s default inequality).
+
+    Returns ``(event_id, user_id, ts_us, prior_event_id, gap_us)`` with the
+    sentinel ``-1`` for probes that have no prior build event — sentinels
+    instead of nulls keep every column int64 so results hash-match the SQL
+    oracle without nullable-dtype coercion.
+
+    Ray Data has no as-of join; the distributed shape is ONE hash shuffle on
+    user_id (``groupby.map_groups``) and a vectorized ``searchsorted`` merge
+    inside each group. Partitioning assumption: one user's events fit one
+    group (the same assumption ``sessionize`` documents); group size is
+    per-user event count, so hot users bound the group, not the corpus."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[g["is_probe"]].sort_values("ts_us")
+        build = g[~g["is_probe"]].sort_values("ts_us")
+        if len(probe) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _ASOF_DTYPES.items()})
+        bts = build["ts_us"].to_numpy()
+        idx = np.searchsorted(bts, probe["ts_us"].to_numpy(), side="right") - 1
+        hit = idx >= 0
+        prior_id = np.full(len(probe), -1, np.int64)
+        gap = np.full(len(probe), -1, np.int64)
+        bids = build["event_id"].to_numpy()
+        prior_id[hit] = bids[idx[hit]]
+        gap[hit] = probe["ts_us"].to_numpy()[hit] - bts[idx[hit]]
+        return pd.DataFrame({
+            "event_id": probe["event_id"].to_numpy(),
+            "user_id": probe["user_id"].to_numpy(),
+            "ts_us": probe["ts_us"].to_numpy(),
+            "prior_event_id": prior_id,
+            "gap_us": gap,
+        })
+
+    return (
+        _typed_pair_prep(events, probe_type, build_type)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_RANGE_DTYPES = {"event_id": np.int64, "user_id": np.int64,
+                 "n_in_window": np.int64}
+
+
+def range_join_counts(events, probe_type: str = "purchase",
+                      build_type: str = "click",
+                      window_minutes: int = 60):
+    """Range (interval) join inside the events stream: for every
+    ``probe_type`` event, the COUNT of same-user ``build_type`` events in
+    the trailing half-open window ``(probe.ts - window, probe.ts]``.
+
+    Returns ``(event_id, user_id, n_in_window)``, zero for empty windows
+    (LEFT semantics). Same distributed shape as :func:`asof_latest` — one
+    user_id shuffle, two ``searchsorted`` probes per group — instead of the
+    O(|probe|·|build|) expansion a naive theta-join would do."""
+    win_us = window_minutes * 60_000_000
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[g["is_probe"]].sort_values("ts_us")
+        build = g[~g["is_probe"]].sort_values("ts_us")
+        if len(probe) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _RANGE_DTYPES.items()})
+        bts = build["ts_us"].to_numpy()
+        pts = probe["ts_us"].to_numpy()
+        lo = np.searchsorted(bts, pts - win_us, side="right")
+        hi = np.searchsorted(bts, pts, side="right")
+        return pd.DataFrame({
+            "event_id": probe["event_id"].to_numpy(),
+            "user_id": probe["user_id"].to_numpy(),
+            "n_in_window": (hi - lo).astype(np.int64),
+        })
+
+    return (
+        _typed_pair_prep(events, probe_type, build_type)
+        .groupby("user_id")
+        .map_groups(count, batch_format="pandas")
+    )

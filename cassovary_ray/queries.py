@@ -744,6 +744,21 @@ def q_events_retention(sf_dir: str):
     return events_ops.hourly_retention(_table(sf_dir, "events"))
 
 
+def q_events_asof(sf_dir: str):
+    """Per purchase: latest preceding click by the same user (as-of join)."""
+    return events_ops.asof_latest(
+        _table(sf_dir, "events"), probe_type="purchase", build_type="click"
+    )
+
+
+def q_events_range_join(sf_dir: str):
+    """Per purchase: same-user clicks in the trailing 60-min window."""
+    return events_ops.range_join_counts(
+        _table(sf_dir, "events"), probe_type="purchase", build_type="click",
+        window_minutes=60,
+    )
+
+
 def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
@@ -1101,6 +1116,8 @@ QUERIES = {
     "events_type_totals": q_events_type_totals,
     "events_sliding": q_events_sliding,
     "events_sliding_users": q_events_sliding_users,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "doc_vocab": q_doc_vocab,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_degree_hist": q_graph_degree_hist,
@@ -1592,6 +1609,28 @@ ORACLE_SQL = {
         FROM events, unnest(generate_series(0, 3)) AS j(j)
         WHERE (epoch_us(ts) // 900000000 - j.j) >= 0
         GROUP BY 1
+    """,
+    # as-of join: DuckDB's native ASOF LEFT JOIN (latest click with
+    # click.ts <= purchase.ts per user); -1 sentinels mirror the Ray op
+    "events_asof": """
+        SELECT p.event_id, p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+               CAST(COALESCE(c.event_id, -1) AS BIGINT) AS prior_event_id,
+               CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT)
+                   AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    # range join: clicks in the trailing half-open hour (p.ts-60min, p.ts]
+    "events_range_join": """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_in_window
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts > p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        GROUP BY 1, 2
     """,
     "doc_vocab": r"""
         SELECT t AS token, count(*) AS n
