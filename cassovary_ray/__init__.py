@@ -46,6 +46,9 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "decode_audio": ("cassovary_ray.multimodal", "decode_audio"),
         "VertexProgram": ("cassovary_ray.rounds", "VertexProgram"),
         "ShardCtx": ("cassovary_ray.rounds", "ShardCtx"),
+        "MISProgram": ("cassovary_ray.rounds", "MISProgram"),
+        "broadcast_hash_join": ("cassovary_ray.joins", "broadcast_hash_join"),
+        "shuffle_join": ("cassovary_ray.joins", "shuffle_join"),
         "InfoKeeper": ("cassovary_ray.tourist", "InfoKeeper"),
         "IntInfoKeeper": ("cassovary_ray.tourist", "IntInfoKeeper"),
         "BoolInfoKeeper": ("cassovary_ray.tourist", "BoolInfoKeeper"),

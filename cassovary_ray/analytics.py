@@ -1844,8 +1844,9 @@ def k_core(edges, k: int, max_rounds: int = 64,
         deg = _partial_counts(e, "src", "deg")
         n_before = deg.count()
         if n_before == 0:
-            return pa.table({"vertex": pa.array([], pa.int64()),
-                             "degree": pa.array([], pa.int64())})
+            return ray.data.from_arrow(
+                pa.table({"vertex": pa.array([], pa.int64()),
+                          "degree": pa.array([], pa.int64())}))
         good = deg.map_batches(
             lambda b, kk=k: pa.table(
                 {"vertex": b["vertex"].filter(pc.greater_equal(b["deg"], kk))}),
@@ -1858,8 +1859,9 @@ def k_core(edges, k: int, max_rounds: int = 64,
         if n_good == 0:
             # everything peeled; an all-empty `good` is schema-less and
             # acero would reject it as a semi-join side
-            return pa.table({"vertex": pa.array([], pa.int64()),
-                             "degree": pa.array([], pa.int64())})
+            return ray.data.from_arrow(
+                pa.table({"vertex": pa.array([], pa.int64()),
+                          "degree": pa.array([], pa.int64())}))
         e = _join_safe(e.join(good, "left_semi", P, on=("src",), right_on=("vertex",)), P)
         e = _join_safe(e.join(good, "left_semi", P, on=("dst",), right_on=("vertex",)), P)
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -1088,3 +1088,54 @@ def msf_sql(wedges_cte: str, rounds: int = 12) -> str:
             f" (SELECT src, dst, w FROM f{r}"
             f"  UNION ALL SELECT src, dst, w FROM pick{r}))")
     return ",\n".join(parts) + f"\nSELECT src, dst, w FROM f{rounds}"
+
+
+def _mis_priority_sql(vexpr: str, salt: int) -> str:
+    """SQL mirror of ``rounds.mis_priority`` — the same 52-bit two-lane
+    quadratic hash in pure BIGINT arithmetic (every intermediate < 2^62)."""
+    lanes = []
+    for a, b, c, d in ((1000003, 999983, 12345, 2654435),
+                       (1000033, 999979, 54321, 7654321)):
+        # CASTs force BIGINT: DuckDB narrows `BIGINT % INT32` to INT32 and
+        # the t*t product would overflow
+        t = (f"CAST(((({vexpr} & 2147483647) * {a}"
+             f" + (({vexpr} >> 31) & 2147483647) * {b} + {c}) % 2147483647"
+             f" + {salt * d}) % 2147483647 AS BIGINT)")
+        lanes.append(f"CAST((({t}) * ({t})) % 2147483647 AS BIGINT)")
+    return f"(({lanes[0]}) * 2097152 + ({lanes[1]}) % 2097152)"
+
+
+def mis_sql(edges_cte: str, rounds: int = 24) -> str:
+    """Unrolled Luby maximal independent set (``rounds.MISProgram``): per
+    round, an undecided vertex with priority strictly below the min over
+    its undecided neighbors joins the set; it and its neighbors leave the
+    undecided pool. Priorities are the literal integers the engine
+    computes (see ``_mis_priority_sql``), so selection order — and hence
+    the final set — is identical. ``rounds`` must cover convergence (the
+    engine runs to zero undecided; extra unrolled rounds are no-ops on an
+    empty pool)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM und)",
+    ]
+    for r in range(rounds):
+        p_dst = _mis_priority_sql("n.dst", r)
+        p_own = _mis_priority_sql("a.vertex", r)
+        parts.append(
+            f"nb{r} AS MATERIALIZED ("
+            f" SELECT n.src AS vertex, min({p_dst}) AS mn"
+            f" FROM und n JOIN u{r} a ON n.src = a.vertex"
+            f" JOIN u{r} b ON n.dst = b.vertex GROUP BY n.src)")
+        parts.append(
+            f"sel{r} AS MATERIALIZED ("
+            f" SELECT a.vertex FROM u{r} a LEFT JOIN nb{r} m ON a.vertex = m.vertex"
+            f" WHERE m.mn IS NULL OR {p_own} < m.mn)")
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED ("
+            f" SELECT a.vertex FROM u{r} a"
+            f" WHERE a.vertex NOT IN (SELECT vertex FROM sel{r})"
+            f" AND a.vertex NOT IN ("
+            f"   SELECT n.src FROM und n JOIN sel{r} s ON n.dst = s.vertex))")
+    union = " UNION ALL ".join(f"SELECT vertex FROM sel{r}" for r in range(rounds))
+    return ",\n".join(parts) + f"\nSELECT vertex FROM ({union})"

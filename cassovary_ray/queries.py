@@ -35,6 +35,7 @@ from cassovary_ray import (
     analytics,
     ann,
     events as events_ops,
+    joins,
     multimodal,
     oracles,
     textops,
@@ -352,6 +353,19 @@ def q_graph_labelprop(sf_dir: str):
     lay = _ensure_layout(sf_dir, "undirected")
     with ShardedGraph(lay) as g:
         return g.label_propagation(max_iterations=10)
+
+
+def q_graph_mis(sf_dir: str):
+    """Luby maximal independent set via the public VertexProgram protocol
+    (``rounds.MISProgram`` — no engine edits); run to zero undecided."""
+    from cassovary_ray.rounds import MISProgram
+
+    lay = _ensure_layout(sf_dir, "undirected")
+    with ShardedGraph(lay) as g:
+        ds = g.run_program(MISProgram(), max_iterations=None, tolerance=0.0)
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["in_mis"], 1.0)).select(["vertex"]),
+        batch_format="pyarrow")
 
 
 def q_graph_hits(sf_dir: str):
@@ -759,6 +773,72 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: orders (probe stream) x customer (small build
+    side, ray.put once) — the dimension-table join shape at 100 TB."""
+    orders = _table(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _table(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"])
+    return joins.broadcast_hash_join(orders, cust,
+                                     on="o_custkey", right_on="c_custkey")
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """Native hash-shuffle join: both sides large, exchanged once on the
+    key hash (Ray Data ``Dataset.join``)."""
+    li = _table(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _table(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderstatus"])
+    out = joins.shuffle_join(li, orders, on="l_orderkey",
+                             right_on="o_orderkey", num_partitions=8)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                               "o_custkey", "o_orderstatus"])
+
+
+def q_join_customer_no_f_orders(sf_dir: str):
+    """Anti join (shuffle path): customers with no 'F'-status order —
+    filter pushed below the exchange so only matching build rows ship."""
+    cust = _table(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_acctbal"])
+    orders = (_table(sf_dir, "orders")
+              .select_columns(["o_custkey", "o_orderstatus"])
+              .map_batches(
+                  lambda b: b.filter(
+                      pc.equal(b["o_orderstatus"], "F")).select(["o_custkey"]),
+                  batch_format="pyarrow"))
+    return joins.shuffle_join(cust, orders, on="c_custkey",
+                              right_on="o_custkey", how="anti",
+                              num_partitions=8)
+
+
+def q_join_customer_order_counts(sf_dir: str):
+    """Broadcast LEFT join of a pre-aggregated build side: per-customer
+    order count, 0 for customers with no orders (null-fill after the
+    outer join). Pre-aggregate-then-broadcast instead of shuffling the
+    fact table on customer key."""
+    cust = _table(sf_dir, "customer").select_columns(["c_custkey"])
+    cnt = (_table(sf_dir, "orders").select_columns(["o_custkey"])
+           .groupby("o_custkey").aggregate(Count()))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "n_orders": b["count()"].cast(pa.int64())})
+
+    cnt = cnt.map_batches(rename, batch_format="pyarrow")
+    out = joins.broadcast_hash_join(cust, cnt, on="c_custkey",
+                                    right_on="o_custkey", how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "n_orders": pc.fill_null(b["n_orders"], 0).cast(pa.int64()),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
@@ -1069,6 +1149,7 @@ QUERIES = {
     "graph_ppr": q_graph_ppr,
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
+    "graph_mis": q_graph_mis,
     "graph_hits": q_graph_hits,
     "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
@@ -1118,6 +1199,10 @@ QUERIES = {
     "events_sliding_users": q_events_sliding_users,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "join_customer_no_f_orders": q_join_customer_no_f_orders,
+    "join_customer_order_counts": q_join_customer_order_counts,
     "doc_vocab": q_doc_vocab,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_degree_hist": q_graph_degree_hist,
@@ -1267,6 +1352,7 @@ ORACLE_SQL = {
     "graph_sssp": oracles.sssp_sql(DERIVED_WEDGES_CTE, SSSP_SOURCES, SSSP_ROUNDS),
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
+    "graph_mis": oracles.mis_sql(DERIVED_EDGES_CTE, rounds=24),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
     "graph_salsa": oracles.salsa_sql(DERIVED_EDGES_CTE, iterations=8),
     "graph_neighborhood": oracles.neighborhood_sql(DERIVED_EDGES_CTE, 4),
@@ -1631,6 +1717,30 @@ ORACLE_SQL = {
           ON c.user_id = p.user_id
          AND c.ts > p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
         GROUP BY 1, 2
+    """,
+    "join_orders_customer": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_name, c.c_nationkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "join_lineitem_orders": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+               o.o_custkey, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "join_customer_no_f_orders": """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+    """,
+    "join_customer_order_counts": """
+        SELECT c.c_custkey,
+               CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+                   GROUP BY o_custkey) n ON n.o_custkey = c.c_custkey
     """,
     "doc_vocab": r"""
         SELECT t AS token, count(*) AS n

@@ -142,6 +142,107 @@ class VertexProgram:
         ``LinkAnalysis.scala:111-117``) — e.g. normalization."""
 
 
+_MIS_M = 2147483647          # Mersenne prime 2^31-1; lane modulus
+_MIS_LANES = (                # (a, b, c, d) per lane, all < 2^30 so every
+    (1000003, 999983, 12345, 2654435),    # intermediate stays < 2^62
+    (1000033, 999979, 54321, 7654321),
+)
+
+
+def _mis_lane(verts: np.ndarray, salt: int, a: int, b: int, c: int,
+              d: int) -> np.ndarray:
+    vl = verts & 0x7FFFFFFF
+    vh = (verts >> 31) & 0x7FFFFFFF
+    t = ((vl * a + vh * b + c) % _MIS_M + salt * d) % _MIS_M
+    return (t * t) % _MIS_M
+
+
+def mis_priority(verts: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-round Luby priority: two independent quadratic
+    hashes of (62 id bits, round salt) mod the Mersenne prime 2^31-1,
+    packed into 52 bits — so the value is exactly representable in float64
+    (the engine's exchange payload) AND every intermediate fits a signed
+    64-bit product (max ≈ 2^62), letting the DuckDB oracle evaluate the
+    literal same integers in BIGINT arithmetic.
+
+    Why quadratic, not linear: with p = (v·a + r·b) mod prime, the
+    difference p(u,r) − p(v,r) is independent of r, so two adjacent
+    vertices that tie once tie EVERY round and livelock under strict-less
+    selection. Squaring makes the pairwise order salt-dependent
+    (t_u² ≡ t_v² needs t_u ≡ ±t_v; the '+' branch moves with r), so a tie
+    at one salt breaks at the next. A PERSISTENT tie needs both 31-bit
+    lane digests of both ids to collide (~2⁻⁶² per adjacent pair — at
+    10¹³ edges, ≈2·10⁻⁶ expected pairs corpus-wide)."""
+    v = verts.astype(np.int64)
+    lane1 = _mis_lane(v, salt, *_MIS_LANES[0])
+    lane2 = _mis_lane(v, salt, *_MIS_LANES[1])
+    return (lane1 * 2097152 + (lane2 & 0x1FFFFF)).astype(np.float64)
+
+
+class MISProgram(VertexProgram):
+    """Maximal independent set (Luby 1986, "A simple parallel algorithm for
+    the maximal independent set problem", SIAM J. Comput.) expressed through
+    the public protocol — no engine edits. Demonstrates the protocol beyond
+    linear-algebra folds: tri-state per-vertex status, ``combine="min"``,
+    and a two-phase superstep cycle.
+
+    Per logical Luby round (= 2 engine supersteps on an UNDIRECTED layout):
+
+    - select phase: every undecided vertex scatters its round priority
+      (decided vertices scatter +inf, the min identity); an undecided vertex
+      whose priority is strictly below the min over its undecided neighbors
+      joins the MIS. Strict-less means two tied neighbors both stay
+      undecided — resolved next round by the fresh salt.
+    - notify phase: MIS members scatter 1.0; any undecided vertex that
+      hears one becomes OUT.
+
+    Requires a self-loop-free undirected (symmetrized) layout: a self-loop
+    feeds a vertex its own priority, so strict-less can never admit it.
+    Run with ``run_program(MISProgram(), max_iterations=None,
+    tolerance=0.0)`` — the returned error is the number of still-undecided
+    vertices, so the standard stop rule IS the convergence proof. Output
+    column ``in_mis`` is 1.0 for members, 0.0 otherwise. Deterministic at
+    any parallelism (pure functions of vertex id + round index)."""
+
+    state_name = "in_mis"
+    output_column = "in_mis"
+    combine = "min"
+
+    _UNDECIDED, _IN, _OUT = 0, 1, 2
+
+    def init(self, ctx: ShardCtx) -> None:
+        ctx.state["mis_status"] = np.zeros(ctx.n_local, np.int8)
+        ctx.state[self.state_name] = np.zeros(ctx.n_local, np.float64)
+        self._k = 0          # scatters emitted so far (engine round index)
+
+    def scatter(self, ctx: ShardCtx) -> np.ndarray:
+        status = ctx.state["mis_status"]
+        if self._k % 2 == 0:      # select phase: push round priorities
+            coef = mis_priority(ctx.verts, self._k // 2)
+            coef[status != self._UNDECIDED] = np.inf
+        else:                     # notify phase: members shout 1.0
+            coef = np.full(ctx.n_local, np.inf)
+            coef[status == self._IN] = 1.0
+        self._k += 1
+        return coef
+
+    def apply(self, ctx: ShardCtx, incoming: np.ndarray) -> float:
+        # consumes the scatter indexed self._k - 1 (apply runs before this
+        # round's scatter in the fused superstep)
+        status = ctx.state["mis_status"]
+        undecided = status == self._UNDECIDED
+        if (self._k - 1) % 2 == 0:   # selection
+            own = mis_priority(ctx.verts, (self._k - 1) // 2)
+            status[undecided & (own < incoming)] = self._IN
+        else:                        # neighbor-of-member elimination
+            status[undecided & (incoming <= 1.0)] = self._OUT
+        return float((status == self._UNDECIDED).sum())
+
+    def post(self, ctx: ShardCtx) -> None:
+        ctx.state[self.state_name] = (
+            ctx.state["mis_status"] == self._IN).astype(np.float64)
+
+
 class KatzProgram(VertexProgram):
     """Katz centrality expressed through the public protocol — the parity
     witness that :meth:`ShardedGraph.run_program` reproduces a hand-wired

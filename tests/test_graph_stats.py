@@ -108,22 +108,16 @@ def test_k_core_k4_with_pendants():
     k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
     pairs = k4 + [(3, 10), (10, 11)]
     t = analytics.k_core(_edges(pairs), k=3)
-    got = dict(zip(t["vertex"].to_pylist(), t["degree"].to_pylist())) \
-        if isinstance(t, pa.Table) else {
-            r["vertex"]: r["degree"] for r in t.take_all()}
+    got = {r["vertex"]: r["degree"] for r in t.take_all()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
 def test_k_core_empty_and_whole():
     tri = [(0, 1), (1, 2), (2, 0)]
     whole = analytics.k_core(_edges(tri), k=2)
-    got = dict(zip(whole["vertex"].to_pylist(), whole["degree"].to_pylist())) \
-        if isinstance(whole, pa.Table) else {
-            r["vertex"]: r["degree"] for r in whole.take_all()}
+    got = {r["vertex"]: r["degree"] for r in whole.take_all()}
     assert got == {0: 2, 1: 2, 2: 2}
-    empty = analytics.k_core(_edges(tri), k=3)
-    n = len(empty) if isinstance(empty, pa.Table) else empty.count()
-    assert n == 0
+    assert analytics.k_core(_edges(tri), k=3).count() == 0
 
 
 def test_k_core_vs_brute_random():
@@ -132,9 +126,7 @@ def test_k_core_vs_brute_random():
                     if a != b})
     for k in (2, 4, 6):
         t = analytics.k_core(_edges(pairs), k=k)
-        got = dict(zip(t["vertex"].to_pylist(), t["degree"].to_pylist())) \
-            if isinstance(t, pa.Table) else {
-                r["vertex"]: r["degree"] for r in t.take_all()}
+        got = {r["vertex"]: r["degree"] for r in t.take_all()}
         assert got == _brute_k_core(pairs, k)
 
 

@@ -155,3 +155,89 @@ def test_run_program_requires_stop_condition(tmp_dir):
         bad.combine = "mean"
         with pytest.raises(ValueError, match="combine"):
             g.run_program(bad, max_iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set through the protocol (rounds.MISProgram)
+# ---------------------------------------------------------------------------
+
+def _random_sym_adj(n=60, p=0.08, seed=7):
+    """Random symmetric self-loop-free adjacency as {v: set(nbrs)}."""
+    rng = np.random.default_rng(seed)
+    adj = {v: set() for v in range(n)}
+    for u in range(n):
+        for v in range(u + 1, n):
+            if rng.random() < p:
+                adj[u].add(v)
+                adj[v].add(u)
+    return adj
+
+
+def _directed_view(adj_sym):
+    """One direction per undirected edge (the layout symmetrizes back)."""
+    return {u: sorted(v for v in nbrs if v > u)
+            for u, nbrs in adj_sym.items()}
+
+
+def numpy_luby_mis(adj_sym):
+    """Round-for-round reference simulation of MISProgram's semantics."""
+    from cassovary_ray.rounds import mis_priority
+
+    undecided = set(adj_sym)
+    mis = set()
+    r = 0
+    while undecided:
+        ids = np.array(sorted(undecided), dtype=np.int64)
+        pri = dict(zip(ids.tolist(), mis_priority(ids, r)))
+        sel = {v for v in undecided
+               if all(pri[v] < pri[u] for u in adj_sym[v] if u in undecided)}
+        assert sel, "Luby round selected nothing (persistent tie?)"
+        mis |= sel
+        undecided -= sel
+        undecided -= {u for s in sel for u in adj_sym[s]}
+        r += 1
+        assert r < 10_000
+    return mis
+
+
+@pytest.mark.parametrize("num_parts", [1, 2, 4])
+def test_mis_properties_and_parity(tmp_dir, num_parts):
+    from cassovary_ray.rounds import MISProgram
+
+    adj_sym = _random_sym_adj()
+    lay = os.path.join(tmp_dir, f"layout{num_parts}")
+    build_toy_layout(_directed_view(adj_sym), lay, num_parts,
+                     undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.run_program(MISProgram(), max_iterations=None,
+                           tolerance=0.0).to_pandas()
+    got = {int(v) for v, f in zip(df["vertex"], df["in_mis"]) if f == 1.0}
+    # independence: no edge inside the set
+    for u in got:
+        assert not (adj_sym[u] & got), (u, adj_sym[u] & got)
+    # maximality: every non-member has a member neighbor
+    for v in set(adj_sym) - got:
+        assert adj_sym[v] & got, v
+    # determinism: identical to the round-for-round numpy simulation
+    assert got == numpy_luby_mis(adj_sym)
+
+
+def test_mis_edgeless_and_star(tmp_dir):
+    from cassovary_ray.rounds import MISProgram, mis_priority
+
+    # star: center 0 vs leaves — MIS is either {0} or all leaves
+    star = {0: {i for i in range(1, 8)}}
+    star.update({i: {0} for i in range(1, 8)})
+    lay = os.path.join(tmp_dir, "star")
+    build_toy_layout(_directed_view(star), lay, 2,
+                     undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.run_program(MISProgram(), max_iterations=None,
+                           tolerance=0.0).to_pandas()
+    got = {int(v) for v, f in zip(df["vertex"], df["in_mis"]) if f == 1.0}
+    assert got == numpy_luby_mis(star)
+    assert got == {0} or got == set(range(1, 8))
+    # priorities are 52-bit ints exactly representable in float64
+    p = mis_priority(np.array([0, 1, 2, -5, 2**62], dtype=np.int64), 3)
+    assert (p >= 0).all() and (p < 2.0**52).all()
+    assert (p == np.round(p)).all()
