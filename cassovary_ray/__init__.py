@@ -47,6 +47,7 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "VertexProgram": ("cassovary_ray.rounds", "VertexProgram"),
         "ShardCtx": ("cassovary_ray.rounds", "ShardCtx"),
         "MISProgram": ("cassovary_ray.rounds", "MISProgram"),
+        "ColoringProgram": ("cassovary_ray.rounds", "ColoringProgram"),
         "broadcast_hash_join": ("cassovary_ray.joins", "broadcast_hash_join"),
         "shuffle_join": ("cassovary_ray.joins", "shuffle_join"),
         "InfoKeeper": ("cassovary_ray.tourist", "InfoKeeper"),

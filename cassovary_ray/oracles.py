@@ -1139,3 +1139,54 @@ def mis_sql(edges_cte: str, rounds: int = 24) -> str:
             f"   SELECT n.src FROM und n JOIN sel{r} s ON n.dst = s.vertex))")
     union = " UNION ALL ".join(f"SELECT vertex FROM sel{r}" for r in range(rounds))
     return ",\n".join(parts) + f"\nSELECT vertex FROM ({union})"
+
+
+def coloring_sql(edges_cte: str, colors: int = 16, rounds: int = 6) -> str:
+    """Unrolled Luby-per-color greedy coloring (``rounds.ColoringProgram``):
+    ``colors`` color classes, each a FIXED schedule of ``rounds`` Luby
+    rounds over the pool of still-uncolored vertices, priorities the
+    literal integers the engine computes (``_mis_priority_sql`` with
+    salt = color*64 + round). ``colors`` must cover the engine's actual
+    class count (the engine raises past ``max_colors``; keep
+    ``max_colors == colors`` so divergence is loud, never silent);
+    ``rounds`` must equal the engine's ``rounds_per_color`` — parity holds
+    for any value because both sides defer an unconverged class's leftovers
+    identically."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "p0 AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM und)",
+    ]
+    sels = []
+    for k in range(colors):
+        parts.append(f"u{k}x0 AS MATERIALIZED (SELECT vertex FROM p{k})")
+        for r in range(rounds):
+            salt = k * 64 + r
+            p_dst = _mis_priority_sql("n.dst", salt)
+            p_own = _mis_priority_sql("a.vertex", salt)
+            u, nb, sel = f"u{k}x{r}", f"nb{k}x{r}", f"sel{k}x{r}"
+            parts.append(
+                f"{nb} AS MATERIALIZED ("
+                f" SELECT n.src AS vertex, min({p_dst}) AS mn"
+                f" FROM und n JOIN {u} a ON n.src = a.vertex"
+                f" JOIN {u} b ON n.dst = b.vertex GROUP BY n.src)")
+            parts.append(
+                f"{sel} AS MATERIALIZED ("
+                f" SELECT a.vertex FROM {u} a LEFT JOIN {nb} m ON a.vertex = m.vertex"
+                f" WHERE m.mn IS NULL OR {p_own} < m.mn)")
+            parts.append(
+                f"u{k}x{r + 1} AS MATERIALIZED ("
+                f" SELECT a.vertex FROM {u} a"
+                f" WHERE a.vertex NOT IN (SELECT vertex FROM {sel})"
+                f" AND a.vertex NOT IN ("
+                f"   SELECT n.src FROM und n JOIN {sel} s ON n.dst = s.vertex))")
+            sels.append(f"SELECT vertex, {k} AS c FROM {sel}")
+        picked = " UNION ALL ".join(
+            f"SELECT vertex FROM sel{k}x{r}" for r in range(rounds))
+        parts.append(
+            f"p{k + 1} AS MATERIALIZED ("
+            f" SELECT vertex FROM p{k}"
+            f" WHERE vertex NOT IN ({picked}))")
+    union = " UNION ALL ".join(sels)
+    return (",\n".join(parts)
+            + f"\nSELECT vertex, CAST(c AS BIGINT) AS color FROM ({union})")

@@ -368,6 +368,25 @@ def q_graph_mis(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_graph_coloring(sf_dir: str):
+    """Greedy graph coloring (Luby MIS per color class) via the public
+    VertexProgram protocol — fixed 2-round-per-color schedule so the
+    DuckDB unroll evaluates the literal same priorities (max_colors
+    matches the oracle's unroll bound: divergence raises, never silent;
+    2 rounds/color minimizes the oracle's CTE chain, which hits DuckDB's
+    expression-depth cap near ~700 CTEs)."""
+    from cassovary_ray.rounds import ColoringProgram
+
+    lay = _ensure_layout(sf_dir, "undirected")
+    with ShardedGraph(lay) as g:
+        ds = g.run_program(ColoringProgram(rounds_per_color=2, max_colors=64),
+                           max_iterations=None, tolerance=0.0)
+    return ds.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "color": b["color"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_graph_hits(sf_dir: str):
     fwd = _ensure_layout(sf_dir, "directed")
     rev = _ensure_layout(sf_dir, "reversed")
@@ -1150,6 +1169,7 @@ QUERIES = {
     "graph_wcc": q_graph_wcc,
     "graph_labelprop": q_graph_labelprop,
     "graph_mis": q_graph_mis,
+    "graph_coloring": q_graph_coloring,
     "graph_hits": q_graph_hits,
     "graph_salsa": q_graph_salsa,
     "graph_walk_visits": q_graph_walk_visits,
@@ -1353,6 +1373,8 @@ ORACLE_SQL = {
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_mis": oracles.mis_sql(DERIVED_EDGES_CTE, rounds=24),
+    "graph_coloring": oracles.coloring_sql(DERIVED_EDGES_CTE,
+                                           colors=64, rounds=2),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
     "graph_salsa": oracles.salsa_sql(DERIVED_EDGES_CTE, iterations=8),
     "graph_neighborhood": oracles.neighborhood_sql(DERIVED_EDGES_CTE, 4),

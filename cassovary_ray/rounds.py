@@ -243,6 +243,96 @@ class MISProgram(VertexProgram):
             ctx.state["mis_status"] == self._IN).astype(np.float64)
 
 
+class ColoringProgram(VertexProgram):
+    """Distributed greedy graph coloring: Luby MIS per color class
+    (Luby 1986 applied color-by-color — each color class is an independent
+    set, so the coloring is proper by construction; a vertex is eliminated
+    from a class only by a distinct neighbor joining it, so every vertex is
+    colored within ``deg(v) + 1`` classes plus tie slack).
+
+    Written AGAINST the public protocol like :class:`MISProgram`, with one
+    extra discipline: every color runs a FIXED schedule of
+    ``rounds_per_color`` Luby rounds (2 supersteps each — select, notify)
+    whether or not the class converged early. Phase/color/round are
+    therefore pure functions of the superstep counter, so every shard
+    advances in lockstep with NO global coordination beyond the engine's
+    standard error sum — and the DuckDB oracle (``oracles.coloring_sql``)
+    can unroll the literal same schedule with the literal same
+    :func:`mis_priority` integers (salt = ``color * 64 + round``). Parity
+    holds for ANY ``rounds_per_color``: an unconverged class just defers
+    its leftovers to the next color on both sides. No-op rounds on an
+    emptied pool are harmless.
+
+    Per select phase: undecided vertices scatter their salted priority
+    (everyone else +inf, the min identity); an undecided vertex strictly
+    below the min over its undecided neighbors joins the CURRENT color
+    immediately (terminal). Per notify phase: current-color members
+    scatter 1.0; undecided vertices that hear one sit out the rest of this
+    color. At each color boundary the sat-out vertices rejoin the pool.
+
+    Requires a self-loop-free undirected layout (as :class:`MISProgram`;
+    a self-loop would make its vertex uncolorable). Run with
+    ``run_program(p, max_iterations=None, tolerance=0.0)`` — the error is
+    the number of still-uncolored vertices. Output column ``color`` holds
+    float64 color indices (exact small ints); raises if ``max_colors``
+    classes don't finish the graph (ties are ~2^-62 per adjacent pair per
+    round, so in practice colors ≤ max degree + 1)."""
+
+    state_name = "color"
+    output_column = "color"
+    combine = "min"
+
+    _UNDECIDED, _IN, _OUT = 0, 1, 2
+    _SALT_STRIDE = 64          # injective (color, round) -> salt for r < 64
+
+    def __init__(self, rounds_per_color: int = 6, max_colors: int = 64):
+        if not (1 <= rounds_per_color < self._SALT_STRIDE):
+            raise ValueError("rounds_per_color must be in [1, 64)")
+        self.rounds_per_color = int(rounds_per_color)
+        self.max_colors = int(max_colors)
+
+    def init(self, ctx: ShardCtx) -> None:
+        ctx.state["col_status"] = np.zeros(ctx.n_local, np.int8)
+        ctx.state[self.state_name] = np.full(ctx.n_local, -1.0)
+        self._s = 0          # supersteps scattered so far
+
+    def _where(self, s: int) -> tuple[int, int, int]:
+        """(color, luby round, phase) of superstep ``s`` — pure function."""
+        per = 2 * self.rounds_per_color
+        return s // per, (s % per) // 2, s % 2
+
+    def scatter(self, ctx: ShardCtx) -> np.ndarray:
+        color, rnd, phase = self._where(self._s)
+        if color >= self.max_colors:
+            raise RuntimeError(
+                f"coloring did not finish within max_colors={self.max_colors}")
+        status = ctx.state["col_status"]
+        if rnd == 0 and phase == 0:      # color boundary: sat-outs rejoin
+            status[status == self._OUT] = self._UNDECIDED
+        if phase == 0:                   # select: push round priorities
+            coef = mis_priority(ctx.verts, color * self._SALT_STRIDE + rnd)
+            coef[status != self._UNDECIDED] = np.inf
+        else:                            # notify: current color shouts 1.0
+            coef = np.full(ctx.n_local, np.inf)
+            coef[(status == self._IN)
+                 & (ctx.state[self.state_name] == float(color))] = 1.0
+        self._s += 1
+        return coef
+
+    def apply(self, ctx: ShardCtx, incoming: np.ndarray) -> float:
+        color, rnd, phase = self._where(self._s - 1)
+        status = ctx.state["col_status"]
+        undecided = status == self._UNDECIDED
+        if phase == 0:                   # selection lands terminally
+            own = mis_priority(ctx.verts, color * self._SALT_STRIDE + rnd)
+            won = undecided & (own < incoming)
+            status[won] = self._IN
+            ctx.state[self.state_name][won] = float(color)
+        else:                            # member neighbors sit this color out
+            status[undecided & (incoming <= 1.0)] = self._OUT
+        return float((ctx.state[self.state_name] < 0).sum())
+
+
 class KatzProgram(VertexProgram):
     """Katz centrality expressed through the public protocol — the parity
     witness that :meth:`ShardedGraph.run_program` reproduces a hand-wired

@@ -241,3 +241,95 @@ def test_mis_edgeless_and_star(tmp_dir):
     p = mis_priority(np.array([0, 1, 2, -5, 2**62], dtype=np.int64), 3)
     assert (p >= 0).all() and (p < 2.0**52).all()
     assert (p == np.round(p)).all()
+
+
+# ---------------------------------------------------------------------------
+# Luby-per-color greedy coloring through the protocol (rounds.ColoringProgram)
+# ---------------------------------------------------------------------------
+
+def numpy_luby_coloring(adj_sym, rounds_per_color=6, max_colors=64):
+    """Round-for-round reference simulation of ColoringProgram's fixed
+    schedule (select/notify pairs, salt = color*64 + round)."""
+    from cassovary_ray.rounds import mis_priority
+
+    uncolored = set(adj_sym)
+    color = {}
+    for k in range(max_colors):
+        if not uncolored:
+            return color
+        pool = set(uncolored)          # sat-outs rejoined
+        for r in range(rounds_per_color):
+            if not pool:
+                break
+            ids = np.array(sorted(pool), dtype=np.int64)
+            pri = dict(zip(ids.tolist(), mis_priority(ids, k * 64 + r)))
+            sel = {v for v in pool
+                   if all(pri[v] < pri[u] for u in adj_sym[v] if u in pool)}
+            for v in sel:
+                color[v] = k
+            uncolored -= sel
+            pool -= sel
+            pool -= {u for s in sel for u in adj_sym[s]}
+    assert not uncolored, "coloring did not finish within max_colors"
+    return color
+
+
+@pytest.mark.parametrize("num_parts", [1, 2, 4])
+def test_coloring_proper_and_parity(tmp_dir, num_parts):
+    from cassovary_ray.rounds import ColoringProgram
+
+    adj_sym = _random_sym_adj(n=60, p=0.12, seed=11)
+    lay = os.path.join(tmp_dir, f"claylayout{num_parts}")
+    build_toy_layout(_directed_view(adj_sym), lay, num_parts,
+                     undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.run_program(ColoringProgram(), max_iterations=None,
+                           tolerance=0.0).to_pandas()
+    got = {int(v): int(c) for v, c in zip(df["vertex"], df["color"])}
+    # complete + proper
+    assert set(got) == set(adj_sym)
+    assert all(c >= 0 for c in got.values())
+    for u, nbrs in adj_sym.items():
+        for v in nbrs:
+            assert got[u] != got[v], f"edge ({u},{v}) monochromatic"
+    # exact parity with the reference simulation (schedule + priorities)
+    assert got == numpy_luby_coloring(adj_sym)
+
+
+def test_coloring_color_count_reasonable(tmp_dir):
+    from cassovary_ray.rounds import ColoringProgram
+
+    adj_sym = _random_sym_adj(n=80, p=0.1, seed=23)
+    lay = os.path.join(tmp_dir, "claybound")
+    build_toy_layout(_directed_view(adj_sym), lay, 2,
+                     undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.run_program(ColoringProgram(), max_iterations=None,
+                           tolerance=0.0).to_pandas()
+    max_deg = max(len(n) for n in adj_sym.values())
+    assert df["color"].max() <= max_deg  # <= Delta + 1 classes (0-based)
+
+
+def test_coloring_matches_duckdb_unroll(tmp_dir):
+    """The oracle builder evaluates the literal same schedule: DuckDB
+    unroll == engine output on a toy graph (the gate re-checks at sf0.01)."""
+    import duckdb
+
+    from cassovary_ray.oracles import coloring_sql
+    from cassovary_ray.rounds import ColoringProgram
+
+    adj_sym = _random_sym_adj(n=40, p=0.15, seed=5)
+    pairs = [(u, v) for u, ns in _directed_view(adj_sym).items() for v in ns]
+    lay = os.path.join(tmp_dir, "claysql")
+    build_toy_layout(_directed_view(adj_sym), lay, 2,
+                     undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        df = g.run_program(ColoringProgram(rounds_per_color=4, max_colors=12),
+                           max_iterations=None, tolerance=0.0).to_pandas()
+    got = {int(v): int(c) for v, c in zip(df["vertex"], df["color"])}
+
+    cte = " UNION ALL ".join(f"SELECT {u} AS src, {v} AS dst"
+                             for u, v in pairs)
+    sql = coloring_sql(cte, colors=12, rounds=4)
+    want = {int(v): int(c) for v, c in duckdb.sql(sql).fetchall()}
+    assert got == want
