@@ -923,7 +923,13 @@ class GraphShard:
         et = read_partition(self.layout_dir, "edges", self.part, ["src", "dst"])
         src = et["src"].to_numpy(zero_copy_only=False)
         dst = et["dst"].to_numpy(zero_copy_only=False)
-        order = np.argsort(src, kind="stable")
+        # canonical (src, dst) order — NOT parquet file order: the k-th
+        # out-neighbor of u is then a pure function of the edge MULTISET,
+        # which (a) makes walk output invariant to how the layout build
+        # happened to order rows within a partition and (b) lets the DuckDB
+        # oracle reproduce neighbor selection with row_number() OVER
+        # (PARTITION BY src ORDER BY dst) (oracles.walk_visits_sql)
+        order = np.lexsort((dst, src))
         src_sorted, self._walk_nbrs = src[order], dst[order]
         pos = np.searchsorted(self.verts, src_sorted)
         deg = np.bincount(pos, minlength=len(self.verts))

@@ -1190,3 +1190,289 @@ def coloring_sql(edges_cte: str, colors: int = 16, rounds: int = 6) -> str:
     union = " UNION ALL ".join(sels)
     return (",\n".join(parts)
             + f"\nSELECT vertex, CAST(c AS BIGINT) AS color FROM ({union})")
+
+
+# ---------------------------------------------------------------------------
+# Hash-sketch oracles over ``documents`` (simhash / rolling fingerprint /
+# MinHash-LSH).  All three are exact value mirrors: the engine's per-token
+# 64-bit hash is the first 8 md5 bytes little-endian (``textops._token_
+# hashes``), which is the literal integer DuckDB's ``md5_number_upper()``
+# returns, and every downstream mix (polynomial shingle fold, splitmix64)
+# is re-expressed in HUGEINT arithmetic mod 2^64.
+# ---------------------------------------------------------------------------
+
+_M64 = str(1 << 64)
+_TOK_CTES = (
+    r"toks AS MATERIALIZED (SELECT doc_id,"
+    r" regexp_split_to_array(trim(text), '\s+') AS t FROM documents),"
+    # a trimmed-empty text splits to [''] — the engine's zero-token case
+    r" nemp AS MATERIALIZED (SELECT doc_id, t FROM toks"
+    r" WHERE NOT (len(t) = 1 AND t[1] = '')),"
+    r" emp AS (SELECT doc_id FROM toks WHERE len(t) = 1 AND t[1] = '')"
+)
+
+
+def _tok_hash_sql(token_expr: str) -> str:
+    """The engine's per-token hash: first 8 md5 bytes little-endian."""
+    return f"md5_number_upper({token_expr})::HUGEINT"
+
+
+def _signed64_sql(uexpr: str) -> str:
+    """Reinterpret a HUGEINT in [0, 2^64) as its int64 two's-complement."""
+    return (f"CAST(CASE WHEN ({uexpr}) >= (1::HUGEINT << 63)"
+            f" THEN ({uexpr}) - (1::HUGEINT << 64) ELSE ({uexpr}) END AS BIGINT)")
+
+
+def _poly_fold_sql(token_exprs: list[str], base: int) -> str:
+    """``acc = acc * base + hash(tok)  (mod 2^64)`` left fold, starting at 0
+    (``textops._shingle_hashes`` / ``rolling_fingerprint``); ``base`` < 2^41
+    keeps every intermediate < 2^105, inside HUGEINT."""
+    acc = _tok_hash_sql(token_exprs[0])
+    for tok in token_exprs[1:]:
+        acc = f"((({acc}) * {base} + {_tok_hash_sql(tok)}) % {_M64})"
+    return acc
+
+
+def _splitmix64_sql(inner_sql: str, cols: str, x: str, out: str) -> str:
+    """Wrap ``inner_sql`` (producing columns ``cols`` plus HUGEINT column
+    ``x`` in [0, 2^64)) in nested SELECTs computing ``out = splitmix64(x)``
+    (``hashing.splitmix64``, Steele et al. OOPSLA'14) — 64-bit multiplies
+    split into 32-bit limbs so no intermediate leaves HUGEINT range."""
+    G = 0x9E3779B97F4A7C15
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul64(c: int) -> str:
+        cl, ch = c & 0xFFFFFFFF, c >> 32
+        return (f"((yl * {cl} + ((yl * {ch} + yh * {cl}) % 4294967296)"
+                f" * 4294967296) % {_M64})")
+
+    q = f"SELECT {cols}, (({x}) + {G}) % {_M64} AS z0 FROM ({inner_sql})"
+    q = f"SELECT {cols}, xor(z0, z0 >> 30) AS y1 FROM ({q})"
+    q = f"SELECT {cols}, y1 % 4294967296 AS yl, y1 >> 32 AS yh FROM ({q})"
+    q = f"SELECT {cols}, {mul64(C1)} AS z1 FROM ({q})"
+    q = f"SELECT {cols}, xor(z1, z1 >> 27) AS y2 FROM ({q})"
+    q = f"SELECT {cols}, y2 % 4294967296 AS yl, y2 >> 32 AS yh FROM ({q})"
+    q = f"SELECT {cols}, {mul64(C2)} AS z2 FROM ({q})"
+    return f"SELECT {cols}, xor(z2, z2 >> 31) AS {out} FROM ({q})"
+
+
+def simhash_sql() -> str:
+    """``textops.simhash`` mirror: 64-bit SimHash (Charikar'02) per doc —
+    per bit, count tokens (multiset) with the bit set; bit b of the output
+    is set iff ``2*ones > n``; empty docs hash to 0."""
+    return f"""
+        WITH {_TOK_CTES},
+        th AS MATERIALIZED (SELECT doc_id, {_tok_hash_sql('u.tok')} AS h
+              FROM nemp, unnest(t) AS u(tok)),
+        bits AS (SELECT doc_id, bs.b AS b,
+                        sum(CASE WHEN (h >> bs.b) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+                        count(*) AS n
+                 FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+                 GROUP BY 1, 2),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << b)
+                                ELSE 0::HUGEINT END) AS uv
+                FROM bits GROUP BY 1)
+        SELECT doc_id, {_signed64_sql('uv')} AS simhash FROM sig
+        UNION ALL SELECT doc_id, CAST(0 AS BIGINT) AS simhash FROM emp
+    """
+
+
+def rolling_fingerprint_sql(window: int = 8) -> str:
+    """``textops.rolling_fingerprint`` mirror: min over ``w``-token windows
+    (w = min(window, n)) of the polynomial rolling hash, base 1099511628211,
+    mod 2^64; empty docs fingerprint 0."""
+    B = 1099511628211
+    full = _poly_fold_sql([f"t[u.i + {k}]" for k in range(window)], B)
+    shorts = " ".join(
+        f"WHEN {n} THEN {_poly_fold_sql([f't[{k + 1}]' for k in range(n)], B)}"
+        for n in range(1, window))
+    return f"""
+        WITH {_TOK_CTES},
+        win AS (
+          SELECT doc_id, {full} AS acc
+          FROM nemp, unnest(generate_series(1, len(t) - {window - 1})) AS u(i)
+          WHERE len(t) >= {window}
+          UNION ALL
+          SELECT doc_id, CASE len(t) {shorts} END AS acc
+          FROM nemp WHERE len(t) < {window}),
+        mn AS (SELECT doc_id, min(acc) AS uv FROM win GROUP BY 1)
+        SELECT doc_id, {_signed64_sql('uv')} AS fingerprint FROM mn
+        UNION ALL SELECT doc_id, CAST(0 AS BIGINT) AS fingerprint FROM emp
+    """
+
+
+def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16, shingle: int = 3,
+                      threshold: float = 0.5, seed: int = 97) -> str:
+    """``textops.minhash_lsh_pairs`` mirror: distinct word-``shingle``-gram
+    polynomial hashes per doc; signature j = min over shingles of
+    ``splitmix64(shingle_hash XOR salt_j)`` (salts the literal integers
+    ``MinHashStage`` computes); candidates = pairs agreeing on any band of
+    ``num_hashes/bands`` signature rows; verify = exact shingle Jaccard ≥
+    ``threshold`` (union-empty pairs score 1.0, as the engine).
+
+    One deliberate divergence: the engine folds each band into a 64-bit
+    bucket key (splitmix64 chain) while this SQL joins on the band's
+    signature LIST — identical candidates unless two different band
+    signatures collide in the fold (~2^-64 per bucket pair; the MIS-oracle
+    tie-probability stance)."""
+    from cassovary_ray.hashing import splitmix64
+
+    salts = splitmix64(
+        np.arange(num_hashes, dtype=np.uint64)
+        + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    salt_rows = ", ".join(f"({j}, {int(s)}::HUGEINT)"
+                          for j, s in enumerate(salts))
+    r = num_hashes // bands
+    B = 1000000007
+    shfold = _poly_fold_sql([f"t[u.i + {k}]" for k in range(shingle)], B)
+    mixed = _splitmix64_sql(
+        "SELECT doc_id, j, xor(s, salt) AS x FROM sh CROSS JOIN salts",
+        "doc_id, j", "x", "mx")
+    return f"""
+        WITH {_TOK_CTES},
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, {shfold} AS s
+          FROM nemp, unnest(generate_series(1, len(t) - {shingle - 1})) AS u(i)
+          WHERE len(t) >= {shingle}
+          UNION
+          SELECT DISTINCT doc_id, {_tok_hash_sql('t[u.i]')} AS s
+          FROM nemp, unnest(generate_series(1, len(t))) AS u(i)
+          WHERE len(t) < {shingle}),
+        salts(j, salt) AS (VALUES {salt_rows}),
+        sig AS MATERIALIZED (
+          SELECT doc_id, j, min(mx) AS v FROM ({mixed}) GROUP BY 1, 2
+          UNION ALL
+          SELECT doc_id, j, 0::HUGEINT AS v FROM emp CROSS JOIN salts),
+        bk AS MATERIALIZED (
+          SELECT doc_id, j // {r} AS band, array_agg(v ORDER BY j) AS key
+          FROM sig GROUP BY 1, 2),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.a, c.b, count(*) AS common
+                  FROM cand c JOIN sh p ON p.doc_id = c.a
+                              JOIN sh q ON q.doc_id = c.b AND q.s = p.s
+                  GROUP BY 1, 2),
+        scored AS (
+          SELECT c.a, c.b,
+                 CASE WHEN COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                           - COALESCE(i.common, 0) = 0 THEN 1.0
+                      ELSE CAST(COALESCE(i.common, 0) AS DOUBLE)
+                           / (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                              - COALESCE(i.common, 0)) END AS jaccard
+          FROM cand c
+          LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+          LEFT JOIN sizes sa ON sa.doc_id = c.a
+          LEFT JOIN sizes sb ON sb.doc_id = c.b)
+        SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def walk_visits_sql(edges_cte: str, starts: list[int], num_steps: int,
+                    reset_prob: float, seed: int) -> str:
+    """``ShardedGraph.random_walks`` mirror — the Monte-Carlo walk is
+    deterministic: every uniform is ``counter_rng_uniform(seed, wid, step)``
+    = ``(splitmix64(wid ^ splitmix64(step_key ^ seed)) >> 11) / 2^53``, a
+    pure function of (seed, walker, step) independent of the graph, so the
+    3136 53-bit integers are precomputed here and embedded as BIGINT
+    literals (the LSH-kNN projection-literal policy); the division by 2^53
+    and the ``trunc(u * deg)`` neighbor pick are the literal same double
+    ops on both sides.  Neighbor k = ``row_number() OVER (PARTITION BY src
+    ORDER BY dst) - 1`` matches the engine's canonical ``lexsort((dst,
+    src))`` CSR order (``engine.walk_build``).  Per step: reset to start on
+    u_reset < reset_prob or a dangling vertex, else the trunc(u_nbr·deg)-th
+    out-neighbor (multiset); visits counted at steps 0..num_steps-1."""
+    from cassovary_ray.hashing import splitmix64
+
+    wid = np.arange(len(starts), dtype=np.uint64)
+    u_rows = []
+    for t in range(num_steps - 1):
+        kr = np.uint64(int(splitmix64(np.uint64(2 * t) ^ np.uint64(seed))))
+        kn = np.uint64(int(splitmix64(np.uint64(2 * t + 1) ^ np.uint64(seed))))
+        with np.errstate(over="ignore"):
+            ur = splitmix64(wid ^ kr) >> np.uint64(11)
+            un = splitmix64(wid ^ kn) >> np.uint64(11)
+        u_rows.extend(f"({int(w)}, {t}, {int(r)}, {int(n)})"
+                      for w, r, n in zip(wid, ur, un))
+    start_rows = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(starts))
+    T = "9007199254740992.0"  # 2^53
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "adj AS MATERIALIZED (SELECT src, dst, row_number()"
+        " OVER (PARTITION BY src ORDER BY dst) - 1 AS k FROM e)",
+        f"u(wid, t, ur, un) AS (VALUES {', '.join(u_rows)})",
+        f"s0 AS (SELECT wid, st AS start, st AS cur FROM (VALUES {start_rows})"
+        " w(wid, st) WHERE st IN (SELECT v FROM verts))",
+    ]
+    for t in range(num_steps - 1):
+        parts.append(
+            f"s{t + 1} AS MATERIALIZED ("
+            f" SELECT s.wid, s.start,"
+            f" CASE WHEN u.ur / {T} < {reset_prob!r}"
+            f"       OR COALESCE(d.deg, 0) = 0 THEN s.start"
+            f"      ELSE a.dst END AS cur"
+            f" FROM s{t} s"
+            f" JOIN u ON u.wid = s.wid AND u.t = {t}"
+            f" LEFT JOIN deg d ON d.src = s.cur"
+            f" LEFT JOIN adj a ON a.src = s.cur AND a.k ="
+            f"  LEAST(CAST(floor((u.un / {T})"
+            f"        * GREATEST(COALESCE(d.deg, 0), 1)) AS BIGINT),"
+            f"        COALESCE(d.deg, 0) - 1))")
+    vis = " UNION ALL ".join(f"SELECT cur FROM s{t}" for t in range(num_steps))
+    return (",\n".join(parts)
+            + f"\nSELECT cur AS vertex, count(*) AS visits FROM ({vis})"
+            " GROUP BY 1")
+
+
+def walk_corpus_sql(edges_cte: str, walks_per_vertex: int, walk_length: int,
+                    seed: int) -> str:
+    """``ShardedGraph.walk_corpus(output='long')`` mirror (reset_prob=0.0
+    corpora — resets only on dangling vertices): ``walks_per_vertex``
+    sweeps, each seeding one walker at EVERY vertex (walker_id = start
+    vertex) with RNG seed ``seed + sweep``.  Unlike :func:`walk_visits_sql`
+    the uniforms depend on vertex IDS (data), so splitmix64 runs IN SQL:
+    u_nbr(wid, step) = ``(splitmix64(wid XOR L) >> 11) / 2^53`` with
+    ``L = splitmix64((2·step+1) XOR (seed+sweep))`` a precomputed literal.
+    Neighbor selection and trace semantics as :func:`walk_visits_sql`;
+    emits (walker_id, walk, step, vertex) for steps 0..walk_length-1."""
+    from cassovary_ray.hashing import splitmix64
+
+    T = "9007199254740992.0"  # 2^53
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM"
+        " (SELECT src FROM e UNION ALL SELECT dst FROM e) t(src))",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "adj AS MATERIALIZED (SELECT src, dst, row_number()"
+        " OVER (PARTITION BY src ORDER BY dst) - 1 AS k FROM e)",
+    ]
+    outs = []
+    for k in range(walks_per_vertex):
+        parts.append(f"s{k}x0 AS (SELECT v AS wid, v AS start, v AS cur"
+                     " FROM verts)")
+        for t in range(walk_length - 1):
+            L = int(splitmix64(np.uint64(2 * t + 1) ^ np.uint64(seed + k)))
+            mixed = _splitmix64_sql(
+                f"SELECT s.wid, s.start, s.cur, COALESCE(d.deg, 0) AS dg,"
+                f" xor(s.wid::HUGEINT, {L}::HUGEINT) AS x"
+                f" FROM s{k}x{t} s LEFT JOIN deg d ON d.src = s.cur",
+                "wid, start, cur, dg", "x", "mx")
+            parts.append(
+                f"s{k}x{t + 1} AS MATERIALIZED ("
+                f" SELECT u.wid, u.start,"
+                f" CASE WHEN u.dg = 0 THEN u.start ELSE a.dst END AS cur"
+                f" FROM ({mixed}) u"
+                f" LEFT JOIN adj a ON a.src = u.cur AND a.k ="
+                f"  LEAST(CAST(floor(((u.mx >> 11) / {T})"
+                f"        * GREATEST(u.dg, 1)) AS BIGINT), u.dg - 1))")
+        outs.extend(
+            f"SELECT wid AS walker_id, CAST({k} AS BIGINT) AS walk,"
+            f" CAST({t} AS BIGINT) AS step, cur AS vertex FROM s{k}x{t}"
+            for t in range(walk_length))
+    return (",\n".join(parts) + "\nSELECT walker_id, walk, step, vertex FROM ("
+            + " UNION ALL ".join(outs) + ")")

@@ -416,9 +416,9 @@ def q_graph_walk_visits(sf_dir: str):
 
 
 def q_graph_walk_corpus(sf_dir: str):
-    # DeepWalk-style corpus: deterministic given the seed, but RNG-defined
-    # (rows-only gate entry, like graph_walk_visits); sequence validity and
-    # P-invariance are pinned by test_walks.py
+    # DeepWalk-style corpus — hash-gated: the counter RNG is a pure function
+    # of (seed, walker, step), so oracles.walk_corpus_sql replays the exact
+    # walks in DuckDB (splitmix64 re-expressed in HUGEINT limbs)
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
         corpus = g.walk_corpus(walks_per_vertex=2, walk_length=10, seed=17)
@@ -1373,6 +1373,10 @@ ORACLE_SQL = {
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_mis": oracles.mis_sql(DERIVED_EDGES_CTE, rounds=24),
+    "graph_walk_visits": oracles.walk_visits_sql(
+        DERIVED_EDGES_CTE, [0] * 64, 50, reset_prob=0.15, seed=11),
+    "graph_walk_corpus": oracles.walk_corpus_sql(
+        DERIVED_EDGES_CTE, walks_per_vertex=2, walk_length=10, seed=17),
     "graph_coloring": oracles.coloring_sql(DERIVED_EDGES_CTE,
                                            colors=64, rounds=2),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),
@@ -1390,6 +1394,11 @@ ORACLE_SQL = {
     "graph_closeness": oracles.closeness_sql(
         DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
     "doc_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, max_df=50, threshold=0.5),
+    # hash-sketch mirrors: engine token hash = md5 low 8 bytes LE =
+    # DuckDB md5_number_upper(), so signatures are value-identical
+    "doc_simhash": oracles.simhash_sql(),
+    "doc_fingerprints": oracles.rolling_fingerprint_sql(window=8),
+    "doc_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.4),
     "graph_adjacency_stats": f"""
         WITH e AS ({DERIVED_EDGES_CTE})
         SELECT src, count(*) AS n_neighbors, min(dst) AS min_nbr,

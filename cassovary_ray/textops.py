@@ -361,11 +361,14 @@ def _token_hashes(text: str) -> np.ndarray:
     toks = _WS_SPLIT.split(text.strip())
     if not toks or toks == [""]:
         return np.zeros(0, dtype=np.uint64)
-    # stable per-token 64-bit hash (blake2b of utf-8)
+    # stable per-token 64-bit hash: first 8 md5 bytes little-endian — the
+    # literal integer DuckDB's md5_number_upper() returns, so every sketch
+    # built on these hashes (simhash, shingles/minhash, rolling
+    # fingerprints) is SQL-oracle-expressible with identical values
     return np.frombuffer(
-        b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
-        dtype=np.uint64,
-    )
+        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
+        dtype="<u8",
+    ).astype(np.uint64, copy=False)
 
 
 def simhash_batch(texts: list[str]) -> np.ndarray:

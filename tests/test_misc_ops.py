@@ -201,3 +201,62 @@ def test_substring_dup_counts_constructed():
     assert got == want
     assert want[0] >= 1 and want[1] >= 1  # the shared gram counted both sides
     assert want[2] == 0 and want[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# Hash-sketch oracle parity: the DuckDB SQL builders evaluate the literal
+# same md5-token-hash / polynomial-fold / splitmix64 integers as the engine
+# kernels (the sf0.01 gate re-checks end-to-end; these pin the toy cases
+# incl. empty docs, sub-window docs, and the union-empty jaccard=1.0 rule).
+# ---------------------------------------------------------------------------
+
+_SKETCH_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different words here entirely",
+    "one", "two words", "   ", "a b c d e f g", "x " * 200, "", "solo",
+]
+
+
+def _sketch_con():
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(_SKETCH_TEXTS), dtype=np.int64),
+        "text": _SKETCH_TEXTS,
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    return con
+
+
+def test_simhash_sql_matches_engine_kernel():
+    from cassovary_ray.oracles import simhash_sql
+
+    want = textops.simhash_batch(_SKETCH_TEXTS).view(np.int64)
+    got = dict(_sketch_con().sql(simhash_sql()).fetchall())
+    assert all(got[i] == int(want[i]) for i in range(len(_SKETCH_TEXTS)))
+
+
+def test_fingerprint_sql_matches_engine_kernel():
+    from cassovary_ray.oracles import rolling_fingerprint_sql
+
+    df = textops.rolling_fingerprint(_docs(_SKETCH_TEXTS)).to_pandas()
+    want = dict(zip(df.doc_id, df.fingerprint))
+    got = dict(_sketch_con().sql(rolling_fingerprint_sql()).fetchall())
+    assert all(got[i] == int(want[i]) for i in range(len(_SKETCH_TEXTS)))
+
+
+def test_minhash_pairs_sql_matches_engine():
+    from cassovary_ray.oracles import minhash_pairs_sql
+
+    eng = textops.minhash_lsh_pairs(
+        _docs(_SKETCH_TEXTS), jaccard_threshold=0.4).to_pandas()
+    want = sorted((int(a), int(b), float(j))
+                  for a, b, j in eng[["a", "b", "jaccard"]].values)
+    got = sorted((int(a), int(b), float(j)) for a, b, j in
+                 _sketch_con().sql(minhash_pairs_sql(threshold=0.4)).fetchall())
+    assert got == want
+    # the empty/whitespace docs (zero signatures, union-empty) pair at 1.0
+    assert (5, 8, 1.0) in got

@@ -246,3 +246,47 @@ def test_skipgram_pairs_bruteforce():
         df = skipgram_pairs(ds, window=window).to_pandas()
         got = {(r.center, r.context): r.n for r in df.itertuples()}
         assert got == dict(want), window
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle parity: the counter RNG is a pure function of
+# (seed, walker, step), so the SQL builders replay the literal same walks
+# (the sf0.01 gate re-checks end-to-end; these pin toy multigraphs with
+# dangling vertices, multi-edges and self-loops).
+# ---------------------------------------------------------------------------
+
+_ORACLE_ADJ = {0: [1, 1, 2], 1: [3, 0], 2: [3, 0], 3: [0, 5], 4: [0], 6: [6]}
+
+
+def _edges_cte(adj):
+    return " UNION ALL ".join(f"SELECT {u} AS src, {v} AS dst"
+                              for u, nb in adj.items() for v in nb)
+
+
+def test_walk_visits_matches_duckdb(tmp_dir):
+    import duckdb
+
+    from cassovary_ray.oracles import walk_visits_sql
+
+    starts = [0] * 5 + [4, 6, 9]  # 9 not in the graph -> dropped
+    got = run_walk(_ORACLE_ADJ, tmp_dir, starts, 12,
+                   num_parts=3, reset_prob=0.2, seed=11)
+    sql = walk_visits_sql(_edges_cte(_ORACLE_ADJ), starts, 12,
+                          reset_prob=0.2, seed=11)
+    want = {int(v): int(c) for v, c in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_walk_corpus_matches_duckdb(tmp_dir):
+    import duckdb
+
+    from cassovary_ray.oracles import walk_corpus_sql
+
+    df = _corpus(_ORACLE_ADJ, tmp_dir, 3, walks_per_vertex=2,
+                 walk_length=8, seed=17)
+    got = set(map(tuple, df[["walker_id", "walk", "step", "vertex"]]
+                  .astype(int).values))
+    sql = walk_corpus_sql(_edges_cte(_ORACLE_ADJ), 2, 8, seed=17)
+    want = set((int(a), int(b), int(c), int(d))
+               for a, b, c, d in duckdb.sql(sql).fetchall())
+    assert got == want
