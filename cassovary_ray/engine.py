@@ -317,6 +317,30 @@ def _payload_nbytes(payload) -> int:
     return total
 
 
+def hll_estimates(regs: np.ndarray, rho_max: int) -> np.ndarray:
+    """Per-row HyperLogLog cardinality estimates (Flajolet et al. '07) from
+    an (n, m) uint8 register matrix.
+
+    The indicator sum is a FIXED ascending-k fold over register-VALUE
+    counts — ``inv = ((c_0·2⁰) + c_1·2⁻¹) + …`` — rather than a sum over
+    register positions, so the float operation sequence is reproducible by
+    an unrolled left-associated SQL expression (``oracles.hyperball_sql``):
+    identical doubles on both sides, not merely close. The small-range
+    linear-counting branch uses ``log`` (possible ≤1-ulp libm divergence,
+    far below the gate's 9-dp rounding)."""
+    m = regs.shape[1]
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    inv = np.zeros(len(regs), dtype=np.float64)
+    for k in range(rho_max + 1):
+        inv = inv + (regs == k).sum(axis=1) * (2.0 ** -k)
+    est = alpha * m * m / inv
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
 # ---------------------------------------------------------------------------
 # The shard actor
 # ---------------------------------------------------------------------------
@@ -1732,6 +1756,7 @@ class GraphShard:
         regs[np.arange(len(self.verts)), j] = rho
         self._anf_regs = regs
         self._anf_mode = "hll"
+        self._anf_rho_max = 64 - b + 1
         return self._anf_shard_estimate()
 
     def anf_init_exact(self, global_verts: pa.Table) -> float:
@@ -1806,16 +1831,7 @@ class GraphShard:
             # popcount per row: exact ball sizes
             bytes_view = regs.view(np.uint8)
             return float(np.unpackbits(bytes_view, axis=1).sum())
-        m = regs.shape[1]
-        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-            m, 0.7213 / (1 + 1.079 / m))
-        inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
-        est = alpha * m * m / inv
-        zeros = (regs == 0).sum(axis=1)
-        small = (est <= 2.5 * m) & (zeros > 0)
-        if small.any():
-            est[small] = m * np.log(m / zeros[small])
-        return float(est.sum())
+        return float(hll_estimates(regs, self._anf_rho_max).sum())
 
     def anf_ball_table(self) -> pa.Table:
         """(vertex, ball) — per-vertex in-ball size (exact) / HLL estimate."""
@@ -1824,16 +1840,7 @@ class GraphShard:
             sizes = np.unpackbits(regs.view(np.uint8), axis=1).sum(axis=1)
             col = pa.array(sizes.astype(np.int64), pa.int64())
         else:
-            m = regs.shape[1]
-            alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-                m, 0.7213 / (1 + 1.079 / m))
-            inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
-            est = alpha * m * m / inv
-            zeros = (regs == 0).sum(axis=1)
-            small = (est <= 2.5 * m) & (zeros > 0)
-            if small.any():
-                est[small] = m * np.log(m / zeros[small])
-            col = pa.array(est, pa.float64())
+            col = pa.array(hll_estimates(regs, self._anf_rho_max), pa.float64())
         return pa.table({"vertex": pa.array(self.verts, pa.int64()),
                          "ball": col})
 

@@ -1476,3 +1476,88 @@ def walk_corpus_sql(edges_cte: str, walks_per_vertex: int, walk_length: int,
             for t in range(walk_length))
     return (",\n".join(parts) + "\nSELECT walker_id, walk, step, vertex FROM ("
             + " UNION ALL ".join(outs) + ")")
+
+
+def skipgram_sql(edges_cte: str, walks_per_vertex: int, walk_length: int,
+                 seed: int, window: int = 2) -> str:
+    """``textops.skipgram_pairs(walk_corpus(output='sequences'))`` mirror:
+    the walk corpus is deterministic (see :func:`walk_corpus_sql`), and the
+    pair generation is a pure transform — for every within-walk offset
+    d ∈ [1, window] emit (center, context) in BOTH directions, then count.
+    Output ``(center, context, n)``."""
+    corpus = walk_corpus_sql(edges_cte, walks_per_vertex, walk_length, seed)
+    head, final = corpus.rsplit("\n", 1)
+    return (head + ",\ncorpus AS MATERIALIZED (" + final + "),"
+            "\npr AS (SELECT c1.vertex AS center, c2.vertex AS context"
+            " FROM corpus c1 JOIN corpus c2"
+            " ON c1.walker_id = c2.walker_id AND c1.walk = c2.walk"
+            f" AND c2.step - c1.step BETWEEN 1 AND {window}"
+            " UNION ALL SELECT c2.vertex AS center, c1.vertex AS context"
+            " FROM corpus c1 JOIN corpus c2"
+            " ON c1.walker_id = c2.walker_id AND c1.walk = c2.walk"
+            f" AND c2.step - c1.step BETWEEN 1 AND {window})"
+            "\nSELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2")
+
+
+def hyperball_sql(edges_cte: str, b: int = 6, seed: int = 1,
+                  max_distance: int = 4) -> str:
+    """``ShardedGraph.neighborhood_function(mode='hll') → anf_ball_sizes``
+    mirror: per-vertex HyperBall in-ball HLL estimates at distance
+    ``max_distance`` (Boldi-Rosa-Vigna HyperBall; registers from
+    ``engine.anf_init_hll``'s splitmix64(vertex ^ seed) hash).
+
+    Exactness: ball membership is set algebra (unrolled relation
+    R_{t+1} = R_t ∪ R_t∘E); register j / rank rho are integer bit ops; the
+    HLL indicator sum mirrors ``engine.hll_estimates``'s fixed ascending-k
+    count fold as one left-associated expression — identical doubles, not
+    approximations. The linear-counting branch's ``ln`` may differ by 1 ulp
+    of libm (far below the gate's 9-dp rounding)."""
+    m = 1 << b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    rho_max = 64 - b + 1
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM"
+        " (SELECT src FROM e UNION ALL SELECT dst FROM e) t(src))",
+        "r0 AS (SELECT v AS mm, v AS v FROM verts)",
+    ]
+    for t in range(max_distance):
+        parts.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT DISTINCT mm, v FROM ("
+            f" SELECT mm, v FROM r{t}"
+            f" UNION ALL"
+            f" SELECT r.mm, e.dst AS v FROM r{t} r JOIN e ON e.src = r.v))")
+    mixed = _splitmix64_sql(
+        f"SELECT mm, xor(mm::HUGEINT, {seed}::HUGEINT) AS x"
+        " FROM (SELECT DISTINCT mm FROM verts t(mm))",
+        "mm", "x", "mx")
+    # leading-zero rank of w = (h << b) mod 2^64 via the engine's shift
+    # cascade (bit length bl; rho = 64 - bl + 1; w == 0 -> rho_max)
+    q = (f"SELECT mm, mx >> {64 - b} AS j,"
+         f" (mx << {b}) % {_M64} AS w, 0 AS bl FROM ({mixed})")
+    for s in (32, 16, 8, 4, 2, 1):
+        q = (f"SELECT mm, j, CASE WHEN w >= (1::HUGEINT << {s})"
+             f" THEN w >> {s} ELSE w END AS w,"
+             f" bl + CASE WHEN w >= (1::HUGEINT << {s}) THEN {s} ELSE 0 END"
+             f" AS bl FROM ({q})")
+    parts.append(
+        f"mh AS MATERIALIZED (SELECT mm, j,"
+        f" CASE WHEN w = 0 AND bl = 0 THEN {rho_max}"
+        f" ELSE 64 - (bl + w) + 1 END AS rho FROM ({q}))")
+    parts.append(
+        f"regs AS MATERIALIZED (SELECT bb.v, mh.j, max(mh.rho) AS r"
+        f" FROM r{max_distance} bb JOIN mh ON mh.mm = bb.mm GROUP BY 1, 2)")
+    csel = ", ".join(
+        f"sum(CASE WHEN r = {k} THEN 1 ELSE 0 END) AS c{k}"
+        for k in range(1, rho_max + 1))
+    parts.append(f"cnts AS (SELECT v, count(*) AS nocc, {csel}"
+                 f" FROM regs GROUP BY 1)")
+    inv = f"(({m} - nocc) * 1.0)"
+    for k in range(1, rho_max + 1):
+        inv = f"({inv} + c{k} * {2.0 ** -k!r})"
+    parts.append(f"est AS (SELECT v, ({m} - nocc) AS z,"
+                 f" {alpha!r} * {m} * {m} / {inv} AS raw FROM cnts)")
+    return (",\n".join(parts)
+            + f"\nSELECT v AS vertex,"
+            f" CASE WHEN raw <= {2.5 * m!r} AND z > 0"
+            f" THEN {m} * ln({m} / z) ELSE raw END AS ball FROM est")

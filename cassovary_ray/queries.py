@@ -436,8 +436,8 @@ def q_graph_node2vec(sf_dir: str):
 
 def q_graph_skipgram(sf_dir: str):
     # DeepWalk → word2vec training pairs: walk corpus assembled to sequences
-    # (one keyed exchange), then vectorized windowed pair counts. RNG-defined
-    # (rows-only); exactness pinned by the brute-force test in test_walks.py
+    # (one keyed exchange), then vectorized windowed pair counts — hash-gated
+    # via oracles.skipgram_sql (deterministic corpus + pure pair transform)
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
         seqs = g.walk_corpus(walks_per_vertex=1, walk_length=10, seed=17,
@@ -472,6 +472,20 @@ def q_graph_anf_hll(sf_dir: str):
     with ShardedGraph(lay) as g:
         return g.neighborhood_function(mode="hll", precision_bits=6,
                                        max_distance=4)
+
+
+def q_graph_hyperball(sf_dir: str):
+    """Per-vertex HyperBall in-ball HLL estimates at distance 4 —
+    hash-gated: ball membership is set algebra, registers are integer bit
+    ops, and the HLL indicator sum is a fixed ascending-k count fold
+    (``engine.hll_estimates``) that ``oracles.hyperball_sql`` replays as one
+    left-associated SQL expression, so the doubles are identical (the
+    linear-counting ``ln`` branch may differ by 1 ulp, far below the gate's
+    rounding)."""
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        g.neighborhood_function(mode="hll", precision_bits=6, max_distance=4)
+        return g.anf_ball_sizes().materialize()
 
 
 def q_graph_bfs(sf_dir: str):
@@ -1179,6 +1193,7 @@ QUERIES = {
     "graph_neighborhood": q_graph_neighborhood,
     "graph_effective_diameter": q_graph_effective_diameter,
     "graph_anf_hll": q_graph_anf_hll,
+    "graph_hyperball": q_graph_hyperball,
     "graph_bfs": q_graph_bfs,
     "graph_ego_net": q_graph_ego_net,
     "graph_adjacency_stats": q_graph_adjacency_stats,
@@ -1377,6 +1392,11 @@ ORACLE_SQL = {
         DERIVED_EDGES_CTE, [0] * 64, 50, reset_prob=0.15, seed=11),
     "graph_walk_corpus": oracles.walk_corpus_sql(
         DERIVED_EDGES_CTE, walks_per_vertex=2, walk_length=10, seed=17),
+    "graph_skipgram": oracles.skipgram_sql(
+        DERIVED_EDGES_CTE, walks_per_vertex=1, walk_length=10, seed=17,
+        window=2),
+    "graph_hyperball": oracles.hyperball_sql(
+        DERIVED_EDGES_CTE, b=6, seed=1, max_distance=4),
     "graph_coloring": oracles.coloring_sql(DERIVED_EDGES_CTE,
                                            colors=64, rounds=2),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),

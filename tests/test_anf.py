@@ -128,3 +128,29 @@ def test_effective_diameter_chain(tmp_dir):
     want = t - 1 + (target - counts[t - 1]) / (counts[t] - counts[t - 1])
     assert effective_diameter(nf) == pytest.approx(want)
     assert 0 < effective_diameter(nf) <= n - 1
+
+
+def test_hyperball_balls_match_duckdb(tmp_dir):
+    """Engine per-vertex HyperBall estimates == the DuckDB oracle's
+    left-associated fold replay — bitwise except the linear-counting ``ln``
+    branch (≤1 ulp of libm divergence, far below the gate's rounding)."""
+    import duckdb
+
+    adj = {0: [1, 1, 2], 1: [3, 0], 2: [3, 0], 3: [0, 5], 4: [0],
+           6: [6], 5: [7], 7: [8]}
+    lay = os.path.join(tmp_dir, "hb")
+    build_toy_layout(adj, lay, 3)
+    with ShardedGraph(lay) as g:
+        g.neighborhood_function(mode="hll", precision_bits=6, max_distance=4)
+        df = g.anf_ball_sizes().to_pandas()
+    got = dict(zip(df.vertex.astype(int), df.ball))
+
+    from cassovary_ray.oracles import hyperball_sql
+
+    cte = " UNION ALL ".join(f"SELECT {u} AS src, {v} AS dst"
+                             for u, nb in adj.items() for v in nb)
+    want = {int(v): float(x)
+            for v, x in duckdb.sql(hyperball_sql(cte, 6, 1, 4)).fetchall()}
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], rel=5e-15), v

@@ -235,7 +235,8 @@ def test_simhash_sql_matches_engine_kernel():
     from cassovary_ray.oracles import simhash_sql
 
     want = textops.simhash_batch(_SKETCH_TEXTS).view(np.int64)
-    got = dict(_sketch_con().sql(simhash_sql()).fetchall())
+    con = _sketch_con()  # hold: a chained temp connection GCs mid-query
+    got = dict(con.sql(simhash_sql()).fetchall())
     assert all(got[i] == int(want[i]) for i in range(len(_SKETCH_TEXTS)))
 
 
@@ -244,7 +245,8 @@ def test_fingerprint_sql_matches_engine_kernel():
 
     df = textops.rolling_fingerprint(_docs(_SKETCH_TEXTS)).to_pandas()
     want = dict(zip(df.doc_id, df.fingerprint))
-    got = dict(_sketch_con().sql(rolling_fingerprint_sql()).fetchall())
+    con = _sketch_con()
+    got = dict(con.sql(rolling_fingerprint_sql()).fetchall())
     assert all(got[i] == int(want[i]) for i in range(len(_SKETCH_TEXTS)))
 
 
@@ -255,8 +257,9 @@ def test_minhash_pairs_sql_matches_engine():
         _docs(_SKETCH_TEXTS), jaccard_threshold=0.4).to_pandas()
     want = sorted((int(a), int(b), float(j))
                   for a, b, j in eng[["a", "b", "jaccard"]].values)
+    con = _sketch_con()
     got = sorted((int(a), int(b), float(j)) for a, b, j in
-                 _sketch_con().sql(minhash_pairs_sql(threshold=0.4)).fetchall())
+                 con.sql(minhash_pairs_sql(threshold=0.4)).fetchall())
     assert got == want
     # the empty/whitespace docs (zero signatures, union-empty) pair at 1.0
     assert (5, 8, 1.0) in got

@@ -290,3 +290,22 @@ def test_walk_corpus_matches_duckdb(tmp_dir):
     want = set((int(a), int(b), int(c), int(d))
                for a, b, c, d in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_skipgram_matches_duckdb(tmp_dir):
+    import duckdb
+
+    from cassovary_ray import textops
+    from cassovary_ray.oracles import skipgram_sql
+
+    lay = os.path.join(tmp_dir, "sgo")
+    build_toy_layout(_ORACLE_ADJ, lay, 3)
+    with ShardedGraph(lay) as g:
+        seqs = g.walk_corpus(walks_per_vertex=2, walk_length=8, seed=17,
+                             output="sequences")
+        df = textops.skipgram_pairs(seqs, window=2).to_pandas()
+    got = {(int(a), int(b)): int(n)
+           for a, b, n in df[["center", "context", "n"]].values}
+    sql = skipgram_sql(_edges_cte(_ORACLE_ADJ), 2, 8, seed=17, window=2)
+    want = {(int(a), int(b)): int(n) for a, b, n in duckdb.sql(sql).fetchall()}
+    assert got == want
