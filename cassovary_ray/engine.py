@@ -1207,16 +1207,14 @@ class GraphShard:
     # Traverser.scala:93-102).
 
     def n2v_build(self) -> None:
-        """Per-vertex dst-SORTED neighbor array (the membership/searchsorted
-        form; ``_walk_nbrs`` keeps layout order because first-order walk
-        tests pin sampling positions). One extra int64 edge-sized array."""
+        """Per-vertex dst-sorted neighbor array (the membership/searchsorted
+        form). ``walk_build`` now canonicalizes the CSR to (src, dst)
+        lexsort order — the same dst-sorted-within-vertex form — so this is
+        an alias, not a copy."""
         self.walk_build()
         if "_n2v_nbrs" in self.__dict__:
             return
-        seg = np.repeat(np.arange(len(self.verts)),
-                        np.diff(self._walk_indptr))
-        order = np.lexsort((self._walk_nbrs, seg))
-        self._n2v_nbrs = self._walk_nbrs[order]
+        self._n2v_nbrs = self._walk_nbrs
 
     def _n2v_empty(self):
         e = np.empty(0, np.int64)

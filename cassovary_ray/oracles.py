@@ -1561,3 +1561,108 @@ def hyperball_sql(edges_cte: str, b: int = 6, seed: int = 1,
             + f"\nSELECT v AS vertex,"
             f" CASE WHEN raw <= {2.5 * m!r} AND z > 0"
             f" THEN {m} * ln({m} / z) ELSE raw END AS ball FROM est")
+
+
+def node2vec_visits_sql(edges_cte: str, starts: list[int], num_steps: int,
+                        p: float, q: float, reset_prob: float,
+                        seed: int) -> str:
+    """``ShardedGraph.node2vec_walks`` mirror (Grover & Leskovec 2016
+    second-order biased walks → visit counts).  Everything is
+    deterministic: the four per-step uniforms are pure functions of
+    (seed, walker, step) (embedded as 53-bit literals, the
+    :func:`walk_visits_sql` policy), candidates are N(cur) in the canonical
+    (src, dst) order with multiplicity, class weights ``n_ret/p + n_in·1.0
+    + n_out/q`` are the literal same float expression, and the k-th
+    candidate of the drawn class is picked by a row_number within
+    (walker, class).  State per step is (wid, start, cur, prev) with
+    prev = -1 after a reset/start (first-order steps sample uniformly).
+    Visits counted at steps 0..num_steps-1."""
+    from cassovary_ray.hashing import splitmix64
+
+    wid = np.arange(len(starts), dtype=np.uint64)
+    u_rows = []
+    for t in range(num_steps - 1):
+        ks = [np.uint64(int(splitmix64(np.uint64(4 * t + i) ^ np.uint64(seed))))
+              for i in range(4)]
+        with np.errstate(over="ignore"):
+            us = [splitmix64(wid ^ k) >> np.uint64(11) for k in ks]
+        u_rows.extend(
+            f"({int(w)}, {t}, {int(a)}, {int(b)}, {int(c)}, {int(d)})"
+            for w, a, b, c, d in zip(wid, *us))
+    start_rows = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(starts))
+    T = "9007199254740992.0"  # 2^53
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "adj AS MATERIALIZED (SELECT src, dst, row_number()"
+        " OVER (PARTITION BY src ORDER BY dst) - 1 AS k FROM e)",
+        f"uu(wid, t, ur, un, uc, ui) AS (VALUES {', '.join(u_rows)})",
+        f"s0 AS (SELECT wid, st AS start, st AS cur, CAST(-1 AS BIGINT)"
+        f" AS prev FROM (VALUES {start_rows}) w(wid, st)"
+        " WHERE st IN (SELECT v FROM verts))",
+    ]
+    for t in range(num_steps - 1):
+        # d: state + degree + uniforms + reset/first-order flags
+        parts.append(
+            f"d{t} AS MATERIALIZED ("
+            f" SELECT s.wid, s.start, s.cur, s.prev, COALESCE(g.deg, 0) AS dg,"
+            f" u.ur / {T} < {reset_prob!r} OR COALESCE(g.deg, 0) = 0 AS rst,"
+            f" u.un, u.uc, u.ui"
+            f" FROM s{t} s JOIN uu u ON u.wid = s.wid AND u.t = {t}"
+            f" LEFT JOIN deg g ON g.src = s.cur)")
+        # cl: per-candidate class rows for second-order walkers
+        parts.append(
+            f"cl{t} AS MATERIALIZED ("
+            f" SELECT d.wid, a.k, a.dst,"
+            f" CASE WHEN a.dst = d.prev THEN 0"
+            f"      WHEN EXISTS (SELECT 1 FROM e pe"
+            f"                   WHERE pe.src = d.prev AND pe.dst = a.dst)"
+            f"      THEN 1 ELSE 2 END AS cls"
+            f" FROM d{t} d JOIN adj a ON a.src = d.cur"
+            f" WHERE NOT d.rst AND d.prev >= 0)")
+        # cn: the drawn class + in-class index per second-order walker
+        parts.append(
+            f"cn{t} AS MATERIALIZED ("
+            f" SELECT wid, cls2 AS cls,"
+            f" LEAST(CAST(floor(ui2 * GREATEST(CASE cls2 WHEN 0 THEN n0"
+            f"  WHEN 1 THEN n1 ELSE n2 END, 1)) AS BIGINT),"
+            f"  CASE cls2 WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END - 1)"
+            f" AS kk FROM ("
+            f"  SELECT wid, ui2, n0, n1, n2,"
+            f"  CASE WHEN tv < n0 / {p!r} THEN 0"
+            f"       WHEN tv < n0 / {p!r} + n1 THEN 1 ELSE 2 END AS cls2"
+            f"  FROM ("
+            f"   SELECT c.wid,"
+            f"   sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS n0,"
+            f"   sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS n1,"
+            f"   sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS n2,"
+            f"   any_value(d.uc) / {T}"
+            f"    * (sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) / {p!r}"
+            f"       + sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) * 1.0"
+            f"       + sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) / {q!r})"
+            f"    AS tv,"
+            f"   any_value(d.ui) / {T} AS ui2"
+            f"   FROM cl{t} c JOIN d{t} d ON d.wid = c.wid GROUP BY c.wid)))")
+        # next state: first-order (reset/no-prev) pick uniform; else class pick
+        parts.append(
+            f"s{t + 1} AS MATERIALIZED ("
+            f" SELECT d.wid, d.start,"
+            f"  CASE WHEN d.rst THEN d.start ELSE a.dst END AS cur,"
+            f"  CASE WHEN d.rst THEN CAST(-1 AS BIGINT) ELSE d.cur END AS prev"
+            f" FROM d{t} d LEFT JOIN adj a ON a.src = d.cur AND a.k ="
+            f"  LEAST(CAST(floor((d.un / {T}) * GREATEST(d.dg, 1)) AS BIGINT),"
+            f"        d.dg - 1)"
+            f" WHERE d.rst OR d.prev < 0"
+            f" UNION ALL"
+            f" SELECT d.wid, d.start, pick.dst AS cur, d.cur AS prev"
+            f" FROM d{t} d JOIN cn{t} n ON n.wid = d.wid"
+            f" JOIN (SELECT wid, cls, dst, row_number() OVER"
+            f"       (PARTITION BY wid, cls ORDER BY k) - 1 AS r"
+            f"       FROM cl{t}) pick"
+            f"  ON pick.wid = d.wid AND pick.cls = n.cls AND pick.r = n.kk"
+            f" WHERE NOT d.rst AND d.prev >= 0)")
+    vis = " UNION ALL ".join(f"SELECT cur FROM s{t}" for t in range(num_steps))
+    return (",\n".join(parts)
+            + f"\nSELECT cur AS vertex, count(*) AS visits FROM ({vis})"
+            " GROUP BY 1")

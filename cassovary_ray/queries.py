@@ -426,8 +426,11 @@ def q_graph_walk_corpus(sf_dir: str):
 
 
 def q_graph_node2vec(sf_dir: str):
-    # second-order biased walks (rows-only gate entry — RNG-defined like
-    # graph_walk_visits; bit-exact simulator cross-check in test_node2vec.py)
+    # second-order biased walks — hash-gated: class counts are integers,
+    # class weights exact dyadics (p=0.5, q=2.0), and the counter RNG is a
+    # pure function of (seed, walker, step), so oracles.node2vec_visits_sql
+    # replays the literal same biased steps in DuckDB
+    # (bit-exact simulator cross-check in test_node2vec.py)
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
         return g.node2vec_walks([0] * 64, 50, p=0.5, q=2.0,
@@ -1397,6 +1400,9 @@ ORACLE_SQL = {
         window=2),
     "graph_hyperball": oracles.hyperball_sql(
         DERIVED_EDGES_CTE, b=6, seed=1, max_distance=4),
+    "graph_node2vec": oracles.node2vec_visits_sql(
+        DERIVED_EDGES_CTE, [0] * 64, 50, p=0.5, q=2.0,
+        reset_prob=0.15, seed=11),
     "graph_coloring": oracles.coloring_sql(DERIVED_EDGES_CTE,
                                            colors=64, rounds=2),
     "graph_hits": oracles.hits_sql(DERIVED_EDGES_CTE, iterations=8),

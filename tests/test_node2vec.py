@@ -154,3 +154,23 @@ def test_invalid_pq_raises(tmp_dir):
     with ShardedGraph(lay) as g:
         with pytest.raises(ValueError):
             g.node2vec_walks({0: 0}, 3, p=0.0)
+
+
+def test_node2vec_visits_match_duckdb(tmp_dir):
+    """The DuckDB oracle replays the literal same biased steps: SQL ==
+    bit-exact simulator == engine (the engine side is pinned against the
+    simulator above; the sf0.01 gate re-checks engine vs SQL end-to-end)."""
+    import duckdb
+
+    from cassovary_ray.oracles import node2vec_visits_sql
+
+    E = _random_edges()
+    E = E + [E[0]]  # a duplicate edge: candidates are a multiset
+    starts = [0, 5, 12, 7, 0]
+    want = _simulate(E, dict(enumerate(starts)), 12, seed=9, p=0.5, q=2.0,
+                     reset_prob=0.1)
+    cte = " UNION ALL ".join(f"SELECT {u} AS src, {v} AS dst" for u, v in E)
+    sql = node2vec_visits_sql(cte, starts, 12, p=0.5, q=2.0,
+                              reset_prob=0.1, seed=9)
+    got = {int(v): int(c) for v, c in duckdb.sql(sql).fetchall()}
+    assert got == want
