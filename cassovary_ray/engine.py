@@ -317,6 +317,17 @@ def _payload_nbytes(payload) -> int:
     return total
 
 
+# Fixed quantization grid for ANF-HLL neighborhood-function sums: each
+# per-vertex ball estimate is floored to a multiple of 2^-20 and the SUM is
+# carried as an exact integer count of grid units (Python int on the driver
+# — arbitrary precision), so N(t) is independent of partition count and
+# shard/row summation order, and ``oracles.anf_hll_sql`` reproduces it
+# bit-for-bit with ``sum(floor(ball * 2^20))``. Per-shard int64 partials
+# overflow only past 2^43 quantized pairs per shard (~8.8e12 ball-size
+# units) — raise the shard count or lower the grid before that.
+ANF_HLL_QUANT = float(1 << 20)
+
+
 def hll_estimates(regs: np.ndarray, rho_max: int) -> np.ndarray:
     """Per-row HyperLogLog cardinality estimates (Flajolet et al. '07) from
     an (n, m) uint8 register matrix.
@@ -1730,9 +1741,9 @@ class GraphShard:
 
     def anf_init_hll(self, b: int, seed: int) -> float:
         """HLL mode: (n_local, 2^b) uint8 registers seeded from each owned
-        vertex's own splitmix64 hash. Returns this shard's round-0 estimate
-        (sum of per-vertex ball-size estimates == n_local by construction
-        up to HLL small-range correction, which is exact at count 1)."""
+        vertex's own splitmix64 hash. Returns this shard's round-0
+        ball-size total as an integer count of ``ANF_HLL_QUANT`` grid
+        units (see ``_anf_shard_estimate``)."""
         from cassovary_ray.hashing import splitmix64
 
         m = 1 << b
@@ -1821,15 +1832,20 @@ class GraphShard:
                 regs[pos] = new
         return changed, self._anf_shard_estimate()
 
-    def _anf_shard_estimate(self) -> float:
+    def _anf_shard_estimate(self):
+        """Exact mode: float popcount total. HLL mode: the shard's ball-size
+        total as an exact INTEGER count of 2^-20 grid units (floor-quantized
+        per vertex, see ``ANF_HLL_QUANT``) so the driver's cross-shard sum is
+        order-independent and SQL-reproducible."""
         regs = self._anf_regs
         if len(regs) == 0:
-            return 0.0
+            return 0.0 if self._anf_mode == "exact" else 0
         if self._anf_mode == "exact":
             # popcount per row: exact ball sizes
             bytes_view = regs.view(np.uint8)
             return float(np.unpackbits(bytes_view, axis=1).sum())
-        return float(hll_estimates(regs, self._anf_rho_max).sum())
+        est = hll_estimates(regs, self._anf_rho_max)
+        return int(np.floor(est * ANF_HLL_QUANT).astype(np.int64).sum())
 
     def anf_ball_table(self) -> pa.Table:
         """(vertex, ball) — per-vertex in-ball size (exact) / HLL estimate."""
@@ -2813,6 +2829,10 @@ class ShardedGraph:
         ``mode="hll"`` (the 100 TB path): 2^precision_bits one-byte HLL
         registers per vertex — state is O(n·m), exchange is the LP shape,
         relative error ~1.04/sqrt(m) per vertex and much lower on the sum.
+        N(t) sums floor-quantize each per-vertex estimate to the 2^-20 grid
+        (``ANF_HLL_QUANT``) so the total is an exact integer fold —
+        partition- and order-independent, replayed verbatim by
+        ``oracles.anf_hll_sql``.
         ``mode="exact"``: bitsets over the dense global vertex rank —
         O(n²/8) state, ORACLE/TEST SCALE ONLY (the driver materializes the
         global vertex-id array).
@@ -2859,7 +2879,11 @@ class ShardedGraph:
         if mode == "exact":
             pairs = pa.array([int(round(r[1])) for r in rows], pa.int64())
         else:
-            pairs = pa.array([r[1] for r in rows], pa.float64())
+            # shard partials are exact integer counts of 2^-20 grid units
+            # (arbitrary-precision Python-int sum on the driver); dividing by
+            # the power-of-two grid is exact in float64 below 2^53 units
+            pairs = pa.array([r[1] / ANF_HLL_QUANT for r in rows],
+                             pa.float64())
         return pa.table({"distance": dist, "reachable_pairs": pairs})
 
     def anf_ball_sizes(self):

@@ -1499,19 +1499,15 @@ def skipgram_sql(edges_cte: str, walks_per_vertex: int, walk_length: int,
             "\nSELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2")
 
 
-def hyperball_sql(edges_cte: str, b: int = 6, seed: int = 1,
-                  max_distance: int = 4) -> str:
-    """``ShardedGraph.neighborhood_function(mode='hll') → anf_ball_sizes``
-    mirror: per-vertex HyperBall in-ball HLL estimates at distance
-    ``max_distance`` (Boldi-Rosa-Vigna HyperBall; registers from
-    ``engine.anf_init_hll``'s splitmix64(vertex ^ seed) hash).
-
-    Exactness: ball membership is set algebra (unrolled relation
-    R_{t+1} = R_t ∪ R_t∘E); register j / rank rho are integer bit ops; the
-    HLL indicator sum mirrors ``engine.hll_estimates``'s fixed ascending-k
-    count fold as one left-associated expression — identical doubles, not
-    approximations. The linear-counting branch's ``ln`` may differ by 1 ulp
-    of libm (far below the gate's 9-dp rounding)."""
+def _hyperball_scaffold(edges_cte: str, b: int, seed: int,
+                        max_distance: int):
+    """Shared CTE scaffolding for the HyperBall oracles: ``e``, ``verts``,
+    the unrolled ball relations ``r0..r{max_distance}``
+    (R_{t+1} = R_t \u222a R_t\u2218E, pure set algebra), and ``mh(mm, j, rho)`` \u2014
+    each vertex's HLL register (index, rank) from
+    ``engine.anf_init_hll``'s splitmix64(vertex ^ seed) hash, rank via the
+    engine's exact shift-cascade bit-length. Returns (parts, m, alpha,
+    rho_max)."""
     m = 1 << b
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     rho_max = 64 - b + 1
@@ -1544,23 +1540,80 @@ def hyperball_sql(edges_cte: str, b: int = 6, seed: int = 1,
         f"mh AS MATERIALIZED (SELECT mm, j,"
         f" CASE WHEN w = 0 AND bl = 0 THEN {rho_max}"
         f" ELSE 64 - (bl + w) + 1 END AS rho FROM ({q}))")
-    parts.append(
-        f"regs AS MATERIALIZED (SELECT bb.v, mh.j, max(mh.rho) AS r"
-        f" FROM r{max_distance} bb JOIN mh ON mh.mm = bb.mm GROUP BY 1, 2)")
+    return parts, m, alpha, rho_max
+
+
+def _hll_ball_blocks(tag: str, ball_rel: str, m: int, alpha: float,
+                     rho_max: int) -> tuple[list[str], str]:
+    """CTE blocks turning ball relation ``ball_rel(mm, v)`` into per-vertex
+    HLL estimates: ``regs{tag}`` (max rank per register), ``cnts{tag}``
+    (register-value counts), ``est{tag}``. The indicator sum replays
+    ``engine.hll_estimates``'s fixed ascending-k left-associated fold \u2014
+    identical doubles \u2014 and the returned SELECT yields (v, ball) with the
+    small-range linear-counting branch (``ln`` may differ by \u22641 ulp of
+    libm)."""
+    blocks = [
+        f"regs{tag} AS MATERIALIZED (SELECT bb.v, mh.j, max(mh.rho) AS r"
+        f" FROM {ball_rel} bb JOIN mh ON mh.mm = bb.mm GROUP BY 1, 2)",
+    ]
     csel = ", ".join(
         f"sum(CASE WHEN r = {k} THEN 1 ELSE 0 END) AS c{k}"
         for k in range(1, rho_max + 1))
-    parts.append(f"cnts AS (SELECT v, count(*) AS nocc, {csel}"
-                 f" FROM regs GROUP BY 1)")
+    blocks.append(f"cnts{tag} AS (SELECT v, count(*) AS nocc, {csel}"
+                  f" FROM regs{tag} GROUP BY 1)")
     inv = f"(({m} - nocc) * 1.0)"
     for k in range(1, rho_max + 1):
         inv = f"({inv} + c{k} * {2.0 ** -k!r})"
-    parts.append(f"est AS (SELECT v, ({m} - nocc) AS z,"
-                 f" {alpha!r} * {m} * {m} / {inv} AS raw FROM cnts)")
+    blocks.append(f"est{tag} AS (SELECT v, ({m} - nocc) AS z,"
+                  f" {alpha!r} * {m} * {m} / {inv} AS raw FROM cnts{tag})")
+    sel = (f"SELECT v, CASE WHEN raw <= {2.5 * m!r} AND z > 0"
+           f" THEN {m} * ln({m} / z) ELSE raw END AS ball FROM est{tag}")
+    return blocks, sel
+
+
+def hyperball_sql(edges_cte: str, b: int = 6, seed: int = 1,
+                  max_distance: int = 4) -> str:
+    """``ShardedGraph.neighborhood_function(mode='hll') \u2192 anf_ball_sizes``
+    mirror: per-vertex HyperBall in-ball HLL estimates at distance
+    ``max_distance`` (Boldi-Rosa-Vigna HyperBall; registers from
+    ``engine.anf_init_hll``'s splitmix64(vertex ^ seed) hash).
+
+    Exactness: ball membership is set algebra (unrolled relation
+    R_{t+1} = R_t \u222a R_t\u2218E); register j / rank rho are integer bit ops; the
+    HLL indicator sum mirrors ``engine.hll_estimates``'s fixed ascending-k
+    count fold as one left-associated expression \u2014 identical doubles, not
+    approximations. The linear-counting branch's ``ln`` may differ by 1 ulp
+    of libm (far below the gate's 9-dp rounding)."""
+    parts, m, alpha, rho_max = _hyperball_scaffold(edges_cte, b, seed,
+                                                   max_distance)
+    blocks, sel = _hll_ball_blocks("", f"r{max_distance}", m, alpha, rho_max)
+    parts.extend(blocks)
     return (",\n".join(parts)
-            + f"\nSELECT v AS vertex,"
-            f" CASE WHEN raw <= {2.5 * m!r} AND z > 0"
-            f" THEN {m} * ln({m} / z) ELSE raw END AS ball FROM est")
+            + "\n" + sel.replace("SELECT v,", "SELECT v AS vertex,", 1))
+
+
+def anf_hll_sql(edges_cte: str, b: int = 6, seed: int = 1,
+                max_distance: int = 4) -> str:
+    """``ShardedGraph.neighborhood_function(mode='hll')`` mirror: the
+    neighborhood function N(t) for t = 0..max_distance as the sum of
+    per-vertex HyperBall estimates, floor-quantized to the engine's fixed
+    2^-20 grid (``engine.ANF_HLL_QUANT``) so the sum is exact integer
+    arithmetic \u2014 identical to the engine's arbitrary-precision fold
+    regardless of partitioning or summation order. Each t reuses the
+    shared scaffold's ball relation r{t} and the hll fold of
+    :func:`hyperball_sql`."""
+    parts, m, alpha, rho_max = _hyperball_scaffold(edges_cte, b, seed,
+                                                   max_distance)
+    quant = repr(float(1 << 20))
+    selects = []
+    for t in range(max_distance + 1):
+        blocks, sel = _hll_ball_blocks(f"_t{t}", f"r{t}", m, alpha, rho_max)
+        parts.extend(blocks)
+        selects.append(
+            f"SELECT {t}::BIGINT AS distance,"
+            f" CAST(sum(CAST(floor(ball * {quant}) AS HUGEINT)) AS DOUBLE)"
+            f" / {quant} AS reachable_pairs FROM ({sel}) b{t}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def node2vec_visits_sql(edges_cte: str, starts: list[int], num_steps: int,

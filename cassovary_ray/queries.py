@@ -469,8 +469,10 @@ def q_graph_effective_diameter(sf_dir: str):
 
 
 def q_graph_anf_hll(sf_dir: str):
-    # HyperBall scale path: 64 one-byte HLL registers per vertex (hash-
-    # seeded estimates — rows-only; accuracy pinned vs exact in test_anf.py)
+    # HyperBall scale path: 64 one-byte HLL registers per vertex. Hash-
+    # gated via oracles.anf_hll_sql: N(t) is the 2^-20-grid-quantized
+    # integer sum of per-vertex ball estimates (order-independent exact
+    # fold); accuracy vs exact additionally pinned in test_anf.py.
     lay = _ensure_layout(sf_dir, "directed")
     with ShardedGraph(lay) as g:
         return g.neighborhood_function(mode="hll", precision_bits=6,
@@ -1399,6 +1401,8 @@ ORACLE_SQL = {
         DERIVED_EDGES_CTE, walks_per_vertex=1, walk_length=10, seed=17,
         window=2),
     "graph_hyperball": oracles.hyperball_sql(
+        DERIVED_EDGES_CTE, b=6, seed=1, max_distance=4),
+    "graph_anf_hll": oracles.anf_hll_sql(
         DERIVED_EDGES_CTE, b=6, seed=1, max_distance=4),
     "graph_node2vec": oracles.node2vec_visits_sql(
         DERIVED_EDGES_CTE, [0] * 64, 50, p=0.5, q=2.0,

@@ -95,10 +95,11 @@ def test_hll_partition_invariant(tmp_dir):
             nf = g.neighborhood_function(mode="hll", precision_bits=6,
                                          max_distance=4, seed=7).to_pandas()
         results.append(list(nf.reachable_pairs))
-    # registers are P-invariant (max-closure of per-vertex init hashes);
-    # only the float SUM order of per-vertex estimates differs across P
-    assert results[0] == pytest.approx(results[1], rel=1e-12)
-    assert results[0] == pytest.approx(results[2], rel=1e-12)
+    # registers are P-invariant (max-closure of per-vertex init hashes) and
+    # the sum is an exact integer fold over the 2^-20 quantization grid
+    # (engine.ANF_HLL_QUANT), so N(t) is bit-identical across P
+    assert results[0] == results[1]
+    assert results[0] == results[2]
 
 
 def test_ball_sizes_exact(tmp_dir):
@@ -154,3 +155,27 @@ def test_hyperball_balls_match_duckdb(tmp_dir):
     assert set(got) == set(want)
     for v in got:
         assert got[v] == pytest.approx(want[v], rel=5e-15), v
+
+
+def test_anf_hll_matches_duckdb(tmp_dir):
+    """Engine N(t) HLL estimates == the DuckDB oracle bit-for-bit: both
+    sides sum floor(ball * 2^20) as exact integers (engine.ANF_HLL_QUANT)
+    and divide by the power-of-two grid at the end."""
+    import duckdb
+
+    adj = {0: [1, 1, 2], 1: [3, 0], 2: [3, 0], 3: [0, 5], 4: [0],
+           6: [6], 5: [7], 7: [8], 9: [10, 11], 10: [12], 11: [12], 12: [9]}
+    lay = os.path.join(tmp_dir, "anf_sql")
+    build_toy_layout(adj, lay, 3)
+    with ShardedGraph(lay) as g:
+        nf = g.neighborhood_function(mode="hll", precision_bits=6,
+                                     max_distance=4).to_pandas()
+    got = dict(zip(nf.distance.astype(int), nf.reachable_pairs))
+
+    from cassovary_ray.oracles import anf_hll_sql
+
+    cte = " UNION ALL ".join(f"SELECT {u} AS src, {v} AS dst"
+                             for u, nb in adj.items() for v in nb)
+    want = {int(t): float(x)
+            for t, x in duckdb.sql(anf_hll_sql(cte, 6, 1, 4)).fetchall()}
+    assert got == want
