@@ -417,3 +417,67 @@ def range_join_counts(events, probe_type: str = "purchase",
         .groupby("user_id")
         .map_groups(count, batch_format="pandas")
     )
+
+
+def hourly_anomalies(events, z_threshold: int = 3):
+    """``(event_type, hour, n_events)`` — hours whose event count is a
+    ≥ ``z_threshold``-sigma outlier for that event type (the volume-spike /
+    outage detector of stream monitoring).
+
+    The z-test is evaluated in EXACT integer arithmetic so results are
+    reduction-order-free and hash-match the SQL oracle: with per-type hour
+    count n, sum s = Σc and sum of squares ss = Σc², population variance is
+    (n·ss − s²)/n² and z² ≥ T² rewrites to
+
+        (c·n − s)² ≥ T² · (n·ss − s²),   requiring (n·ss − s²) > 0
+
+    (zero variance ⇒ every hour equals the mean ⇒ no anomalies; this also
+    drops single-hour types). int64-exact while Σc² · n < 2^63 — roughly
+    3·10^9 events per type per stats window; shard the window (e.g. per
+    day) before that.
+
+    Scale shape: one pre-combined ``groupby(event_type, hour)`` (hours ≪
+    events), one tiny per-type stats groupby, then a broadcast join of the
+    stats onto the hourly stream — no second shuffle, no driver loop."""
+    from cassovary_ray.joins import broadcast_hash_join
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pa.array(ts // US_PER_HOUR, pa.int64()),
+        })
+
+    hourly = (
+        events.map_batches(kernel, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch["n_events"].to_numpy(zero_copy_only=False)
+        return batch.append_column("c_sq", pa.array(c * c, pa.int64()))
+
+    stats = (
+        hourly.map_batches(square, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_hours"),
+                   Sum("n_events", alias_name="sum_c"),
+                   Sum("c_sq", alias_name="sum_sq"))
+    )
+
+    t_sq = z_threshold * z_threshold
+
+    def flag(batch: pa.Table) -> pa.Table:
+        c = batch["n_events"].to_numpy(zero_copy_only=False)
+        n = batch["n_hours"].to_numpy(zero_copy_only=False)
+        s = batch["sum_c"].to_numpy(zero_copy_only=False)
+        ss = batch["sum_sq"].to_numpy(zero_copy_only=False)
+        dev = c * n - s
+        var_n2 = n * ss - s * s  # n² · variance, exact int64
+        keep = (dev * dev >= t_sq * var_n2) & (var_n2 > 0)
+        return batch.filter(pa.array(keep)).select(
+            ["event_type", "hour", "n_events"])
+
+    return broadcast_hash_join(hourly, stats, on="event_type").map_batches(
+        flag, batch_format="pyarrow")

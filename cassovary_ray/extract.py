@@ -398,3 +398,78 @@ def pages_to_vertices(pages_ds):
         return pa.table({"vertex": pa.array(v, pa.int64())})
 
     return pages_ds.map_batches(k, batch_format="pyarrow")
+
+
+def crawl_frontier(edge_urls_ds, num_partitions: int = 16):
+    """``(url, n_inlinks)`` — the crawl frontier: link targets not yet
+    fetched, ranked by how many crawled pages point at them (the standard
+    breadth-expansion priority of a web crawler; cf. the reference's
+    GzipGraphDownloader ingest side, `util/io/GzipGraphDownloader.scala`,
+    which consumes the OUTPUT of such a crawl).
+
+    Scale shape: the crawled set is the distinct src side (page-count
+    rows), candidates are one pre-combined ``groupby(dst_url)`` over the
+    edge stream, and "not yet crawled" is a distributed hash anti-join —
+    no driver set, no broadcast of the url universe."""
+    from ray.data.aggregate import Count
+
+    from cassovary_ray.joins import shuffle_join
+
+    cand = (
+        edge_urls_ds.select_columns(["dst_url"])
+        .rename_columns({"dst_url": "url"})
+        .groupby("url")
+        .aggregate(Count(alias_name="n_inlinks"))
+    )
+    crawled = (
+        edge_urls_ds.select_columns(["src_url"])
+        .rename_columns({"src_url": "url"})
+    )
+    return shuffle_join(cand, crawled, on="url", how="anti",
+                        num_partitions=num_partitions)
+
+
+# URL canonicalization: a fixed chain of RE2 rewrites shared verbatim with
+# the SQL oracle (pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace(..., 'g') are both RE2, so the transform is identical
+# byte-for-byte). Order matters: fragments go first so `utm_[^&#]*` never
+# swallows one; the ?utm→? bridge runs before the generic utm drop.
+_URL_CANON_STEPS: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                                  # drop fragment
+    (r"&utm_[^&]*", ""),                            # drop non-leading utm_*
+    (r"\?utm_[^&]*&", "?"),                         # ?utm_x=1&q=2 → ?q=2
+    (r"\?utm_[^&]*$", ""),                          # ?utm_x=1 → (nothing)
+    (r"^(http://[^/:?#]+):80(/|\?|$)", r"\1\2"),    # default http port only
+    (r"^([a-z]+://[^?#]*[^/?#])/(\?|$)", r"\1\2"),  # trailing slash
+)
+
+
+def canonicalize_urls(urls_ds, url_col: str = "url"):
+    """Append a ``canonical_url`` column: the input url with fragment,
+    ``utm_*`` tracking params, default ``:80`` port and trailing slash
+    removed (the crawl-dedup normalization; RFC 3986 §6 syntax-based
+    normalization subset). Vectorized RE2 rewrites, zero Python per row."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        c = b[url_col]
+        for pat, rep in _URL_CANON_STEPS:
+            c = pc.replace_substring_regex(c, pat, rep)
+        return b.append_column("canonical_url", c)
+
+    return urls_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def url_dedup(urls_ds, url_col: str = "url"):
+    """Collapse url variants onto their canonical form:
+    ``(canonical_url, n_variants, kept_url)`` — observation count and the
+    lexicographically-smallest raw variant (the deterministic
+    representative to fetch/keep). One groupby on the canonical key after
+    the streaming canonicalization pass."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        canonicalize_urls(urls_ds, url_col)
+        .groupby("canonical_url")
+        .aggregate(Count(alias_name="n_variants"),
+                   Min(url_col, alias_name="kept_url"))
+    )

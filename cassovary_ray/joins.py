@@ -90,7 +90,11 @@ def broadcast_hash_join(probe, build, on, *, right_on=None, how="inner",
     if len(on) != len(right_on):
         raise ValueError("on and right_on must have the same length")
 
-    blocks = [ray.get(r) for r in build.to_arrow_refs()]
+    # Ray aggregates can emit zero-column placeholder blocks alongside the
+    # real ones; they carry no rows and would fail the schema-equality
+    # check in concat_tables — drop them.
+    blocks = [b for b in (ray.get(r) for r in build.to_arrow_refs())
+              if b.num_columns > 0]
     build_tbl = (pa.concat_tables(blocks) if blocks
                  else build.schema().base_schema.empty_table())
     ref = ray.put(build_tbl.combine_chunks())

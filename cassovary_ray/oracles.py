@@ -1318,9 +1318,10 @@ def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16, shingle: int = 3,
     tie-probability stance)."""
     from cassovary_ray.hashing import splitmix64
 
-    salts = splitmix64(
-        np.arange(num_hashes, dtype=np.uint64)
-        + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+        salts = splitmix64(
+            np.arange(num_hashes, dtype=np.uint64)
+            + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
     salt_rows = ", ".join(f"({j}, {int(s)}::HUGEINT)"
                           for j, s in enumerate(salts))
     r = num_hashes // bands

@@ -881,6 +881,20 @@ def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM log-likelihood per doc (the CCNet-style
+    quality filter signal) — exact-int 2^-20-quantized log-prob fold,
+    hash-gated against the pure-SQL bigram model."""
+    return textops.lm_scores(_table(sf_dir, "documents"))
+
+
+def q_events_anomaly(sf_dir: str):
+    """Hourly volume-spike detection per event type: ≥3σ outlier hours by
+    the exact-integer z² test (zero floats → hash-gated)."""
+    return events_ops.hourly_anomalies(_table(sf_dir, "events"),
+                                       z_threshold=3)
+
+
 def q_graph_reciprocity(sf_dir: str):
     return analytics.reciprocity(derived_edges(sf_dir))
 
@@ -970,23 +984,74 @@ def q_graph_sample_neighbors(sf_dir: str):
     return analytics.sample_neighbors(derived_edges(sf_dir), k=3, seed=7)
 
 
+def _edge_urls_batch(b: pa.Table) -> pa.Table:
+    """Synthetic url scaffolding for the web_* gate queries (not a hot
+    path): vertex v → ``http://h{v%53}.test/p/{v}``, mirrored verbatim by
+    the oracles' ``'http://h' || (v % 53) || '.test/p/' || v``."""
+    def mk(col):
+        return pa.array(
+            [f"http://h{v % 53}.test/p/{v}"
+             for v in b[col].to_numpy(zero_copy_only=False)], pa.string())
+    return pa.table({"src_url": mk("src"), "dst_url": mk("dst")})
+
+
 def q_web_host_graph(sf_dir: str):
     """Host-level collapse of a synthetic page-link graph (urls derived
     deterministically from the edge table): ``(src_host, dst_host,
     n_links)`` — the web-graph reduction feeding host-level PageRank."""
     from cassovary_ray import extract
 
-    def to_urls(b: pa.Table) -> pa.Table:
-        # synthetic scaffolding (gate feed), not a hot path — the operator
-        # under test (host_graph) is the vectorized part
-        def mk(col):
-            return pa.array(
-                [f"http://h{v % 53}.test/p/{v}"
-                 for v in b[col].to_numpy(zero_copy_only=False)], pa.string())
-        return pa.table({"src_url": mk("src"), "dst_url": mk("dst")})
-
     return extract.host_graph(
-        derived_edges(sf_dir).map_batches(to_urls, batch_format="pyarrow"))
+        derived_edges(sf_dir).map_batches(_edge_urls_batch,
+                                          batch_format="pyarrow"))
+
+
+def q_web_crawl_frontier(sf_dir: str):
+    """Crawl frontier of the synthetic page-link graph: link targets with
+    no crawled page of their own, ranked by in-link count — one
+    pre-combined groupby + a distributed anti-join (no url-universe
+    broadcast, no driver set)."""
+    from cassovary_ray import extract
+
+    return extract.crawl_frontier(
+        derived_edges(sf_dir).map_batches(_edge_urls_batch,
+                                          batch_format="pyarrow"))
+
+
+def q_web_url_dedup(sf_dir: str):
+    """URL canonicalization dedup: messy variants (fragments, utm params,
+    :80 ports, trailing slashes — deterministically synthesised per edge)
+    collapsed onto their canonical form with an observation count and the
+    lexicographically-smallest kept variant. The RE2 rewrite chain is
+    shared verbatim with the SQL oracle."""
+    from cassovary_ray import extract
+
+    def messy(b: pa.Table) -> pa.Table:
+        # gate-feed scaffolding, mirrored by the oracle's CASE expressions
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        urls = []
+        for s, d in zip(src, dst):
+            u = f"http://h{d % 53}.test"
+            if s % 7 == 0:
+                u += ":80"
+            u += f"/p/{d}"
+            if s % 2 == 0:
+                u += "/"
+            params = []
+            if s % 3 == 0:
+                params.append(f"utm_source=s{s % 5}")
+            if d % 5 == 0:
+                params.append(f"q={d % 11}")
+            if params:
+                u += "?" + "&".join(params)
+            if s % 11 == 0:
+                u += f"#f{s % 4}"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return extract.url_dedup(
+        derived_edges(sf_dir).map_batches(messy, batch_format="pyarrow"))
 
 
 def q_graph_densest(sf_dir: str):
@@ -1244,6 +1309,7 @@ QUERIES = {
     "join_customer_no_f_orders": q_join_customer_no_f_orders,
     "join_customer_order_counts": q_join_customer_order_counts,
     "doc_vocab": q_doc_vocab,
+    "doc_lm_score": q_doc_lm_score,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_degree_hist": q_graph_degree_hist,
     "graph_two_hop": q_graph_two_hop,
@@ -1254,6 +1320,8 @@ QUERIES = {
     "graph_coreness": q_graph_coreness,
     "graph_wl": q_graph_wl,
     "web_host_graph": q_web_host_graph,
+    "web_crawl_frontier": q_web_crawl_frontier,
+    "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
     "graph_sample_neighbors": q_graph_sample_neighbors,
@@ -1276,6 +1344,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_latest": q_events_latest,
     "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
 }
 
 
@@ -1652,6 +1721,32 @@ ORACLE_SQL = {
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                         WHEN 'fr' THEN 0.1 ELSE 0.05 END
     """,
+    "doc_lm_score": r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        t_toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM d),
+        bg AS (
+            SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr) - 1)) AS i
+                  FROM t_toks)),
+        bgc AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS cnt
+                FROM bg GROUP BY 1, 2, 3),
+        cab AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c_ab
+                FROM bgc GROUP BY 1, 2),
+        ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+        sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                      CAST(sum(cnt *
+                        (CAST(floor(ln(c_ab) * 1048576.0) AS BIGINT)
+                         - CAST(floor(ln(c_a) * 1048576.0) AS BIGINT)))
+                      AS BIGINT) AS lm_logprob_q
+               FROM bgc JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               coalesce(s.lm_logprob_q, 0) AS lm_logprob_q
+        FROM d LEFT JOIN sc s USING (doc_id)
+    """,
     "doc_rarity": r"""
         WITH tok AS (
             SELECT doc_id,
@@ -1723,6 +1818,20 @@ ORACLE_SQL = {
         SELECT user_id, min(ts_us) AS session_start_us,
                count(*) AS n_events, CAST(sum(vmilli) AS BIGINT) AS value_milli
         FROM s GROUP BY user_id, session
+    """,
+    "events_anomaly": """
+        WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                          CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(n_events) AS BIGINT) AS s,
+                      CAST(sum(n_events * n_events) AS BIGINT) AS ss
+               FROM h GROUP BY 1)
+        SELECT h.event_type, h.hour, h.n_events
+        FROM h JOIN st USING (event_type)
+        WHERE (h.n_events * st.n - st.s) * (h.n_events * st.n - st.s)
+              >= 9 * (st.n * st.ss - st.s * st.s)
+          AND (st.n * st.ss - st.s * st.s) > 0
     """,
     "events_retention": """
         WITH uh AS (SELECT DISTINCT user_id,
@@ -1904,6 +2013,56 @@ ORACLE_SQL = {
                regexp_extract(dst_url, '^https?://([^/?#]*)', 1) AS dst_host,
                count(*) AS n_links
         FROM urls GROUP BY 1, 2
+    """,
+    "web_crawl_frontier": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        urls AS (
+            SELECT 'http://h' || CAST(src % 53 AS VARCHAR) || '.test/p/'
+                   || CAST(src AS VARCHAR) AS src_url,
+                   'http://h' || CAST(dst % 53 AS VARCHAR) || '.test/p/'
+                   || CAST(dst AS VARCHAR) AS dst_url
+            FROM e),
+        cand AS (SELECT dst_url AS url, count(*) AS n_inlinks
+                 FROM urls GROUP BY 1),
+        crawled AS (SELECT DISTINCT src_url AS url FROM urls)
+        SELECT c.url, CAST(c.n_inlinks AS BIGINT) AS n_inlinks
+        FROM cand c ANTI JOIN crawled w USING (url)
+    """,
+    "web_url_dedup": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        urls AS (
+            SELECT 'http://h' || CAST(dst % 53 AS VARCHAR) || '.test'
+                   || CASE WHEN src % 7 = 0 THEN ':80' ELSE '' END
+                   || '/p/' || CAST(dst AS VARCHAR)
+                   || CASE WHEN src % 2 = 0 THEN '/' ELSE '' END
+                   || CASE
+                        WHEN src % 3 = 0 AND dst % 5 = 0 THEN
+                          '?utm_source=s' || CAST(src % 5 AS VARCHAR)
+                          || '&q=' || CAST(dst % 11 AS VARCHAR)
+                        WHEN src % 3 = 0 THEN
+                          '?utm_source=s' || CAST(src % 5 AS VARCHAR)
+                        WHEN dst % 5 = 0 THEN
+                          '?q=' || CAST(dst % 11 AS VARCHAR)
+                        ELSE '' END
+                   || CASE WHEN src % 11 = 0
+                           THEN '#f' || CAST(src % 4 AS VARCHAR)
+                           ELSE '' END AS url
+            FROM e),
+        canon AS (
+            SELECT url,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(url,
+                  '#.*$', '', 'g'),
+                  '&utm_[^&]*', '', 'g'),
+                  '\\?utm_[^&]*&', '?', 'g'),
+                  '\\?utm_[^&]*$', '', 'g'),
+                  '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2', 'g'),
+                  '^([a-z]+://[^?#]*[^/?#])/(\\?|$)', '\\1\\2', 'g')
+              AS canonical_url
+            FROM urls)
+        SELECT canonical_url, count(*) AS n_variants,
+               min(url) AS kept_url
+        FROM canon GROUP BY 1
     """,
     "graph_scc": oracles.scc_sql(DERIVED_EDGES_CTE),
     "doc_dedup_clusters": oracles.dedup_clusters_sql(n=3, max_df=50, threshold=0.5),

@@ -1405,3 +1405,97 @@ def bpe_token_counts(docs):
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow")
+
+
+def lm_scores(docs, quant_bits: int = 20, num_partitions: int | None = None):
+    """``(doc_id, n_bigrams, lm_logprob_q)`` — corpus-trained bigram
+    language-model log-likelihood, the CCNet/KenLM-style quality signal
+    (Wenzek et al. 2020: docs whose token sequences the corpus LM finds
+    improbable are boilerplate/gibberish candidates).
+
+    Model: p(b|a) = c(a,b) / c(a,·) over whitespace bigrams of the corpus
+    itself, so every scored bigram has count ≥ 1 — no smoothing. Per-bigram
+    log-prob is quantized to the fixed 2^-quant_bits grid,
+    ``llq(a,b) = floor(ln c(a,b)·2^Q) − floor(ln c(a,·)·2^Q)``, and a doc's
+    ``lm_logprob_q = Σ multiplicity·llq`` is an exact int64 fold —
+    reduction-order-free, hash-matching the DuckDB oracle (counts are
+    integers, so numpy log vs DuckDB ln agree to ≤1 ulp; a floor flip needs
+    ln(c)·2^Q within one ulp of an integer — negligible and count-valued).
+    ``lm_avg = lm_logprob_q / (2^Q · n_bigrams)`` is a row-wise float
+    derivation left to the caller. int64 bound: |per-doc sum| ≤
+    n_tokens · ln(corpus_bigrams) · 2^Q ≈ n_tokens · 3e7 — overflows only
+    past ~3·10^11 tokens per document.
+
+    Scale shape (no corpus broadcast, no driver collect):
+    - per-doc bigram MULTISETS come out of one ``map_batches`` (a doc is
+      never split across batches), pre-combined to (doc_id, a, b, cnt);
+    - c(a,b) is one bigram-vocab ``groupby``; c(a,·) one more groupby of
+      its (already small) output — the classic two-level pre-aggregation;
+    - decorating each (doc, a, b) row is two hash joins on (a, b) then (a);
+    - the per-doc score is one ``groupby(doc_id)``; docs with < 2 tokens
+      are zero-filled through a distributed anti-join on the doc-id spine.
+    """
+    from collections import Counter
+
+    from cassovary_ray.analytics import _auto_partitions, _join_safe
+
+    P = _auto_partitions(num_partitions)
+    Q = float(1 << quant_bits)
+
+    def bigram_kernel(batch: pa.Table) -> pa.Table:
+        ids, aa, bb, cnt = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = _WS_SPLIT.split(t.strip(" "))
+            c = Counter(zip(toks, toks[1:]))
+            ids.extend([did] * len(c))
+            aa.extend(k[0] for k in c)
+            bb.extend(k[1] for k in c)
+            cnt.extend(c.values())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "a": pa.array(aa, pa.string()),
+                         "b": pa.array(bb, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    bg = _join_safe(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            bigram_kernel, batch_format="pyarrow"),
+        P,
+    )
+    cab = _join_safe(
+        bg.groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="c_ab")), P)
+    ca = _join_safe(
+        cab.groupby("a").aggregate(Sum("c_ab", alias_name="c_a")), P)
+    j = (bg.join(cab, "inner", P, on=("a", "b"))
+         .join(ca, "inner", P, on=("a",)))
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        c_ab = batch["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = batch["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        llq = (np.floor(np.log(c_ab) * Q).astype(np.int64)
+               - np.floor(np.log(c_a) * Q).astype(np.int64))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "cnt": batch["cnt"],
+                         "contrib": pa.array(cnt * llq, pa.int64())})
+
+    scored = _join_safe(
+        j.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_bigrams"),
+                   Sum("contrib", alias_name="lm_logprob_q")),
+        P,
+    )
+
+    from cassovary_ray.joins import shuffle_join
+
+    spine = docs.select_columns(["doc_id"])
+    missing = shuffle_join(spine, scored.select_columns(["doc_id"]),
+                           on="doc_id", how="anti", num_partitions=P)
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(batch), np.int64), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bigrams": z, "lm_logprob_q": z})
+
+    return scored.union(missing.map_batches(zeros, batch_format="pyarrow"))

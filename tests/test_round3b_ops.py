@@ -1,0 +1,164 @@
+"""Round-3 operator additions: bigram-LM scoring, hourly anomaly z-test,
+crawl frontier, url canonicalization/dedup."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cassovary_ray import events as events_ops
+from cassovary_ray import extract, textops
+
+Q = float(1 << 20)
+
+
+def _brute_lm(texts: dict[int, str]) -> dict[int, tuple[int, int]]:
+    """(n_bigrams, lm_logprob_q) per doc — direct reimplementation."""
+    cab: Counter = Counter()
+    for t in texts.values():
+        toks = t.strip(" ").split()
+        cab.update(zip(toks, toks[1:]))
+    ca: Counter = Counter()
+    for (a, _b), c in cab.items():
+        ca[a] += c
+    out = {}
+    for did, t in texts.items():
+        toks = t.strip(" ").split()
+        bgs = list(zip(toks, toks[1:]))
+        s = sum(
+            math.floor(math.log(cab[g]) * Q) - math.floor(math.log(ca[g[0]]) * Q)
+            for g in bgs
+        )
+        out[did] = (len(bgs), s)
+    return out
+
+
+def test_lm_scores_brute_force():
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat on a log",
+        4: "the cat sat on the mat again",
+        5: "xyzzy",           # single token: no bigrams, zero-filled
+        6: "",                # empty text: no bigrams
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }))
+    got = textops.lm_scores(docs).to_pandas().set_index("doc_id")
+    want = _brute_lm(texts)
+    assert set(got.index) == set(texts)
+    for did, (nb, s) in want.items():
+        assert int(got.loc[did, "n_bigrams"]) == nb, did
+        assert int(got.loc[did, "lm_logprob_q"]) == s, did
+    # repeated bigrams score higher (less negative) than hapax bigrams
+    per_bg = {d: s / max(n, 1) for d, (n, s) in want.items() if n}
+    assert per_bg[4] > per_bg[3]
+
+
+def _events_table(rows):
+    return ray.data.from_arrow(pa.table({
+        "ts": pa.array([r[0] * 3_600_000_000 + 5 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "user_id": pa.array([7] * len(rows), pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }))
+
+
+def test_hourly_anomalies_flags_spike():
+    # type "a": 12 quiet hours at 2 events + one 40-event spike → flagged;
+    # type "b": constant rate (zero variance) → nothing flagged
+    rows = []
+    for h in range(12):
+        rows += [(h, "a")] * 2
+    rows += [(12, "a")] * 40
+    for h in range(13):
+        rows += [(h, "b")] * 3
+    out = events_ops.hourly_anomalies(_events_table(rows), z_threshold=3)
+    df = out.to_pandas()
+    assert list(zip(df.event_type, df.hour)) == [("a", 12)]
+    assert int(df.n_events.iloc[0]) == 40
+    # the exact-integer z² test agrees with the float z-score
+    c = np.array([2.0] * 12 + [40.0])
+    z = (40 - c.mean()) / c.std()
+    assert z >= 3
+
+
+def test_hourly_anomalies_zero_variance_silent():
+    rows = [(h, "c") for h in range(5) for _ in range(4)]
+    assert events_ops.hourly_anomalies(_events_table(rows)).count() == 0
+
+
+def test_crawl_frontier():
+    # crawled pages: A, B. A→B (crawled, not frontier), A→C, B→C, B→D
+    edges = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["http://a", "http://a", "http://b", "http://b"]),
+        "dst_url": pa.array(["http://b", "http://c", "http://c", "http://d"]),
+    }))
+    df = extract.crawl_frontier(edges, num_partitions=2).to_pandas()
+    got = dict(zip(df.url, df.n_inlinks))
+    assert got == {"http://c": 2, "http://d": 1}
+
+
+CANON_CASES = [
+    ("http://h1.test/p/5", "http://h1.test/p/5"),
+    ("http://h1.test/p/5/", "http://h1.test/p/5"),
+    ("http://h1.test:80/p/5", "http://h1.test/p/5"),
+    ("http://h1.test/p/5#frag", "http://h1.test/p/5"),
+    ("http://h1.test/p/5?utm_source=x", "http://h1.test/p/5"),
+    ("http://h1.test/p/5?utm_a=1&q=2", "http://h1.test/p/5?q=2"),
+    ("http://h1.test/p/5?q=2&utm_a=1", "http://h1.test/p/5?q=2"),
+    ("http://h1.test/p/5?utm_a=1&utm_b=2&q=3", "http://h1.test/p/5?q=3"),
+    ("http://h1.test/p/5?utm_a=1&q=2&utm_b=3", "http://h1.test/p/5?q=2"),
+    ("http://h1.test:80/p/5/?utm_s=1&q=2#f", "http://h1.test/p/5?q=2"),
+    ("https://h1.test:80/", "https://h1.test:80"),  # :80 not https default
+    ("http://h1.test:8080/p/5", "http://h1.test:8080/p/5"),
+]
+
+
+def test_canonicalize_urls_cases():
+    urls = ray.data.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in CANON_CASES], pa.string())}))
+    df = extract.canonicalize_urls(urls).to_pandas()
+    got = dict(zip(df.url, df.canonical_url))
+    for raw, want in CANON_CASES:
+        assert got[raw] == want, raw
+
+
+def test_canonicalize_matches_duckdb_chain():
+    """The engine's RE2 chain and the oracle's regexp_replace chain are the
+    same transform byte-for-byte."""
+    import duckdb
+
+    raws = [u for u, _ in CANON_CASES]
+    sql = "SELECT url,\n"
+    expr = "url"
+    for pat, rep in extract._URL_CANON_STEPS:
+        # SQL single-quoted literals pass backslashes through untouched
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    vals = ", ".join(f"('{u}')" for u in raws)
+    sql += f"{expr} AS canon FROM (VALUES {vals}) t(url)"
+    want = dict(duckdb.sql(sql).fetchall())
+    urls = ray.data.from_arrow(pa.table({"url": pa.array(raws, pa.string())}))
+    df = extract.canonicalize_urls(urls).to_pandas()
+    got = dict(zip(df.url, df.canonical_url))
+    assert got == want
+
+
+def test_url_dedup_collapses_variants():
+    raws = ["http://h1.test/p/5", "http://h1.test/p/5/",
+            "http://h1.test:80/p/5#x", "http://h2.test/p/9?q=1",
+            "http://h2.test/p/9?utm_z=0&q=1"]
+    urls = ray.data.from_arrow(pa.table({"url": pa.array(raws, pa.string())}))
+    df = extract.url_dedup(urls).to_pandas().set_index("canonical_url")
+    assert int(df.loc["http://h1.test/p/5", "n_variants"]) == 3
+    assert df.loc["http://h1.test/p/5", "kept_url"] == "http://h1.test/p/5"
+    assert int(df.loc["http://h2.test/p/9?q=1", "n_variants"]) == 2
