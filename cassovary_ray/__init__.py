@@ -57,6 +57,12 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "PrevNbrCounter": ("cassovary_ray.tourist", "PrevNbrCounter"),
         "PathsCounter": ("cassovary_ray.tourist", "PathsCounter"),
         "image_ahash": ("cassovary_ray.multimodal", "image_ahash"),
+        "lm_scores": ("cassovary_ray.textops", "lm_scores"),
+        "hourly_anomalies": ("cassovary_ray.events", "hourly_anomalies"),
+        "count_min_counts": ("cassovary_ray.events", "count_min_counts"),
+        "crawl_frontier": ("cassovary_ray.extract", "crawl_frontier"),
+        "canonicalize_urls": ("cassovary_ray.extract", "canonicalize_urls"),
+        "url_dedup": ("cassovary_ray.extract", "url_dedup"),
     }
     if name in public:
         import importlib

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -481,3 +482,78 @@ def hourly_anomalies(events, z_threshold: int = 3):
 
     return broadcast_hash_join(hourly, stats, on="event_type").map_batches(
         flag, batch_format="pyarrow")
+
+
+def _cm_salts(depth: int, seed: int) -> np.ndarray:
+    """Per-row salts of the Count-Min sketch: splitmix64(j+1 ⊕ seed·golden),
+    shared by the engine kernel and ``oracles.count_min_sql``."""
+    from cassovary_ray.hashing import splitmix64
+
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+        return splitmix64(
+            np.arange(1, depth + 1, dtype=np.uint64)
+            ^ (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)))
+
+
+def count_min_counts(events, key_col: str = "user_id", depth: int = 4,
+                     width: int = 256, seed: int = 7):
+    """``(user_id, n_exact, cm_estimate)`` — per-key exact counts next to
+    their Count-Min sketch estimates (Cormode & Muthukrishnan 2005), the
+    fixed-memory heavy-hitter primitive for streams too large to key-count.
+
+    Everything is integer arithmetic (cell sums, min over rows), so the
+    output is reduction-order-free and hash-matches the SQL oracle; the
+    guarantee ``cm_estimate ≥ n_exact`` is asserted by tests.
+
+    Scale shape: each batch pre-combines into its own (depth × width)
+    counter matrix and emits ≤ depth·width non-zero cells — the groupby
+    that follows moves sketch-sized data, NEVER key-sized. The combined
+    sketch (depth·width int64s, a few KB) is the one driver-side object —
+    that is the point of a sketch — and is ``ray.put`` once for the
+    estimate pass. The exact side (one key groupby) exists only to expose
+    the estimate/exact pairing; production callers query the sketch alone.
+    """
+    from cassovary_ray.hashing import splitmix64
+
+    salts = _cm_salts(depth, seed)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        uu = uniq.astype(np.uint64)
+        for j in range(depth):
+            k = (splitmix64(uu ^ salts[j]) % np.uint64(width)).astype(np.int64)
+            np.add.at(mat[j], k, cnt)
+        jj, kk = np.nonzero(mat)
+        return pa.table({"j": pa.array(jj, pa.int64()),
+                         "k": pa.array(kk, pa.int64()),
+                         "c": pa.array(mat[jj, kk], pa.int64())})
+
+    sketch_ds = (
+        events.select_columns([key_col])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby(["j", "k"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    sk = sketch_ds.to_pandas()  # ≤ depth·width rows by construction
+    mat[sk["j"].to_numpy(), sk["k"].to_numpy()] = sk["cnt"].to_numpy()
+    mat_ref = ray.put(mat)
+
+    exact = (
+        events.select_columns([key_col])
+        .groupby(key_col)
+        .aggregate(Count(alias_name="n_exact"))
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        m = ray.get(mat_ref)
+        uu = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        est = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(depth):
+            k = (splitmix64(uu ^ salts[j]) % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, m[j, k])
+        return batch.append_column("cm_estimate", pa.array(est, pa.int64()))
+
+    return exact.map_batches(estimate, batch_format="pyarrow")

@@ -270,33 +270,33 @@ def local_clustering_sql(edges_cte: str) -> str:
     """
 
 
-def ivf_knn_sql(centroids: np.ndarray, n_queries: int, k: int, nprobe: int) -> str:
-    """IVF-restricted kNN over ``embeddings``: every vector is assigned to
-    its max-inner-product centroid (pre-normalized literals, so inner
-    product = cosine ranking); queries probe their ``nprobe`` best
-    centroids; exact cosine top-k within the probed cells. Tie-break on the
-    centroid ranking is lowest centroid id (measure-zero for real data —
-    same acceptance as the LSH sign bits)."""
-    n_cent, _dim = centroids.shape
-    rows = ", ".join(
+def _centroid_literal_rows(centroids) -> str:
+    """VALUES rows ``(cid, [c_0, ...])`` for a literal centroid matrix."""
+    return ", ".join(
         "(%d, [%s])" % (c, ", ".join(repr(float(x)) for x in centroids[c]))
-        for c in range(n_cent)
+        for c in range(len(centroids))
     )
+
+
+def _ivf_search_sql(ct_rel: str, n_queries: int, k: int, nprobe: int) -> str:
+    """Shared IVF search tail over centroid relation ``ct_rel(cid, c)`` and
+    ``emb(vec_id, de)``: assign every vector to its max-inner-product
+    centroid, probe each query's ``nprobe`` best cells, exact cosine top-k
+    within the probed cells. Tie-breaks: lowest centroid id / lowest
+    neighbor id (measure-zero for real-valued data)."""
     return f"""
-        WITH ct(cid, c) AS (VALUES {rows}),
-        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
         asg AS (SELECT emb.vec_id, ct.cid,
                        row_number() OVER (PARTITION BY emb.vec_id
                                           ORDER BY list_inner_product(emb.de, ct.c) DESC,
                                                    ct.cid) AS rn
-                FROM emb CROSS JOIN ct),
+                FROM emb CROSS JOIN {ct_rel} ct),
         assign AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, de AS qe FROM emb WHERE vec_id < {n_queries}),
         probe AS (SELECT q.query_id, ct.cid,
                          row_number() OVER (PARTITION BY q.query_id
                                             ORDER BY list_inner_product(q.qe, ct.c) DESC,
                                                      ct.cid) AS rn
-                  FROM q CROSS JOIN ct),
+                  FROM q CROSS JOIN {ct_rel} ct),
         wanted AS (SELECT DISTINCT cid FROM probe WHERE rn <= {nprobe}),
         cand AS (SELECT emb.vec_id, emb.de FROM emb
                  JOIN assign USING (vec_id)
@@ -310,6 +310,66 @@ def ivf_knn_sql(centroids: np.ndarray, n_queries: int, k: int, nprobe: int) -> s
               FROM sims)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
     """
+
+
+def ivf_knn_sql(centroids: np.ndarray, n_queries: int, k: int, nprobe: int) -> str:
+    """IVF-restricted kNN over ``embeddings``: every vector is assigned to
+    its max-inner-product centroid (pre-normalized literals, so inner
+    product = cosine ranking); queries probe their ``nprobe`` best
+    centroids; exact cosine top-k within the probed cells. Tie-break on the
+    centroid ranking is lowest centroid id (measure-zero for real data —
+    same acceptance as the LSH sign bits)."""
+    return f"""
+        WITH ct(cid, c) AS (VALUES {_centroid_literal_rows(centroids)}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        {_ivf_search_sql("ct", n_queries, k, nprobe)}
+    """
+
+
+def kmeans_ivf_knn_sql(init_centroids: np.ndarray, iters: int,
+                       n_queries: int, k: int, nprobe: int) -> str:
+    """``ann.kmeans_centroids`` + ``ann.ivf_knn(centroids=...)`` mirror:
+    Lloyd spherical k-means unrolled from the literal init directions, then
+    the shared IVF search tail over the trained centroids.
+
+    Exactness stance (the knn_top5/knn_ivf acceptance, NOT the bit-exact
+    hash-sketch one): per-cluster means are float sums whose reduction
+    order differs between numpy and DuckDB by ~1e-15; that noise can only
+    change the RESULT if it flips an assignment/probe argmax or a final
+    top-k boundary — measure-zero for real-valued embeddings, and the final
+    sims are exact cosines of the raw vectors (centroids only select the
+    candidate cells). Per-iteration semantics mirror the engine exactly:
+    assign = max inner product (ties -> lowest cid), empty clusters keep
+    their previous centroid, non-empty means renormalized to unit length
+    (norm 0 kept unnormalized)."""
+    n_cent, dim = init_centroids.shape
+    parts = [
+        f"WITH ct0(cid, c) AS (VALUES {_centroid_literal_rows(init_centroids)})",
+        "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de"
+        " FROM embeddings)",
+    ]
+    for t in range(iters):
+        mean_list = ", ".join(f"avg(de[{d + 1}])" for d in range(dim))
+        parts.append(
+            f"asg{t} AS (SELECT vec_id, de, cid FROM ("
+            f" SELECT emb.vec_id, emb.de, ct.cid,"
+            f" row_number() OVER (PARTITION BY emb.vec_id"
+            f" ORDER BY list_inner_product(emb.de, ct.c) DESC, ct.cid) AS rn"
+            f" FROM emb CROSS JOIN ct{t} ct) WHERE rn = 1)")
+        parts.append(
+            f"upd{t} AS (SELECT cid, [{mean_list}] AS mean"
+            f" FROM asg{t} GROUP BY cid)")
+        parts.append(
+            f"nm{t} AS (SELECT cid, mean,"
+            f" sqrt(list_inner_product(mean, mean)) AS nrm FROM upd{t})")
+        parts.append(
+            f"ct{t + 1}(cid, c) AS ("
+            f" SELECT ct.cid, CASE WHEN nm.cid IS NULL THEN ct.c"
+            f" WHEN nm.nrm > 0 THEN list_transform(nm.mean, x -> x / nm.nrm)"
+            f" ELSE nm.mean END"
+            f" FROM ct{t} ct LEFT JOIN nm{t} nm USING (cid))")
+    return (",\n".join(parts) + ",\n"
+            + _ivf_search_sql(f"ct{iters}", n_queries, k, nprobe))
 
 
 def hits_sql(edges_cte: str, iterations: int = 8) -> str:
@@ -1720,3 +1780,39 @@ def node2vec_visits_sql(edges_cte: str, starts: list[int], num_steps: int,
     return (",\n".join(parts)
             + f"\nSELECT cur AS vertex, count(*) AS visits FROM ({vis})"
             " GROUP BY 1")
+
+
+def count_min_sql(depth: int = 4, width: int = 256, seed: int = 7,
+                  key_col: str = "user_id", table: str = "events") -> str:
+    """``events.count_min_counts`` mirror (Cormode & Muthukrishnan 2005):
+    the sketch is rebuilt in SQL — per-(row, cell) sums of exact key counts
+    — and the estimate is the min over the depth rows. Pure integer
+    arithmetic end to end; the salts are the literal
+    ``events._cm_salts(depth, seed)`` values and the cell hash replays
+    ``splitmix64(key ⊕ salt) mod width`` in HUGEINT limbs."""
+    from cassovary_ray.events import _cm_salts
+
+    salts = _cm_salts(depth, seed)
+    salt_rows = ", ".join(f"({j}, {int(s)}::HUGEINT)"
+                          for j, s in enumerate(salts))
+    mixed = _splitmix64_sql(
+        f"SELECT {key_col}, j, xor({key_col}::HUGEINT, salt) AS x"
+        " FROM keys CROSS JOIN salts",
+        f"{key_col}, j", "x", "mx")
+    return f"""
+        WITH keys AS MATERIALIZED (
+            SELECT {key_col}, CAST(count(*) AS BIGINT) AS n_exact
+            FROM {table} GROUP BY 1),
+        salts(j, salt) AS (VALUES {salt_rows}),
+        hx AS MATERIALIZED (
+            SELECT {key_col}, j, CAST(mx % {width} AS BIGINT) AS k
+            FROM ({mixed})),
+        sketch AS (
+            SELECT h.j, h.k, CAST(sum(kk.n_exact) AS BIGINT) AS cnt
+            FROM hx h JOIN keys kk USING ({key_col}) GROUP BY 1, 2),
+        est AS (
+            SELECT h.{key_col}, CAST(min(s.cnt) AS BIGINT) AS cm_estimate
+            FROM hx h JOIN sketch s USING (j, k) GROUP BY 1)
+        SELECT k.{key_col}, k.n_exact, e.cm_estimate
+        FROM keys k JOIN est e USING ({key_col})
+    """

@@ -744,9 +744,10 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_knn_ivf_kmeans(sf_dir: str):
-    """IVF with a Lloyd-trained coarse quantizer (rows-only: trained float
-    centroids aren't SQL-expressible; exactness vs brute force is pinned by
-    `tests/test_ann.py` on separated clusters)."""
+    """IVF with a Lloyd-trained coarse quantizer — hash-gated: the oracle
+    unrolls the same spherical-k-means training in SQL from the literal
+    init directions (`oracles.kmeans_ivf_knn_sql`); recall vs brute force
+    is additionally pinned by `tests/test_ann.py`."""
     emb = _table(sf_dir, "embeddings")
     cents = ann.kmeans_centroids(emb, n_centroids=16, iters=3)
     return ann.ivf_knn(emb, list(range(10)), k=5, n_centroids=16,
@@ -893,6 +894,13 @@ def q_events_anomaly(sf_dir: str):
     the exact-integer z² test (zero floats → hash-gated)."""
     return events_ops.hourly_anomalies(_table(sf_dir, "events"),
                                        z_threshold=3)
+
+
+def q_events_count_min(sf_dir: str):
+    """Count-Min sketch heavy-hitter estimates next to exact per-user
+    counts (all-integer sketch → hash-gated; est ≥ exact by construction)."""
+    return events_ops.count_min_counts(_table(sf_dir, "events"),
+                                       depth=4, width=256, seed=7)
 
 
 def q_graph_reciprocity(sf_dir: str):
@@ -1345,6 +1353,7 @@ QUERIES = {
     "events_latest": q_events_latest,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
+    "events_count_min": q_events_count_min,
 }
 
 
@@ -1490,6 +1499,12 @@ ORACLE_SQL = {
     # dim=64) embedded pre-normalized as literals
     "knn_ivf": oracles.ivf_knn_sql(ann._ivf_centroids(16, 4242, 64),
                                    n_queries=10, k=5, nprobe=4),
+    # trained-quantizer IVF: Lloyd spherical k-means unrolled in SQL from
+    # the same literal init directions (see kmeans_ivf_knn_sql's exactness
+    # stance: 1e-15 mean noise can only flip measure-zero argmax ties)
+    "knn_ivf_kmeans": oracles.kmeans_ivf_knn_sql(
+        ann._ivf_centroids(16, 4242, 64), iters=3,
+        n_queries=10, k=5, nprobe=4),
     "graph_closeness": oracles.closeness_sql(
         DERIVED_EDGES_CTE, sources=list(range(8)), max_depth=32),
     "doc_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, max_df=50, threshold=0.5),
@@ -1819,6 +1834,7 @@ ORACLE_SQL = {
                count(*) AS n_events, CAST(sum(vmilli) AS BIGINT) AS value_milli
         FROM s GROUP BY user_id, session
     """,
+    "events_count_min": oracles.count_min_sql(depth=4, width=256, seed=7),
     "events_anomaly": """
         WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
                           CAST(count(*) AS BIGINT) AS n_events

@@ -162,3 +162,32 @@ def test_url_dedup_collapses_variants():
     assert int(df.loc["http://h1.test/p/5", "n_variants"]) == 3
     assert df.loc["http://h1.test/p/5", "kept_url"] == "http://h1.test/p/5"
     assert int(df.loc["http://h2.test/p/9?q=1", "n_variants"]) == 2
+
+
+def test_count_min_overestimates_and_is_tight_when_wide():
+    # skewed stream: user 1 hot, many cold users
+    counts = {1: 500, 2: 40, 3: 7, **{u: 1 for u in range(10, 40)}}
+    uids, ts = [], []
+    for u, c in counts.items():
+        uids += [u] * c
+        ts += list(range(c))
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array([t * 1000 for t in ts], pa.timestamp("us")),
+    }))
+    df = events_ops.count_min_counts(ds, depth=4, width=512, seed=7).to_pandas()
+    got = df.set_index("user_id")
+    assert set(got.index) == set(counts)
+    for u, c in counts.items():
+        assert int(got.loc[u, "n_exact"]) == c
+        # CM never underestimates
+        assert int(got.loc[u, "cm_estimate"]) >= c
+    # wide sketch (512 cells, 33 keys): the hot key is exact w.h.p.
+    assert int(got.loc[1, "cm_estimate"]) == 500
+
+    # narrow sketch: collisions inflate estimates but never deflate
+    df2 = events_ops.count_min_counts(ds, depth=2, width=4, seed=7).to_pandas()
+    g2 = df2.set_index("user_id")
+    for u, c in counts.items():
+        assert int(g2.loc[u, "cm_estimate"]) >= c
+    assert int(g2["cm_estimate"].sum()) > int(g2["n_exact"].sum())
