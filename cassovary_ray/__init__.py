@@ -63,6 +63,7 @@ def __getattr__(name):  # lazy re-exports; keep import light for workers
         "crawl_frontier": ("cassovary_ray.extract", "crawl_frontier"),
         "canonicalize_urls": ("cassovary_ray.extract", "canonicalize_urls"),
         "url_dedup": ("cassovary_ray.extract", "url_dedup"),
+        "train_quality_lr": ("cassovary_ray.learn", "train_quality_lr"),
     }
     if name in public:
         import importlib

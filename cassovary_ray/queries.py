@@ -36,6 +36,7 @@ from cassovary_ray import (
     ann,
     events as events_ops,
     joins,
+    learn,
     multimodal,
     oracles,
     textops,
@@ -882,6 +883,14 @@ def q_doc_vocab(sf_dir: str):
     return textops.token_frequencies(_table(sf_dir, "documents"))
 
 
+def q_doc_quality_lr(sf_dir: str):
+    """Distributed full-batch logistic-regression training INSIDE the
+    dataflow (quality/language gate): integer-quantized gradient sums make
+    the 10-step loop bit-reproducible and SQL-unrollable (learn.py)."""
+    return learn.train_quality_lr(_table(sf_dir, "documents"),
+                                  iterations=10, lr=0.5)
+
+
 def q_doc_lm_score(sf_dir: str):
     """Corpus-trained bigram-LM log-likelihood per doc (the CCNet-style
     quality filter signal) — exact-int 2^-20-quantized log-prob fold,
@@ -1024,6 +1033,38 @@ def q_web_crawl_frontier(sf_dir: str):
     return extract.crawl_frontier(
         derived_edges(sf_dir).map_batches(_edge_urls_batch,
                                           batch_format="pyarrow"))
+
+
+def q_web_host_pagerank(sf_dir: str):
+    """End-to-end web composition: page urls → host-graph collapse →
+    weighted PageRank over hosts (pinned 10 rounds). The engine runs the
+    full string path (urls → RE2 host pull → pre-combined link counts →
+    host index from the host-name digits); the oracle replays the same
+    graph arithmetically as (src % 53, dst % 53, count) because host
+    ``h{k}.test`` ⇔ ``k`` by construction — equal ranks certify the whole
+    chain."""
+    from cassovary_ray import extract
+
+    d = _layout_dir(sf_dir, "hosts")
+    try:
+        read_layout_manifest(d)
+    except FileNotFoundError:
+        hg = extract.host_graph(
+            derived_edges(sf_dir).map_batches(_edge_urls_batch,
+                                              batch_format="pyarrow"))
+
+        def to_ids(b: pa.Table) -> pa.Table:
+            def hid(col):
+                m = pc.extract_regex(b[col], r"^h(?P<k>\d+)\.")
+                return pc.cast(pc.struct_field(m, "k"), pa.int64())
+
+            return pa.table({"src": hid("src_host"), "dst": hid("dst_host"),
+                             "weight": pc.cast(b["n_links"], pa.float64())})
+
+        build_edge_layout(hg.map_batches(to_ids, batch_format="pyarrow"),
+                          d, ENGINE_PARTS, weighted=True)
+    with ShardedGraph(d) as g:
+        return g.pagerank(max_iterations=10, tolerance=0.0)
 
 
 def q_web_url_dedup(sf_dir: str):
@@ -1318,6 +1359,7 @@ QUERIES = {
     "join_customer_order_counts": q_join_customer_order_counts,
     "doc_vocab": q_doc_vocab,
     "doc_lm_score": q_doc_lm_score,
+    "doc_quality_lr": q_doc_quality_lr,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_degree_hist": q_graph_degree_hist,
     "graph_two_hop": q_graph_two_hop,
@@ -1329,6 +1371,7 @@ QUERIES = {
     "graph_wl": q_graph_wl,
     "web_host_graph": q_web_host_graph,
     "web_crawl_frontier": q_web_crawl_frontier,
+    "web_host_pagerank": q_web_host_pagerank,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -1736,6 +1779,7 @@ ORACLE_SQL = {
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                         WHEN 'fr' THEN 0.1 ELSE 0.05 END
     """,
+    "doc_quality_lr": learn.quality_lr_sql(iterations=10, lr=0.5),
     "doc_lm_score": r"""
         WITH d AS (SELECT doc_id, text FROM documents),
         t_toks AS (
@@ -2030,6 +2074,10 @@ ORACLE_SQL = {
                count(*) AS n_links
         FROM urls GROUP BY 1, 2
     """,
+    "web_host_pagerank": oracles.pagerank_weighted_sql(
+        f"SELECT src % 53 AS src, dst % 53 AS dst,"
+        f" CAST(count(*) AS DOUBLE) AS w"
+        f" FROM ({DERIVED_EDGES_CTE}) e GROUP BY 1, 2", iterations=10),
     "web_crawl_frontier": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
         urls AS (

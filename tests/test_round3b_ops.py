@@ -191,3 +191,54 @@ def test_count_min_overestimates_and_is_tight_when_wide():
     for u, c in counts.items():
         assert int(g2.loc[u, "cm_estimate"]) >= c
     assert int(g2["cm_estimate"].sum()) > int(g2["n_exact"].sum())
+
+
+def test_quality_lr_matches_numpy_reference():
+    """Distributed quantized-gradient LR == a local numpy reimplementation
+    bit-for-bit (the int64 gradient fold is order-free), and training
+    reduces the logistic loss."""
+    from cassovary_ray import learn
+
+    texts, langs = [], []
+    for i in range(60):
+        if i % 3 == 0:
+            texts.append("the quick brown fox " * (3 + i % 5))
+            langs.append("en")
+        else:
+            texts.append(("123 456 !!! %%% " + "na " * (i % 7)) * 2)
+            langs.append("de" if i % 3 == 1 else "fr")
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }))
+    got = learn.train_quality_lr(docs, iterations=10, lr=0.5)
+    gw = dict(zip(got["feature"].to_pylist(),
+                  got["weight"].to_numpy(zero_copy_only=False)))
+
+    # local reference with the identical fold + quantization
+    x, y = learn._doc_features(pa.table({
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())}))
+    QQ = float(1 << 20)
+    w = np.zeros(4)
+
+    def loss(wv):
+        z = wv[0] * x[:, 0]
+        for j in range(1, 4):
+            z = z + wv[j] * x[:, j]
+        p = 1.0 / (1.0 + np.exp(-z))
+        eps = 1e-12
+        return -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+
+    l0 = loss(w)
+    for _ in range(10):
+        z = w[0] * x[:, 0]
+        for j in range(1, 4):
+            z = z + w[j] * x[:, j]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.floor((p - y)[:, None] * x * QQ).astype(np.int64).sum(axis=0)
+        w = w - 0.5 * (g.astype(np.float64) / QQ) / 60.0
+    for j, name in enumerate(learn.FEATURES):
+        assert gw[name] == w[j], name
+    assert loss(w) < l0  # training actually learns the separable labels
