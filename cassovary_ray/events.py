@@ -503,7 +503,9 @@ def count_min_counts(events, key_col: str = "user_id", depth: int = 4,
 
     Everything is integer arithmetic (cell sums, min over rows), so the
     output is reduction-order-free and hash-matches the SQL oracle; the
-    guarantee ``cm_estimate ≥ n_exact`` is asserted by tests.
+    guarantee ``cm_estimate ≥ n_exact`` is asserted by tests. Keys must be
+    NON-NEGATIVE int64 (the engine hashes via the uint64 view; the SQL
+    mirror via HUGEINT — they agree only on [0, 2^63)).
 
     Scale shape: each batch pre-combines into its own (depth × width)
     counter matrix and emits ≤ depth·width non-zero cells — the groupby

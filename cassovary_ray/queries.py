@@ -1024,15 +1024,20 @@ def q_web_host_graph(sf_dir: str):
 
 
 def q_web_crawl_frontier(sf_dir: str):
-    """Crawl frontier of the synthetic page-link graph: link targets with
-    no crawled page of their own, ranked by in-link count — one
-    pre-combined groupby + a distributed anti-join (no url-universe
+    """Crawl frontier of a PARTIAL crawl (pages with ``src % 5 != 0``
+    fetched — a crawler only knows the outlinks of fetched pages): link
+    targets with no crawled page of their own, ranked by in-link count —
+    one pre-combined groupby + a distributed anti-join (no url-universe
     broadcast, no driver set)."""
     from cassovary_ray import extract
 
+    def fetched(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(src % 5 != 0))
+
     return extract.crawl_frontier(
-        derived_edges(sf_dir).map_batches(_edge_urls_batch,
-                                          batch_format="pyarrow"))
+        derived_edges(sf_dir).map_batches(fetched, batch_format="pyarrow")
+        .map_batches(_edge_urls_batch, batch_format="pyarrow"))
 
 
 def q_web_host_pagerank(sf_dir: str):
@@ -2079,7 +2084,7 @@ ORACLE_SQL = {
         f" CAST(count(*) AS DOUBLE) AS w"
         f" FROM ({DERIVED_EDGES_CTE}) e GROUP BY 1, 2", iterations=10),
     "web_crawl_frontier": f"""
-        WITH e AS ({DERIVED_EDGES_CTE}),
+        WITH e AS (SELECT * FROM ({DERIVED_EDGES_CTE}) WHERE src % 5 <> 0),
         urls AS (
             SELECT 'http://h' || CAST(src % 53 AS VARCHAR) || '.test/p/'
                    || CAST(src AS VARCHAR) AS src_url,
