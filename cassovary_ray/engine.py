@@ -589,6 +589,29 @@ class GraphShard:
     def pr_dangling_sum(self) -> float:
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
 
+    def pr_warm_init(self, n_total: int, path: str | None) -> float:
+        """Warm-start rank state from a PRIOR run's checkpoint part file
+        (incremental-recrawl path: the layout was delta-updated with
+        ``layout.update_edge_layout``, which preserves the ``vertex % P``
+        partitioning, so old part p seeds new part p). Vertices absent from
+        the old file (newly crawled) start at 1/n; vertices that no longer
+        exist are dropped. Returns this shard's un-normalized rank sum —
+        the driver rescales globally so Σ rank = 1 before iterating."""
+        r = np.full(len(self.verts), 1.0 / n_total)
+        if path is not None and os.path.exists(path):
+            tbl = pq.read_table(path)
+            ov = tbl["vertex"].to_numpy(zero_copy_only=False)
+            orank = tbl["rank"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.verts, ov)
+            valid = (pos < len(self.verts))
+            valid[valid] &= self.verts[pos[valid]] == ov[valid]
+            r[pos[valid]] = orank[valid]
+        self.state["rank"] = r
+        return float(r.sum())
+
+    def scale_state(self, name: str, factor: float) -> None:
+        self.state[name] = self.state[name] * factor
+
     # -- Personalized PageRank (exact power iteration) ---------------------
 
     def ppr_init(self, seed_table: pa.Table) -> None:
@@ -1985,6 +2008,7 @@ class ShardedGraph:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         resume: bool = False,
+        warm_start_dir: str | None = None,
     ):
         """Distributed PageRank, semantics cloned from ``PageRank.scala:80-113``
         (defaults d=0.85, maxIter=10, tol=1e-8 per ``PageRank.scala:28-31``).
@@ -1993,9 +2017,19 @@ class ShardedGraph:
         ``d·r(u)/outdeg(u)`` to out-neighbors, every existing vertex adds
         ``dangleSum + (1-d)/n`` (``:104-109``), T1 error vs previous (``:112``).
         Returns ``Dataset(vertex, rank)``.
-        """
+
+        ``warm_start_dir``: a PRIOR run's checkpoint dir (possibly from a
+        layout since delta-updated by ``layout.update_edge_layout``) seeds
+        the initial ranks instead of 1/n — the incremental-recrawl path:
+        the power iteration's fixpoint is unique and attracts any start,
+        so a near-converged seed cuts iterations-to-tolerance roughly in
+        proportion to how small the delta was. Requires the same partition
+        count (``vertex % P`` is the stable key); seeds are rescaled to
+        Σ=1 globally. Ignored when ``resume`` finds a checkpoint of THIS
+        run."""
         n = self.n_vertices
         iteration, error = 0, 100.0 + tolerance
+        dangle_total = None
         if resume and checkpoint_dir:
             ck = latest_checkpoint(checkpoint_dir)
             if ck is not None:
@@ -2007,9 +2041,25 @@ class ShardedGraph:
                     for p, s in enumerate(self.shards)
                 ])
                 dangle_total = sum(ray.get([s.pr_dangling_sum.remote() for s in self.shards]))
-            else:
-                dangle_total = sum(ray.get([s.pr_init.remote(n) for s in self.shards]))
-        else:
+        if dangle_total is None and warm_start_dir:
+            ck = latest_checkpoint(warm_start_dir)
+            if ck is not None:
+                paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
+                if not set(paths) <= set(range(self.num_parts)):
+                    raise ValueError(
+                        f"warm_start_dir has parts {sorted(paths)} but this "
+                        f"layout has {self.num_parts} — the vertex % P key "
+                        "must match for checkpoint reuse")
+                sums = ray.get([
+                    s.pr_warm_init.remote(n, paths.get(p))
+                    for p, s in enumerate(self.shards)
+                ])
+                total = sum(sums)
+                if total > 0:
+                    ray.get([s.scale_state.remote("rank", 1.0 / total)
+                             for s in self.shards])
+                dangle_total = total
+        if dangle_total is None:
             dangle_total = sum(ray.get([s.pr_init.remote(n) for s in self.shards]))
 
         del dangle_total  # dangling mass travels inside the payloads now

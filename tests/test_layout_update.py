@@ -177,3 +177,55 @@ def test_random_node_parts_deterministic_and_balanced():
     ds = ray.data.from_arrow(pa.table({"vertex": pa.array(ids, pa.int64())}))
     out = assign_random_parts(ds, 8, seed=3).to_pandas()
     assert (out["part"].to_numpy() == p1).all()
+
+
+def test_pagerank_warm_start_after_delta(tmp_path):
+    """Incremental-recrawl rank refresh: converge on graph A with a
+    checkpoint, delta-update the layout, warm-start from A's checkpoint —
+    same fixpoint as a cold run on the updated graph, in fewer rounds."""
+    from cassovary_ray.engine import ShardedGraph
+
+    rng = np.random.default_rng(7)
+    e1 = sorted({(int(a), int(b)) for a, b in rng.integers(0, 80, (400, 2))
+                 if a != b})
+    lay = str(tmp_path / "lay")
+    ck = str(tmp_path / "ck")
+    build_edge_layout(_ds(e1), lay, 4)
+    with ShardedGraph(lay) as g:
+        g.pagerank(max_iterations=None, tolerance=1e-10, checkpoint_dir=ck)
+
+    # small delta: ~3% edges removed, a few added (incl. one new vertex)
+    removed = e1[::31]
+    added = [(90, 1), (2, 90), (5, 17)]
+    update_edge_layout(lay, added_edges=_ds(added), removed_edges=_ds(removed))
+
+    with ShardedGraph(lay) as g:
+        warm = g.pagerank(max_iterations=None, tolerance=1e-10,
+                          warm_start_dir=ck).to_pandas()
+        warm_iters = len([m for m in g.metrics if m.extra.get("algo") == "pagerank"])
+    with ShardedGraph(lay) as g:
+        cold = g.pagerank(max_iterations=None, tolerance=1e-10).to_pandas()
+        cold_iters = len([m for m in g.metrics if m.extra.get("algo") == "pagerank"])
+
+    w = warm.set_index("vertex")["rank"].sort_index()
+    c = cold.set_index("vertex")["rank"].sort_index()
+    assert list(w.index) == list(c.index)
+    np.testing.assert_allclose(w.to_numpy(), c.to_numpy(), atol=1e-9)
+    assert abs(w.sum() - 1.0) < 1e-8
+    assert warm_iters < cold_iters  # the seed actually pays
+
+
+def test_pagerank_warm_start_part_mismatch_raises(tmp_path):
+    from cassovary_ray.engine import ShardedGraph
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 1), (4, 3), (5, 4), (6, 5)]
+    lay4 = str(tmp_path / "l4")
+    lay2 = str(tmp_path / "l2")
+    ck = str(tmp_path / "ck4")
+    build_edge_layout(_ds(e), lay4, 4)
+    build_edge_layout(_ds(e), lay2, 2)
+    with ShardedGraph(lay4) as g:
+        g.pagerank(max_iterations=5, checkpoint_dir=ck)
+    with ShardedGraph(lay2) as g:
+        with pytest.raises(ValueError, match="vertex % P"):
+            g.pagerank(max_iterations=5, warm_start_dir=ck)
