@@ -6,10 +6,13 @@ callable over an ``sf_dir`` of parquet tables, and as ANSI SQL DuckDB runs on
 the same tables. Iterative algorithms are oracle-checked too, via
 ``oracles.py``: a pinned iteration count on the query side + the identical
 rounds unrolled into chained MATERIALIZED CTEs (PageRank, LP, HITS) or the
-exact fixpoint as a recursive CTE (WCC, BFS, closeness). Only the genuinely
-random (walks), order-defined (DFS), or hash-seeded (simhash/minhash
-families) operators remain rows-only; their numeric contracts are pinned by
-the golden-vector pytest suite instead.
+exact fixpoint as a recursive CTE (WCC, BFS, closeness). The seeded /
+hash-driven families are oracled too — counter-RNG uniforms embedded as
+literals (walks, node2vec), splitmix64 re-expressed in HUGEINT limbs
+(minhash, LSH, count-min), fixed-grid integer quantization for float
+reductions (ANF-HLL, LM scores, LR training). The ONE remaining rows-only
+query is ``graph_dfs`` — queue order IS its semantics — pinned by
+TraverserSpec golden fixtures instead.
 
 The graph queries run over a **derived edge table** built deterministically
 from ``lineitem`` (`(13·l_orderkey + l_linenumber) mod 1021 →
