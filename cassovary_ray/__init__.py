@@ -23,7 +23,7 @@ fixture) owns the Ray session.
 
 __version__ = "0.1.0"
 
-from cassovary_ray.hashing import hash64, hash64_batch, splitmix64  # noqa: F401
+from cassovary_ray.hashing import hash64, hash64_arrow, hash64_batch, splitmix64  # noqa: F401
 
 
 def __getattr__(name):  # lazy re-exports; keep import light for workers

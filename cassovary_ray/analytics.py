@@ -48,6 +48,71 @@ def _auto_partitions(num_partitions: int | None) -> int:
     return min(16, max(2, cpus))
 
 
+def topk_per_key(ds, key: str, order_cols: list[str],
+                 descending: list[bool], k: int):
+    """Top-``k`` rows per ``key`` — the repo's sort + segment-fold idiom as a
+    reusable operator (``SmallBoundedPriorityQueue`` analogue at dataset
+    scale, cf. ``util/collections/SmallBoundedPriorityQueue.scala``).
+
+    One global range sort on ``[key] + order_cols``, then every block folds
+    its *interior* key segments with pure numpy (no per-group Python); only
+    the ≤2 groups touching a block edge divert to a tiny per-group pandas
+    merge (same boundary discipline as ``adjacency_lists``). ``order_cols``
+    with ``descending`` flags must be a TOTAL order within a key (include a
+    tie-break column) so ranks are deterministic at any parallelism.
+
+    Returns the input columns plus ``rank`` (int64, 1-based per key).
+    Much faster than ``groupby(key).map_groups`` when keys ≫ blocks: the
+    map_groups path materializes one pandas DataFrame per key.
+    """
+    import pandas as pd
+
+    ranked = ds.sort([key] + list(order_cols),
+                     descending=[False] + list(descending))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        if len(kv) == 0:
+            out = batch.take(pa.array([], pa.int64()))
+            out = out.append_column("rank", pa.array([], pa.int64()))
+            return out.append_column("boundary", pa.array([], pa.bool_()))
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        bounds = np.r_[starts, len(kv)]
+        lengths = np.diff(bounds)
+        n = len(starts)
+        is_boundary = np.zeros(n, bool)
+        is_boundary[0] = is_boundary[-1] = True
+        takes = np.where(is_boundary, lengths, np.minimum(lengths, k))
+        within = np.arange(int(takes.sum())) - np.repeat(
+            np.cumsum(takes) - takes, takes)
+        idx = np.repeat(bounds[:-1], takes) + within
+        out = batch.take(pa.array(idx, pa.int64()))
+        out = out.append_column("rank", pa.array(within + 1, pa.int64()))
+        return out.append_column(
+            "boundary", pa.array(np.repeat(is_boundary, takes)))
+
+    folded = ranked.map_batches(fold, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def split(want_boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(
+                zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep)).drop_columns(["boundary"])
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    ascending = [not d for d in descending]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols),
+                          ascending=ascending).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    merged = split(True).groupby(key).map_groups(merge, batch_format="pandas")
+    return split(False).union(merged)
+
+
 # ---------------------------------------------------------------------------
 # degrees (DegreeCentrality.scala:27-33; fillMissingInEdges degree pass)
 # ---------------------------------------------------------------------------
@@ -633,14 +698,7 @@ def similarity_top_k(edges, k: int = 10, metric: str = "jaccard",
                          "score": pa.array(s, pa.float64())})
 
     scored = j2.map_batches(score, batch_format="pyarrow")
-
-    def topk(group):
-        g = group.sort_values(["score", "w"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return scored.groupby("u").map_groups(topk, batch_format="pandas")
+    return topk_per_key(scored, "u", ["score", "w"], [True, False], k)
 
 
 def adamic_adar_top_k(edges, k: int = 10, num_partitions: int | None = None,
@@ -697,16 +755,8 @@ def adamic_adar_top_k(edges, k: int = 10, num_partitions: int | None = None,
                          "score_micro": pa.array(
                              np.floor(sc * 1e6).astype(np.int64), pa.int64())})
 
-    def topk(group):
-        g = group.sort_values(["score_micro", "w"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return (
-        scored.map_batches(quantize, batch_format="pyarrow")
-        .groupby("u").map_groups(topk, batch_format="pandas")
-    )
+    return topk_per_key(scored.map_batches(quantize, batch_format="pyarrow"),
+                        "u", ["score_micro", "w"], [True, False], k)
 
 
 def modularity(edges, communities, num_partitions: int | None = None):

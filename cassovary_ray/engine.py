@@ -419,6 +419,37 @@ class GraphShard:
         n_dangling = int((self.fwd.out_deg == 0).sum())
         return len(self.verts), self.fwd.n_edges, n_dangling
 
+    def point_query(self, ids, with_neighbors: bool = True,
+                    max_neighbors: int | None = None) -> list:
+        """Per-request node lookups — the ``Graph.getNodeById`` surface
+        (``graph/Graph.scala:25``, ``Node.scala:31-43``) answered from the
+        resident CSR in O(log V + deg) per id. Every id must be OWNED by
+        this partition (``vertex % P == part``; the session routes).
+        Returns one record per id: ``{id, out_degree[, in_degree][,
+        out_neighbors]}`` or None when the vertex doesn't exist."""
+        self.walk_build()
+        ids = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(self.verts, ids)
+        ok = pos < len(self.verts)
+        ok[ok] &= self.verts[pos[ok]] == ids[ok]
+        out: list = []
+        for i in range(len(ids)):
+            if not ok[i]:
+                out.append(None)
+                continue
+            p = pos[i]
+            rec = {"id": int(ids[i]),
+                   "out_degree": int(self.fwd.out_deg[p])}
+            if self.rev is not None:
+                rec["in_degree"] = int(self.rev.out_deg[p])
+            if with_neighbors:
+                lo, hi = int(self._walk_indptr[p]), int(self._walk_indptr[p + 1])
+                if max_neighbors is not None:
+                    hi = min(hi, lo + max_neighbors)
+                rec["out_neighbors"] = self._walk_nbrs[lo:hi].tolist()
+            out.append(rec)
+        return out
+
     def get_state_table(self, name: str, column: str) -> pa.Table:
         return pa.table({"vertex": pa.array(self.verts, pa.int64()),
                          column: pa.array(self.state[name])})
@@ -2531,10 +2562,16 @@ class ShardedGraph:
                 for s in self.shards
             ]
         ray.get(outs)  # drain final step
-        visits = ray.data.from_arrow_refs(
-            [s.walk_visits_table.remote() for s in self.shards]
-        )
-        return visits.sort(["visits", "vertex"], descending=[True, False])
+        return ray.data.from_arrow_refs(
+            self.walk_visit_refs()
+        ).sort(["visits", "vertex"], descending=[True, False])
+
+    def walk_visit_refs(self) -> list:
+        """Per-shard ``(vertex, visits)`` Arrow-table refs of the LAST walk
+        run — the raw form of :meth:`random_walks`' result, used by the
+        serving layer (`serve.GraphServer`) to answer per-request walks
+        without spinning up a Ray Data plan per request."""
+        return [s.walk_visits_table.remote() for s in self.shards]
 
     def walk_corpus(self, *, walks_per_vertex: int = 1, walk_length: int = 10,
                     seed: int = 1, reset_prob: float = 0.0,

@@ -167,20 +167,19 @@ def sliding_unique_users(events, window_minutes: int = 60, step_minutes: int = 1
 def top_users_per_type(events, k: int = 3):
     """``(event_type, user_id, n_events, rank)`` — the ``k`` heaviest users
     per event type (heavy-hitters). Per-batch (type, user) partial counts
-    pre-combine before ONE groupby; the top-k cut is a per-type pandas
-    ``map_groups`` over the already-aggregated (type × user) table, which is
-    cardinality-bounded (distinct pairs, not events). Ranking is total:
-    count desc, then user_id asc — integers only, so it hash-matches SQL."""
+    pre-combine (pure Arrow group_by, no pandas in the kernel) before ONE
+    groupby; the top-k cut is the sort + segment-fold idiom
+    (:func:`cassovary_ray.analytics.topk_per_key`) over the already
+    aggregated (type × user) table, which is cardinality-bounded (distinct
+    pairs, not events). Ranking is total: count desc, then user_id asc —
+    integers only, so it hash-matches SQL."""
+    from cassovary_ray.analytics import topk_per_key
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "event_type": batch["event_type"].to_pandas(),
-            "user_id": batch["user_id"].to_pandas(),
-        })
-        g = df.groupby(["event_type", "user_id"], sort=False).size().reset_index(name="_c")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = (batch.select(["event_type", "user_id"])
+             .group_by(["event_type", "user_id"])
+             .aggregate([([], "count_all")]))
+        return t.rename_columns(["event_type", "user_id", "_c"])
 
     totals = (
         events.select_columns(["event_type", "user_id"])
@@ -188,14 +187,8 @@ def top_users_per_type(events, k: int = 3):
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("_c", alias_name="n_events"))
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_events", "user_id"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return totals.groupby("event_type").map_groups(topk, batch_format="pandas")
+    return topk_per_key(totals, "event_type", ["n_events", "user_id"],
+                        [True, False], k)
 
 
 def hourly_retention(events):

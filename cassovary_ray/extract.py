@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cassovary_ray.hashing import hash64_batch
+from cassovary_ray.hashing import hash64_arrow
 
 # href capture: single-, double-, or un-quoted attribute values.
 _HREF_RE = re.compile(
@@ -128,11 +128,11 @@ def extract_text(html: bytes) -> str:
     return _WS_RE.sub(" ", text).strip()
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """``map_batches`` kernel: pages batch → edge rows ``(src_url, dst_url)``.
-
-    One output row per extracted link. Stateless; Arrow in / Arrow out.
-    """
+def extract_batch_py(batch: pa.Table) -> pa.Table:
+    """Pure-Python ``extract_links`` over every page of the batch — the
+    semantic reference for :func:`extract_batch` (the vectorized kernel's
+    differential tests compare against this) and the residue path for pages
+    the vectorized pre-checks reject."""
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
     src, dst = [], []
@@ -142,6 +142,162 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             src.append(u)
             dst.append(link)
     return pa.table({"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())})
+
+
+# -- vectorized link extraction (RE2 kernels over the whole batch) -----------
+#
+# pyarrow's regex kernels are RE2 and Python `re` over bytes is ASCII, but
+# their \s classes differ (Python bytes \s includes \v=0x0b, RE2's does not),
+# so every whitespace class below is spelled out as the explicit byte class
+# [\t\n\x0b\f\r ] to match Python exactly. All patterns run on BINARY arrays.
+_SEP_PAT = r"(?i)<a[\t\n\x0b\f\r ]"
+# anchored per-segment href pull. Quotes are CAPTURED with the value so a
+# participating quoted group is never empty — extract_regex returns "" (not
+# null) for non-participating groups, which would otherwise be ambiguous
+# with href="".
+_SEG_HREF_PAT = (
+    r"(?i)^[^>]*?href[\t\n\x0b\f\r ]*=[\t\n\x0b\f\r ]*"
+    r"(?:(?P<dq>\"[^\"]*\")|(?P<sq>'[^']*')|(?P<uq>[^\t\n\x0b\f\r >]+))"
+)
+# a segment whose (potential) href VALUE runs to the segment's end was
+# truncated by the NEXT `<a\s` separator — exactly the case where the
+# split-scan can disagree with `_HREF_RE.finditer` (whose match span may
+# cross the separator). Conservative: any such page takes the Python path.
+_SEG_DANGLING_PAT = (
+    r"(?i)^[^>]*?href[\t\n\x0b\f\r ]*=[\t\n\x0b\f\r ]*"
+    r"(\"[^\"]*|'[^']*|[^\t\n\x0b\f\r >]*)$"
+)
+# base url fast form: scheme ALREADY lowercase (urlsplit lowercases it in
+# the Python path, so uppercase-scheme pages must go there)
+_BASE_PAT = r"^(?P<scheme>https?)://(?P<netloc>[^/?#]*)"
+# values on which unescape+strip are provably identity: printable ASCII
+# minus space (0x20) and '&' (0x26). Anything else → Python path.
+_CLEAN_PAT = r"^[!-%'-~]*$"
+
+
+def _npb(arr) -> np.ndarray:
+    """Arrow boolean array → numpy bool with nulls as False."""
+    return arr.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: pages batch → edge rows ``(src_url, dst_url)``.
+
+    One output row per extracted link, in (page, document) order — byte- and
+    order-identical to :func:`extract_batch_py` (differentially tested in
+    ``tests/test_extract.py``). Vectorized scan: the html column is split on
+    ``<a\\s`` with one RE2 pass, each segment's href is pulled with one
+    anchored RE2 extract, and the two dominant href forms (root-relative and
+    absolute-http(s)) resolve with pure Arrow string kernels. A page falls
+    back to the exact Python scan iff any of its segments could diverge from
+    ``_HREF_RE.finditer`` semantics (value truncated at the next separator),
+    any href needs entity-unescaping/stripping (contains ``&``, whitespace,
+    or non-printable/non-ASCII bytes), any href is a residue form (relative
+    path, ``//host``, non-http scheme, ``;`` in an absolute url — the
+    urljoin params quirk), or the page's own url is not a plain lowercase
+    http(s) url.
+    """
+    urls = batch["url"].combine_chunks().cast(pa.string())
+    htmls = batch["html"].combine_chunks().cast(pa.binary())
+    n = len(urls)
+    empty = pa.table({"src_url": pa.array([], pa.string()),
+                      "dst_url": pa.array([], pa.string())})
+    if n == 0:
+        return empty
+
+    segs_list = pc.split_pattern_regex(htmls, pattern=_SEP_PAT)
+    counts = pc.list_value_length(segs_list).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(segs_list)
+    total = len(flat)
+    # drop each page's first segment (text before its first `<a\s`)
+    first_idx = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    keep = np.ones(total, dtype=bool)
+    keep[first_idx] = False
+    seg_page = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    segs = flat.filter(pa.array(keep))
+    if len(segs) == 0:
+        return empty
+
+    m = pc.extract_regex(segs, _SEG_HREF_PAT)
+    matched = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    dangling = _npb(pc.match_substring_regex(segs, _SEG_DANGLING_PAT))
+    dq, sq, uq = (pc.struct_field(m, f) for f in ("dq", "sq", "uq"))
+    raw = pc.if_else(
+        pc.greater(pc.binary_length(dq), 0), pc.binary_slice(dq, 1, -1),
+        pc.if_else(pc.greater(pc.binary_length(sq), 0),
+                   pc.binary_slice(sq, 1, -1), uq))
+
+    clean = _npb(pc.match_substring_regex(raw, _CLEAN_PAT))
+    drop = _npb(pc.equal(pc.binary_length(raw), 0))
+    for pref in ("#", "javascript:", "mailto:"):
+        drop |= _npb(pc.starts_with(raw, pattern=pref))
+    rootrel = (_npb(pc.starts_with(raw, pattern="/"))
+               & ~_npb(pc.starts_with(raw, pattern="//"))
+               & ~_npb(pc.match_substring(raw, pattern="./"))
+               & ~_npb(pc.match_substring(raw, pattern=".."))
+               & ~drop)
+    absu = (_npb(pc.match_substring_regex(raw, r"^https?://"))
+            & ~_npb(pc.match_substring(raw, pattern=";"))
+            & ~drop & ~rootrel)
+
+    seg_ok = ~dangling & (~matched | drop | ((rootrel | absu) & clean))
+    page_fast = np.ones(n, dtype=bool)
+    page_fast[seg_page[~seg_ok]] = False
+    base = pc.extract_regex(urls, _BASE_PAT)
+    base_ok = pc.is_valid(base).to_numpy(zero_copy_only=False)
+    has_rr = np.zeros(n, dtype=bool)
+    has_rr[seg_page[rootrel & clean]] = True
+    page_fast &= base_ok | ~has_rr
+
+    # fast-path rows, resolved with Arrow kernels
+    seg_kept = (rootrel | absu) & clean & page_fast[seg_page]
+    kidx = np.nonzero(seg_kept)[0]
+    pg = seg_page[kidx]
+    raw_k = raw.take(pa.array(kidx)).cast(pa.string())
+    v = pc.replace_substring_regex(raw_k, pattern=r"(?s)#.*$", replacement="")
+    v = pc.replace_substring_regex(v, pattern=r"\?$", replacement="")
+    prefix_pages = pc.binary_join_element_wise(
+        pc.struct_field(base, "scheme"), pc.struct_field(base, "netloc"), "://")
+    dst_fast = pc.if_else(
+        pa.array(rootrel[kidx]),
+        pc.binary_join_element_wise(prefix_pages.take(pa.array(pg)), v, ""),
+        v)
+    src_fast = urls.take(pa.array(pg))
+
+    # residue pages through the exact Python scan
+    bad = np.nonzero(~page_fast)[0]
+    psrc: list[str] = []
+    pdst: list[str] = []
+    ppage: list[int] = []
+    prank: list[int] = []
+    if len(bad):
+        memo: dict = {}
+        u_py = urls.take(pa.array(bad)).to_pylist()
+        h_py = htmls.take(pa.array(bad)).to_pylist()
+        for bi, u, h in zip(bad, u_py, h_py):
+            links = extract_links(u, h, _memo=memo)
+            psrc.extend([u] * len(links))
+            pdst.extend(links)
+            ppage.extend([bi] * len(links))
+            prank.extend(range(len(links)))
+        if not len(kidx):
+            return pa.table({"src_url": pa.array(psrc, pa.string()),
+                             "dst_url": pa.array(pdst, pa.string())})
+
+    if not len(ppage):
+        return pa.table({"src_url": src_fast.cast(pa.string()),
+                         "dst_url": dst_fast.cast(pa.string())})
+
+    # merge, restoring (page, document-order) — a page is wholly fast or
+    # wholly Python, so ranks only ever compare within one path
+    all_page = np.concatenate([pg, np.asarray(ppage, dtype=np.int64)])
+    all_rank = np.concatenate([kidx, np.asarray(prank, dtype=np.int64)])
+    order = pa.array(np.lexsort((all_rank, all_page)))
+    src_all = pa.concat_arrays([src_fast.cast(pa.string()),
+                                pa.array(psrc, pa.string())]).take(order)
+    dst_all = pa.concat_arrays([dst_fast.cast(pa.string()),
+                                pa.array(pdst, pa.string())]).take(order)
+    return pa.table({"src_url": src_all, "dst_url": dst_all})
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
@@ -155,9 +311,10 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
 def hash_edges_batch(batch: pa.Table) -> pa.Table:
     """``(src_url, dst_url)`` → ``(src, dst)`` int64 vertex ids via the stable
-    63-bit url hash (replaces ``NodeNumberer``, see ``cassovary_ray.hashing``)."""
-    src = hash64_batch(batch["src_url"].to_pylist())
-    dst = hash64_batch(batch["dst_url"].to_pylist())
+    63-bit url hash (replaces ``NodeNumberer``, see ``cassovary_ray.hashing``).
+    Dictionary-encoded so blake2b runs once per unique url in the batch."""
+    src = hash64_arrow(batch["src_url"])
+    dst = hash64_arrow(batch["dst_url"])
     return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
 
 
@@ -394,7 +551,7 @@ def pages_to_vertices(pages_ds):
     """
 
     def k(batch: pa.Table) -> pa.Table:
-        v = hash64_batch(batch["url"].to_pylist())
+        v = hash64_arrow(batch["url"])
         return pa.table({"vertex": pa.array(v, pa.int64())})
 
     return pages_ds.map_batches(k, batch_format="pyarrow")

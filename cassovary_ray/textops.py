@@ -975,60 +975,9 @@ def tfidf_top_k(docs, k: int = 3, num_partitions: int | None = None):
             "score", pa.array(tfv * np.log(float(n_docs) / dfv), pa.float64()))
 
     scored = joined.map_batches(score, batch_format="pyarrow")
-    ranked = scored.sort(["doc_id", "score", "token"],
-                         descending=[False, True, False])
+    from cassovary_ray.analytics import topk_per_key
 
-    def fold(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        empty = pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "token": pa.array([], pa.string()),
-            "tf": pa.array([], pa.int64()),
-            "df": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-            "boundary": pa.array([], pa.bool_()),
-        })
-        if len(did) == 0:
-            return empty
-        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
-        bounds = np.r_[starts, len(did)]
-        lengths = np.diff(bounds)
-        n = len(starts)
-        is_boundary = np.zeros(n, bool)
-        is_boundary[0] = is_boundary[-1] = True
-        takes = np.where(is_boundary, lengths, np.minimum(lengths, k))
-        within = np.arange(int(takes.sum())) - np.repeat(
-            np.cumsum(takes) - takes, takes)
-        idx = np.repeat(bounds[:-1], takes) + within
-        sub = batch.take(pa.array(idx, pa.int64()))
-        return pa.table({
-            "doc_id": sub["doc_id"],
-            "token": sub["token"],
-            "tf": sub["tf"],
-            "df": sub["df"],
-            "rank": pa.array(within + 1, pa.int64()),
-            "score": sub["score"],
-            "boundary": pa.array(np.repeat(is_boundary, takes)),
-        })
-
-    folded = ranked.map_batches(fold, batch_format="pyarrow",
-                                batch_size=None).materialize()
-
-    def split(want_boundary: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            keep = batch["boundary"].to_numpy(zero_copy_only=False) == want_boundary
-            return batch.filter(pa.array(keep)).drop_columns(["boundary"])
-        return folded.map_batches(f, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "token"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    merged = split(True).groupby("doc_id").map_groups(merge, batch_format="pandas")
-    out = split(False).union(merged)
+    out = topk_per_key(scored, "doc_id", ["score", "token"], [True, False], k)
     return out.select_columns(["doc_id", "token", "tf", "df", "rank"])
 
 

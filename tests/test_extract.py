@@ -252,3 +252,119 @@ def test_fast_path_href_resolution_matches_urljoin():
             want = _resolve_href(b, htmllib.unescape(h).strip())
             want = [want] if want is not None else []
             assert got == want, (b, h, got, want)
+
+
+# -- vectorized extract_batch ≡ Python extract_batch_py -----------------------
+
+
+def _diff_pages(pages):
+    """pages: list[(url, html_bytes)] → assert vectorized == python kernel."""
+    import pyarrow as pa
+
+    from cassovary_ray.extract import extract_batch, extract_batch_py
+
+    tbl = pa.table({
+        "url": pa.array([p[0] for p in pages], pa.string()),
+        "html": pa.array([p[1] for p in pages], pa.binary()),
+    })
+    fast = extract_batch(tbl)
+    ref = extract_batch_py(tbl)
+    assert fast.column("src_url").to_pylist() == ref.column("src_url").to_pylist()
+    assert fast.column("dst_url").to_pylist() == ref.column("dst_url").to_pylist()
+
+
+ADVERSARIAL_HTML = [
+    # plain fast forms
+    b'<a href="/1">a</a><a href=/2>b</a><a href=\'/3\'>c</a>',
+    b'<a href="https://abs.test/x?q=1">abs</a>',
+    # drops
+    b'<a href="#f">x</a><a href="javascript:void(0)">x</a><a href="mailto:a@b">x</a>',
+    b'<a href="">empty</a>',
+    # residue forms -> python path
+    b'<a href="rel/path">r</a><a href="../up">u</a><a href="./dot">d</a>',
+    b'<a href="//proto.test/x">pr</a><a href="ftp://f/x">f</a>',
+    b'<a href="HTTPS://UP.test/x">up</a>',
+    b'<a href="http://x.test/y;p=1">semi</a>',
+    b'<a href="http://x.test/y;">semi-trail</a>',
+    # entities / whitespace / dirty bytes
+    b'<a href="/a?x=1&amp;y=2">ent</a>',
+    b'<a href="/a&b">amp</a>',
+    b'<a href=" /lead">sp</a>',
+    b'<a href="/tr ail">sp2</a>',
+    b'<a href="/t\tab">tab</a>',
+    b'<a href="/nl\n">nl</a>',
+    '<a href="/unié">uni</a>'.encode(),
+    b'<a href="/vert\x0btab">vt</a>',
+    b'<a\x0bhref="/aftervt">vt2</a>',
+    # pathological scan cases (separator inside value / dangling)
+    b'<a href="x<a y">q</a>',
+    b'<a href="a<a href=b>">q2</a>',
+    b'<a href=x<a y>',
+    b'<a href= <a x>',
+    b'<a href=<a x>',
+    b'<a href="unclosed',
+    b'<a href=endsatend',
+    b'<a href=',
+    b'<a <a href=/nested>',
+    b'<a x="<a" href=/attr>',
+    b'<a href=/1 <a href=/2>',
+    b'<a href=> href=/fallback>',
+    b'<a href= href=/lazy>',
+    # no-anchor / malformed
+    b'no anchors at all',
+    b'<ahref=/notag>',
+    b'<a>bare</a>',
+    b'<a href>no value</a>',
+    # multiple + fragments + trailing ?
+    b'<a href="/x?">tq</a><a href="/y#f">fr</a><a href="/z?#f">both</a>',
+    b'<a href="http://abs.test/p?">aq</a><a href="http://abs.test/p#f">af</a>',
+    # invalid utf-8 in href
+    b'<a href="/bad\xff">bin</a>',
+    # upper-case tag/attr
+    b'<A HREF="/UP">u</A><a HrEf=/mix>m</a>',
+]
+
+ADVERSARIAL_BASES = [
+    "https://ex.test/a/b?q=1",
+    "http://site.test/p/123",
+    "HTTP://UP.test/x",
+    "ftp://h/x",
+    "https://u:p@h:8080/d/",
+    "weird",
+]
+
+
+def test_extract_batch_vectorized_matches_python_adversarial():
+    pages = []
+    for i, h in enumerate(ADVERSARIAL_HTML):
+        for b in ADVERSARIAL_BASES:
+            pages.append((b if i % 3 else b + f"/{i}", h))
+    _diff_pages(pages)
+
+
+def test_extract_batch_vectorized_matches_python_fuzz():
+    """Deterministic fuzz: random token soup heavy on anchor/href/quote
+    tokens, compared page-by-page against the Python scan."""
+    import random
+
+    rng = random.Random(1234)
+    toks = ['<a ', '<A\t', 'href', '=', '"', "'", '>', '</a>', '/p', '&amp;',
+            'x', ' ', 'http://t.test/q', '#f', '?q=1', '<a', 'HREF', '\x0b',
+            '..', './', '//h/x', 'mailto:a', '\n', ';', '<', '>', 'é']
+    pages = []
+    for i in range(400):
+        html = "".join(rng.choice(toks) for _ in range(rng.randrange(1, 40)))
+        base = rng.choice(ADVERSARIAL_BASES)
+        pages.append((f"{base}/{i}", html.encode()))
+    _diff_pages(pages)
+
+
+def test_extract_batch_vectorized_matches_python_corpus():
+    """The bench corpus shape (root-relative hrefs) goes 100% fast-path and
+    must still be identical."""
+    import numpy as np
+
+    from cassovary_ray.corpus import powerlaw_pages_batch
+
+    tbl = powerlaw_pages_batch(np.arange(500), 500)
+    _diff_pages(list(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist())))

@@ -1,0 +1,138 @@
+"""Serving surface (serve.py — the CassovaryServer analogue): named-actor
+session, shard-direct point lookups, per-request walks, and warm cross-process
+request latency."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+import ray
+
+from cassovary_ray import serve
+from cassovary_ray.corpus import TOY_GRAPHS
+from tests.util import build_toy_layout
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    lay = str(tmp_path_factory.mktemp("serve_lay"))
+    adj = TOY_GRAPHS["g6"]
+    build_toy_layout(adj, lay, 2)
+    sess = serve.start(lay, name="test_g6")
+    yield sess, adj, lay
+    sess.stop()
+
+
+def test_point_lookups(served):
+    sess, adj, _ = served
+    for v, nbrs in adj.items():
+        rec = sess.node(v)
+        assert rec["id"] == v
+        assert rec["out_degree"] == len(nbrs)
+        assert rec["out_neighbors"] == sorted(nbrs)
+        assert sess.degree(v) == len(nbrs)
+        assert sess.neighbors(v) == sorted(nbrs)
+        assert sess.exists(v)
+    missing = max(adj) + 1000
+    assert sess.node(missing) is None
+    assert not sess.exists(missing)
+    assert sess.neighbors(missing) is None
+
+
+def test_batched_nodes_order(served):
+    sess, adj, _ = served
+    ids = sorted(adj) + [max(adj) + 1000]
+    recs = sess.nodes(ids)
+    assert recs[-1] is None
+    for v, rec in zip(ids[:-1], recs[:-1]):
+        assert rec["id"] == v and rec["out_degree"] == len(adj[v])
+
+
+def test_walk_request_matches_engine(served):
+    """Server-side per-request walks == ShardedGraph.random_walks for the
+    same (starts, steps, seed)."""
+    from cassovary_ray.engine import ShardedGraph
+
+    sess, adj, lay = served
+    starts = sorted(adj)[:2]
+    got = sess.random_walks(starts, 6, seed=7).to_pandas()
+    with ShardedGraph(lay) as g:
+        want = g.random_walks(starts, 6, seed=7).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_personalized_reputation_request(served):
+    sess, adj, _ = served
+    t = sess.personalized_reputation(sorted(adj)[0], num_steps=200,
+                                     num_walkers=20, top_k=5, seed=3)
+    assert 0 < len(t) <= 5
+    visits = t["visits"].to_numpy()
+    assert (np.diff(visits) <= 0).all()  # VisitsCounter order
+
+
+def test_info_and_connect_same_process(served):
+    sess, adj, lay = served
+    info = sess.info()
+    assert info["n_edges"] > 0 and info["num_parts"] == 2
+    sess2 = serve.connect("test_g6")
+    assert sess2.degree(sorted(adj)[0]) == len(adj[sorted(adj)[0]])
+
+
+def test_second_process_warm_walk_latency(served):
+    """A SECOND process connects to the running named server and answers a
+    walk request warm — the CassovaryServer deployment shape. Latency bar:
+    min-of-5 warm requests < 250 ms (quiet-box measured ~15-40 ms; the bar
+    is slack for CI noise — BASELINE.md records the measured figure)."""
+    sess, adj, _ = served
+    gcs = ray.get_runtime_context().gcs_address
+    start = sorted(adj)[0]
+    script = textwrap.dedent(f"""
+        import json, time
+        import ray
+        ray.init(address={gcs!r}, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from cassovary_ray import serve
+        sess = serve.connect("test_g6")
+        assert sess.degree({start}) is not None      # point lookup works
+        sess.random_walks([{start}], 6, seed=7)      # warm-up request
+        lat = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            t = sess.random_walks([{start}], 6, seed=7)
+            lat.append(time.perf_counter() - t0)
+            assert len(t) > 0
+        print(json.dumps({{"min_ms": min(lat) * 1e3}}))
+    """)
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force the explicit gcs address
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=120,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    ms = json.loads(out.stdout.strip().splitlines()[-1])["min_ms"]
+    assert ms < 250.0, f"warm walk request took {ms:.1f} ms"
+
+
+def test_restart_uses_shard_cache(tmp_path):
+    """Second start() of the same layout goes through the binary CSR shard
+    cache (engine._load_scatter_cache) — restart latency, not correctness."""
+    lay = str(tmp_path / "lay")
+    build_toy_layout(TOY_GRAPHS["g5"], lay, 2)
+    s1 = serve.start(lay, name="test_restart")
+    first = s1.info()["load_sec"]
+    s1.stop()
+    t0 = time.perf_counter()
+    s2 = serve.start(lay, name="test_restart")
+    assert s2.info()["n_vertices"] > 0
+    assert os.path.isdir(os.path.join(lay, "csr_cache"))
+    s2.stop()
+    assert time.perf_counter() - t0 < max(10.0, 5 * max(first, 0.1))
