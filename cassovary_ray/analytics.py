@@ -424,6 +424,113 @@ def triangle_count(edges, num_partitions: int | None = None) -> int:
     return int(parts["triangles"].sum())
 
 
+def triangle_count_approx(edges, sample_prob: float = 0.25, seed: int = 42,
+                          num_partitions: int | None = None):
+    """Deterministic sampled triangle / transitivity estimate — the scale
+    tool the reference's reservoir estimator provides
+    (``algorithms/TriangleCount.scala:20-185``, Jha et al. KDD'13) but with
+    a **parallel-reproducible** coin: DOULION-style edge sparsification
+    (Tsourakakis et al. KDD'09) where each canonical undirected edge is kept
+    iff ``counter_rng_uniform(seed, min_id, max_id) < sample_prob`` — a pure
+    function of (seed, edge), so the sampled subgraph (and hence the
+    estimate) is bit-identical at any partition count, unlike the
+    reference's sequential seeded-Random reservoir.
+
+    Returns a one-row Dataset:
+    - ``triangles_sampled``: exact triangle count of the thinned graph
+      (the :func:`_matched_triangles` wedge join over the kept edges);
+    - ``triangles_est`` = sampled / p³ (unbiased, E[sampled] = p³·T);
+    - ``stderr_est``: √Var of the DOULION estimator (Theorem 1):
+      ``Var(T̂) = T(p⁻³−1) + 2k(p⁻¹−1)`` where ``k`` = pairs of triangles
+      sharing an edge — the covariance term that dominates on clustered
+      graphs (K_n). Both T and k are plugged in as their sample estimates
+      (``t/p³`` and ``k_sampled/p⁵``), the standard plug-in error bar;
+    - ``wedges``: EXACT wedge count Σ d(d−1)/2 of the full graph (degrees
+      are cheap — no sampling needed);
+    - ``transitivity_est`` = 3·triangles_est / wedges.
+
+    At 10^12 edges the exact count's wedge join is the expensive stage;
+    sampling at p thins it by p² (wedges) and p³ (closing checks) while the
+    one streaming coin pass costs O(m/P).
+    """
+    import math
+
+    from cassovary_ray.hashing import counter_rng_uniform
+
+    P = _auto_partitions(num_partitions)
+    p = float(sample_prob)
+    if not 0.0 < p <= 1.0:
+        raise ValueError("sample_prob must be in (0, 1]")
+    und = _join_safe(undirected_canonical_edges(edges), P)
+
+    def coin(batch: pa.Table) -> pa.Table:
+        mn = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mx = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = counter_rng_uniform(seed, mn, mx) < p
+        return batch.filter(pa.array(keep))
+
+    sampled = _join_safe(und.map_batches(coin, batch_format="pyarrow"), P)
+    t_samp, k_samp = 0, 0
+    if sampled.count() > 0:
+        _, oriented = _oriented_edges(sampled, P)
+        tri = _matched_triangles(oriented, P).materialize()
+        t_samp = int(tri.count())
+
+        def tri_edges(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            c = batch["center"].to_numpy(zero_copy_only=False)
+            a = np.concatenate([np.minimum(u, v), np.minimum(u, c),
+                                np.minimum(v, c)])
+            b = np.concatenate([np.maximum(u, v), np.maximum(u, c),
+                                np.maximum(v, c)])
+            return pa.table({"p": pa.array(a, pa.int64()),
+                             "q": pa.array(b, pa.int64())})
+
+        ec = (tri.map_batches(tri_edges, batch_format="pyarrow")
+              .groupby(["p", "q"]).aggregate(Count(alias_name="c")))
+
+        def shared_pairs(batch: pa.Table) -> pa.Table:
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            return pa.table({"k": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64())})
+
+        k_samp = int(ec.map_batches(shared_pairs,
+                                    batch_format="pyarrow").sum("k") or 0)
+
+    def ends(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()])})
+
+    deg = _partial_counts(und.map_batches(ends, batch_format="pyarrow"),
+                          "vertex", "deg")
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wedges = int(deg.map_batches(wedge_partial,
+                                 batch_format="pyarrow").sum("w") or 0)
+    # float derivations mirror the SQL oracle expression-for-expression so
+    # the gate hash-matches (division and sqrt are correctly rounded IEEE)
+    p3 = p * p * p
+    p5 = p3 * p * p
+    inv3 = 1.0 / p3 - 1.0
+    inv1 = 1.0 / p - 1.0
+    est = t_samp / p3
+    var = est * inv3 + 2.0 * (k_samp / p5) * inv1
+    stderr = math.sqrt(var)
+    trans = 3.0 * est / wedges if wedges else 0.0
+    return ray.data.from_arrow(pa.table({
+        "triangles_sampled": pa.array([t_samp], pa.int64()),
+        "triangles_est": pa.array([est], pa.float64()),
+        "stderr_est": pa.array([stderr], pa.float64()),
+        "wedges": pa.array([wedges], pa.int64()),
+        "transitivity_est": pa.array([trans], pa.float64()),
+    }))
+
+
 def _matched_triangles(oriented, num_partitions: int):
     """``Dataset(u, v, center)`` — one row per triangle of the undirected
     graph whose degree-ordered orientation is ``oriented`` (the ``(a, b,

@@ -368,10 +368,26 @@ class GraphShard:
     """
 
     def __init__(self, part: int, num_parts: int, layout_dir: str,
-                 reverse_layout_dir: str | None = None, csr_cache: bool = True):
+                 reverse_layout_dir: str | None = None, csr_cache: bool = True,
+                 exchange_groups: int = 1):
         self.part = part
         self.num_parts = num_parts
         self.layout_dir = layout_dir
+        # per-NODE payload packing (the refinement designed in
+        # _Scatter.per_part's docstring): parts are split into G contiguous
+        # receiver groups; pr_round returns one packed object PER GROUP so a
+        # receiver materializes only its group's 1/G share of each sender's
+        # payload instead of the whole thing. G=1 == the classic single
+        # packed object. Partitioning assumption for the multi-node win:
+        # group g's shard actors are co-located on one node (placement
+        # groups on a real cluster); the grouping is CORRECT regardless.
+        self.exchange_groups = max(1, min(exchange_groups, num_parts))
+        b = [g * num_parts // self.exchange_groups
+             for g in range(self.exchange_groups + 1)]
+        self._group_bounds = b
+        self.group = next(g for g in range(self.exchange_groups)
+                          if b[g] <= part < b[g + 1])
+        self.group_start = b[self.group]
         vt = read_partition(layout_dir, "vertices", part, ["vertex"])
         # vertex files carry per-batch (not global) uniques — dedup here
         self.verts = np.unique(vt["vertex"].to_numpy(zero_copy_only=False))
@@ -558,13 +574,16 @@ class GraphShard:
         """One fused PageRank superstep: apply last round's contributions
         (unless ``bootstrap``), then scatter from the updated rank.
 
-        Returns TWO objects (``num_returns=2``): the packed payload for the
-        next round (stays in plasma, pulled by peers) and the tiny stats
-        tuple (T1 error) the driver actually fetches. Semantics per round are
-        exactly ``PageRank.scala:85-113``: dangleSum = d·Σ_dangling r/n from
-        the PRE-round ranks (shipped inside the payloads), every existing
-        vertex gets dangleSum + (1−d)/n plus its contribution sums, error =
-        T1 vs previous ranks.
+        Returns ``exchange_groups + 1`` objects (``num_returns=G+1``): one
+        packed payload PER RECEIVER GROUP for the next round (each stays in
+        plasma, pulled only by that group's shards — the per-NODE packing)
+        and the tiny stats tuple (T1 error) the driver actually fetches.
+        Each incoming ``sender_payload`` here is the sender's object for
+        THIS shard's group: ``(slices for the group's parts, dangle)``.
+        Semantics per round are exactly ``PageRank.scala:85-113``: dangleSum
+        = d·Σ_dangling r/n from the PRE-round ranks (shipped inside every
+        group payload), every existing vertex gets dangleSum + (1−d)/n plus
+        its contribution sums, error = T1 vs previous ranks.
         """
         err = float("nan")
         t_in = time.perf_counter()
@@ -572,7 +591,8 @@ class GraphShard:
         if not bootstrap:
             dangle_total = sum(pl[1] for pl in sender_payloads)
             base = damping * dangle_total / n_total + (1.0 - damping) / n_total
-            incoming = [pl[0][self.part] for pl in sender_payloads]
+            incoming = [pl[0][self.part - self.group_start]
+                        for pl in sender_payloads]
             old = self.state["rank"]
             new = np.full(len(self.verts), base)
             for sender, payload in enumerate(incoming):
@@ -588,8 +608,14 @@ class GraphShard:
             self.state["rank"] = new
             t_apply = time.perf_counter() - t_in
         payload = self._pr_scatter_payload(damping, bootstrap)
-        return payload, (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
-                         _payload_nbytes(payload))
+        stats = (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
+                 _payload_nbytes(payload))
+        per_part, dangle = payload
+        G, b = self.exchange_groups, self._group_bounds
+        if G == 1:
+            return payload, stats
+        groups = [(per_part[b[g]:b[g + 1]], dangle) for g in range(G)]
+        return (*groups, stats)
 
     def checkpoint_state(self, name: str, column: str, out_dir: str, tag: str) -> dict:
         """Write this shard's state vector to parquet (tmp + atomic rename);
@@ -1937,7 +1963,8 @@ class ShardedGraph:
     """
 
     def __init__(self, layout_dir: str, *, reverse_layout_dir: str | None = None,
-                 shard_cpus: float = 0.0, csr_cache: bool = True):
+                 shard_cpus: float = 0.0, csr_cache: bool = True,
+                 exchange_groups: int | None = None):
         self.layout_dir = layout_dir
         self.has_reverse = reverse_layout_dir is not None
         man = read_layout_manifest(layout_dir)
@@ -1946,6 +1973,20 @@ class ShardedGraph:
         self.n_edges = man["n_edges"]
         self.undirected = bool(man.get("undirected", False))
         self.dedup = bool(man.get("dedup", False))
+        # per-NODE payload packing (see GraphShard.__init__): G = number of
+        # receiver groups for the PageRank exchange. None → one group per
+        # ALIVE Ray node, so a single-node box keeps the classic one packed
+        # object while a real cluster ships each node only its share. The
+        # co-location assumption (group g's shards on one node) needs a
+        # placement-group strategy on a real cluster; grouping is correct
+        # (same results) regardless of placement.
+        if exchange_groups is None:
+            try:
+                exchange_groups = max(
+                    1, len([n for n in ray.nodes() if n.get("Alive")]))
+            except Exception:
+                exchange_groups = 1
+        self.exchange_groups = max(1, min(exchange_groups, self.num_parts))
         # shard_cpus=0 by default: the pool is BSP-driven (exactly P actors
         # compute per phase, P is sized to the cluster by the caller), and a
         # full reservation deadlocks any Ray Data stage sharing the cluster
@@ -1953,7 +1994,8 @@ class ShardedGraph:
         # shard per node on a real cluster.
         self.shards = [
             GraphShard.options(num_cpus=shard_cpus, scheduling_strategy="SPREAD").remote(
-                p, self.num_parts, layout_dir, reverse_layout_dir, csr_cache
+                p, self.num_parts, layout_dir, reverse_layout_dir, csr_cache,
+                self.exchange_groups
             )
             for p in range(self.num_parts)
         ]
@@ -2106,21 +2148,27 @@ class ShardedGraph:
 
         del dangle_total  # dangling mass travels inside the payloads now
         stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
+        # grouped exchange: pr_round returns G payload objects + 1 stats;
+        # receiver q only ever holds refs to (and hence pulls) its own
+        # group's 1/G share of each sender's payload
+        G = self.exchange_groups
+        b = [g * self.num_parts // G for g in range(G + 1)]
+        group_of = [next(g for g in range(G) if b[g] <= q < b[g + 1])
+                    for q in range(self.num_parts)]
         if not stop:
             # bootstrap superstep: scatter from the initial/loaded ranks
             outs = [
-                s.pr_round.options(num_returns=2).remote(damping, n, True)
+                s.pr_round.options(num_returns=G + 1).remote(damping, n, True)
                 for s in self.shards
             ]
-            payloads = [o[0] for o in outs]
         while not stop:
             t0 = time.perf_counter()
             outs = [
-                s.pr_round.options(num_returns=2).remote(damping, n, False, *payloads)
-                for s in self.shards
+                self.shards[q].pr_round.options(num_returns=G + 1).remote(
+                    damping, n, False, *[o[group_of[q]] for o in outs])
+                for q in range(self.num_parts)
             ]
-            payloads = [o[0] for o in outs]
-            stats = ray.get([o[1] for o in outs])
+            stats = ray.get([o[G] for o in outs])
             error = sum(st[0] for st in stats)
             iteration += 1
             wall = time.perf_counter() - t0
@@ -2128,7 +2176,9 @@ class ShardedGraph:
                      "max_apply_s": round(max(st[1] for st in stats), 3),
                      "max_scatter_s": round(max(st[2] for st in stats), 3),
                      "task_spread_s": round(max(st[3] for st in stats) - min(st[3] for st in stats), 3),
-                     "exchange_mb": round(sum(st[4] for st in stats) / 1e6, 1)}
+                     "exchange_mb": round(sum(st[4] for st in stats) / 1e6, 1),
+                     "exchange_groups": G,
+                     "exchange_objects": self.num_parts * G}
             self.metrics.append(RoundMetrics(iteration, error, wall, extra))
             stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
             if checkpoint_dir and (iteration % checkpoint_every == 0 or stop):

@@ -1432,6 +1432,58 @@ def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16, shingle: int = 3,
     """
 
 
+def triangles_approx_sql(edges_cte: str, sample_prob: float, seed: int) -> str:
+    """``analytics.triangle_count_approx`` mirror: the DOULION edge coin is
+    ``counter_rng_uniform(seed, min, max) = (splitmix64(min ^ splitmix64(max
+    ^ seed)) >> 11) / 2^53``, replayed here with the in-SQL splitmix64 chain
+    (:func:`_splitmix64_sql` — the walk-oracle precomputes its uniforms
+    instead because they don't depend on data; the edge coin does). Keep
+    iff u < p, count triangles of the thinned graph with the exact
+    ``graph_triangles`` join, wedges exactly from full degrees; every float
+    derivation is expression-identical to the engine (IEEE-correctly-rounded
+    division and sqrt on equal inputs), so the gate hash-matches."""
+    p = float(sample_prob)
+    p3 = p * p * p
+    p5 = p3 * p * p
+    inv3 = 1.0 / p3 - 1.0
+    inv1 = 1.0 / p - 1.0
+    inner0 = "SELECT u, v, xor(CAST(v AS HUGEINT), " f"{seed}) AS x FROM und"
+    q1 = _splitmix64_sql(inner0, "u, v", "x", "k1")
+    inner1 = f"SELECT u, v, xor(CAST(u AS HUGEINT), k1) AS x FROM ({q1})"
+    q2 = _splitmix64_sql(inner1, "u, v", "x", "k2")
+    return f"""
+        WITH e AS ({edges_cte}),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst),
+        samp AS MATERIALIZED (SELECT u, v FROM ({q2})
+                 WHERE (k2 >> 11) / 9007199254740992.0 < {p!r}),
+        tl AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM samp a JOIN samp b ON b.u = a.v
+              JOIN samp c ON c.u = a.u AND c.v = b.v),
+        tri AS (SELECT count(*) AS t FROM tl),
+        -- k = pairs of sampled triangles sharing an edge (per-edge C(c,2))
+        te AS (SELECT x AS p, y AS q FROM tl
+               UNION ALL SELECT y, z FROM tl
+               UNION ALL SELECT x, z FROM tl),
+        ec AS (SELECT p, q, count(*) AS c FROM te GROUP BY 1, 2),
+        kk AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS k
+               FROM ec),
+        deg AS (SELECT vtx, count(*) AS d FROM (
+                    SELECT u AS vtx FROM und UNION ALL SELECT v FROM und)
+                GROUP BY 1),
+        wdg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+                FROM deg)
+        SELECT t AS triangles_sampled,
+               t / {p3!r} AS triangles_est,
+               sqrt((t / {p3!r}) * {inv3!r}
+                    + 2.0 * (k / {p5!r}) * {inv1!r}) AS stderr_est,
+               wedges,
+               CASE WHEN wedges > 0 THEN 3.0 * (t / {p3!r}) / wedges
+                    ELSE 0.0 END AS transitivity_est
+        FROM tri, kk, wdg
+    """
+
+
 def walk_visits_sql(edges_cte: str, starts: list[int], num_steps: int,
                     reset_prob: float, seed: int) -> str:
     """``ShardedGraph.random_walks`` mirror — the Monte-Carlo walk is

@@ -234,6 +234,17 @@ def q_graph_triangles(sf_dir: str):
     return _scalar("triangles", analytics.triangle_count(derived_edges(sf_dir)))
 
 
+# Sampled-triangle coin: p=0.5 keeps E[sampled] = T/8 — plenty at sf0.01's
+# triangle count while still exercising real thinning; the oracle replays
+# the same (seed, edge) splitmix64 coin so the gate is hash-exact.
+TRI_SAMPLE_P, TRI_SAMPLE_SEED = 0.5, 42
+
+
+def q_graph_triangles_approx(sf_dir: str):
+    return analytics.triangle_count_approx(
+        derived_edges(sf_dir), sample_prob=TRI_SAMPLE_P, seed=TRI_SAMPLE_SEED)
+
+
 # Hub skew guard for the deg²-fan-out co-occurrence joins: dst vertices with
 # in-degree > SIM_MAX_IN_DEG are excluded from the shared-neighbor
 # intersection (degrees in score denominators still count all edges). The
@@ -1311,6 +1322,7 @@ QUERIES = {
     "graph_degree_centrality": q_graph_degree_centrality,
     "graph_mutual_edges": q_graph_mutual_edges,
     "graph_triangles": q_graph_triangles,
+    "graph_triangles_approx": q_graph_triangles_approx,
     "graph_jaccard_top3": q_graph_jaccard_top3,
     "graph_cosine_top3": q_graph_cosine_top3,
     "graph_adamic_adar": q_graph_adamic_adar,
@@ -1456,6 +1468,8 @@ ORACLE_SQL = {
         SELECT count(*) AS triangles
         FROM und a JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v
     """,
+    "graph_triangles_approx": oracles.triangles_approx_sql(
+        DERIVED_EDGES_CTE, TRI_SAMPLE_P, TRI_SAMPLE_SEED),
     "graph_jaccard_top3": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
         deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
