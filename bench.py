@@ -275,6 +275,46 @@ def hw_bandwidth_probe(workers: int, mb_per_worker: int = 200) -> float:
     return sum(times) / len(times)
 
 
+def kernel_probe(workers: int, edges: int = 50_000_000,
+                 verts: int = 5_000_000, segs: int = 9_000_000) -> float:
+    """Per-worker wall time of ONE PageRank-scatter-shaped kernel round —
+    random gather of 50M positions into a 40 MB coef table + 400 MB value
+    stream + segmented reduceat — run as ``workers`` fully INDEPENDENT
+    processes with identical work each (no Ray, no exchange, no driver).
+
+    This is the kernel-matched hardware ceiling the 200 MB gather probe
+    (:func:`hw_bandwidth_probe`) understates: the real scatter sweep moves
+    ~600 MB/round/worker through the shared bus, so contention shows at
+    worker counts where the small gather still scales (round-4 knee: gather
+    probe ceiling 1.10 while the engine's own kernel contends). Work per
+    worker is IDENTICAL across worker counts, so the ratio isolates pure
+    bus contention; the engine's remaining gap on top of it (payload
+    fan-in growth, exchange copies, dispatch) is engine-attributable."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        rng = np.random.default_rng(0)
+        src_pos = rng.integers(0, verts, edges, dtype=np.int32)
+        seg = np.unique(rng.integers(0, edges, segs, dtype=np.int64))
+        coef = rng.random(verts)
+        vals = coef[src_pos]  # warm (alloc + first sweep)
+        np.add.reduceat(vals, seg)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            vals = coef[src_pos]
+            np.add.reduceat(vals, seg)
+        q.put((time.perf_counter() - t0) / 3)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(workers)]
+    [p.start() for p in ps]
+    times = [q.get() for _ in ps]
+    [p.join() for p in ps]
+    return sum(times) / len(times)
+
+
 def run_scaling() -> dict:
     """Scaling evidence for the north rule's N vs 4N cluster criterion,
     sandbox edition (single VM, no real cluster):
@@ -341,6 +381,8 @@ def run_scaling() -> dict:
         knee_eff = (m_hi / m_lo) / (k_hi / k_lo)
         hw_k_lo, hw_k_hi = hw_bandwidth_probe(k_lo), hw_bandwidth_probe(k_hi)
         knee_ceiling = hw_k_lo / hw_k_hi if hw_k_hi > 0 else 1.0
+        kp_lo, kp_hi = kernel_probe(k_lo), kernel_probe(k_hi)
+        kp_ceiling = kp_lo / kp_hi if kp_hi > 0 else 1.0
         out.update({
             "per_shard_edges": per_shard,
             "knee_num_cpus": [k_lo, k_hi],
@@ -349,6 +391,13 @@ def run_scaling() -> dict:
             "knee_eps_lo_median": m_lo, "knee_eps_hi_median": m_hi,
             "knee_hw_bandwidth_ceiling_weak_eff": round(knee_ceiling, 3),
             "knee_engine_eff_vs_hw_ceiling": round(knee_eff / knee_ceiling, 2),
+            # kernel-matched ceiling: the engine's own scatter kernel run as
+            # independent processes (see kernel_probe) — the honest hardware
+            # bound for THIS workload's bus footprint
+            "knee_kernel_probe_sec_lo": round(kp_lo, 3),
+            "knee_kernel_probe_sec_hi": round(kp_hi, 3),
+            "knee_kernel_ceiling_weak_eff": round(kp_ceiling, 3),
+            "knee_engine_eff_vs_kernel_ceiling": round(knee_eff / kp_ceiling, 2),
         })
     if spans == "knee":
         return out
