@@ -373,6 +373,8 @@ class GraphShard:
         self.part = part
         self.num_parts = num_parts
         self.layout_dir = layout_dir
+        self._init_args = (part, num_parts, layout_dir, reverse_layout_dir,
+                           csr_cache, exchange_groups)
         # per-NODE payload packing (the refinement designed in
         # _Scatter.per_part's docstring): parts are split into G contiguous
         # receiver groups; pr_round returns one packed object PER GROUP so a
@@ -434,6 +436,25 @@ class GraphShard:
     def counts(self) -> tuple[int, int, int]:
         n_dangling = int((self.fwd.out_deg == 0).sum())
         return len(self.verts), self.fwd.n_edges, n_dangling
+
+    def reload(self, rebuild_walk_csr: bool = False) -> tuple[int, int, int]:
+        """Re-read this partition from the (delta-updated) layout in place —
+        the served-dynamic-graph refresh (the batch analogue of
+        ``ConcurrentHashMapDynamicGraph.scala``'s concurrent updates: disk
+        layout updated by ``layout.update_edge_layout``, then only touched
+        shards re-read). Drops per-run state (vertex state vectors, walkers,
+        position caches); the CSR shard cache re-keys on the new parquet
+        digest automatically. Returns fresh ``counts()``."""
+        # lazily-built structures are guarded by attribute presence, which
+        # __init__ does NOT reassign — drop them or walk_build() would
+        # early-return with the stale pre-delta CSR
+        for attr in ("walk_csr", "_walk_indptr", "_walk_nbrs",
+                     "_walk_visits", "_n2v_nbrs"):
+            self.__dict__.pop(attr, None)
+        self.__init__(*self._init_args)
+        if rebuild_walk_csr:
+            self.walk_build()
+        return self.counts()
 
     def point_query(self, ids, with_neighbors: bool = True,
                     max_neighbors: int | None = None) -> list:

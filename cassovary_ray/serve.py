@@ -45,6 +45,7 @@ class GraphServer:
         from cassovary_ray.engine import ShardedGraph
 
         t0 = time.perf_counter()
+        self.reverse_layout_dir = reverse_layout_dir
         self.graph = ShardedGraph(layout_dir,
                                   reverse_layout_dir=reverse_layout_dir)
         # pre-build the per-src walk CSRs: first request is then warm
@@ -120,6 +121,55 @@ class GraphServer:
                                  seed=seed, max_out_deg=max_out_deg,
                                  top_k=top_k)
 
+    def apply_delta(self, added: pa.Table | None = None,
+                    removed: pa.Table | None = None) -> dict:
+        """Live dynamic update of the SERVED graph — the batch analogue of
+        the reference's concurrent dynamic graphs
+        (``ConcurrentHashMapDynamicGraph.scala`` /
+        ``SynchronizedDynamicGraph.scala``): apply ``(src, dst)`` edge
+        add/remove tables to the on-disk layout via
+        ``layout.update_edge_layout`` (rewrites ONLY the touched
+        partitions; same semantics, including all-copies removal and the
+        monotone vertex universe), then hot-reload exactly the touched
+        shard actors in place — point lookups and walks see the new graph
+        with no server restart and no full CSR rebuild. When the server
+        holds a reverse layout, the SAME delta is applied to it (its
+        manifest's ``reverse`` flag re-reverses the rows). Requests that
+        arrive mid-update are serialized behind it by the actor mailbox.
+        Returns the refreshed :meth:`info`."""
+        import ray.data
+
+        from cassovary_ray.layout import update_edge_layout
+
+        g = self.graph
+        P = g.num_parts
+        parts: set[int] = set()
+
+        def ds_of(tbl: pa.Table | None):
+            if tbl is None or len(tbl) == 0:
+                return None
+            for col in ("src", "dst"):
+                v = tbl[col].to_numpy(zero_copy_only=False)
+                parts.update(int(p) for p in np.unique(v % P))
+            return ray.data.from_arrow(tbl)
+
+        a, r = ds_of(added), ds_of(removed)
+        if a is None and r is None:
+            return self.info()
+        man = update_edge_layout(g.layout_dir, added_edges=a, removed_edges=r)
+        if self.reverse_layout_dir is not None:
+            a2 = ray.data.from_arrow(added) if added is not None and len(added) else None
+            r2 = ray.data.from_arrow(removed) if removed is not None and len(removed) else None
+            update_edge_layout(self.reverse_layout_dir, added_edges=a2,
+                               removed_edges=r2)
+        ray.get([g.shards[p].reload.remote(True) for p in sorted(parts)])
+        counts = ray.get([s.counts.remote() for s in g.shards])
+        g.n_edges = man["n_edges"]
+        g.n_vertices = (man["n_vertices"] if man.get("n_vertices") is not None
+                        else sum(c[0] for c in counts))
+        g.n_dangling = sum(c[2] for c in counts)
+        return self.info()
+
     def stop(self) -> None:
         self.graph.shutdown()
 
@@ -181,6 +231,13 @@ class GraphSession:
 
     def personalized_reputation(self, start, **kw) -> pa.Table:
         return ray.get(self._server.personalized_reputation.remote(start, **kw))
+
+    def apply_delta(self, added: pa.Table | None = None,
+                    removed: pa.Table | None = None) -> dict:
+        """Live edge add/remove on the served graph (see
+        ``GraphServer.apply_delta``); point lookups and walks issued after
+        this returns see the updated graph."""
+        return ray.get(self._server.apply_delta.remote(added, removed))
 
     def stop(self) -> None:
         """Shut the server and its shard actors down (terminates the named

@@ -136,3 +136,62 @@ def test_restart_uses_shard_cache(tmp_path):
     assert os.path.isdir(os.path.join(lay, "csr_cache"))
     s2.stop()
     assert time.perf_counter() - t0 < max(10.0, 5 * max(first, 0.1))
+
+
+def test_apply_delta_live(tmp_path):
+    """Live dynamic update of a served graph (ConcurrentHashMapDynamicGraph
+    analogue): delta lands on disk via update_edge_layout, touched shards
+    hot-reload, and point lookups + walks see the new graph immediately."""
+    import pyarrow as pa
+
+    from cassovary_ray.engine import ShardedGraph
+
+    lay = str(tmp_path / "lay")
+    adj = {0: [1, 2], 1: [2], 2: [0], 3: []}
+    build_toy_layout(adj, lay, 2)
+    sess = serve.start(lay, name="test_delta")
+    try:
+        assert sess.neighbors(0) == [1, 2]
+        assert sess.info()["n_edges"] == 4
+        added = pa.table({"src": pa.array([0, 7], pa.int64()),
+                          "dst": pa.array([7, 1], pa.int64())})
+        removed = pa.table({"src": pa.array([0], pa.int64()),
+                            "dst": pa.array([2], pa.int64())})
+        info = sess.apply_delta(added=added, removed=removed)
+        assert info["n_edges"] == 5
+        assert sess.neighbors(0) == [1, 7]     # 0→2 gone, 0→7 added
+        assert sess.neighbors(7) == [1]        # new vertex with an out-edge
+        assert sess.degree(2) == 1             # untouched shard state intact
+        assert sess.exists(7)
+        # walks over the updated graph match a fresh engine on the same dir
+        got = sess.random_walks([0], 5, seed=3).to_pandas()
+        with ShardedGraph(lay) as g:
+            want = g.random_walks([0], 5, seed=3).to_pandas()
+        assert got.values.tolist() == want.values.tolist()
+        # empty delta is a no-op
+        assert sess.apply_delta()["n_edges"] == 5
+    finally:
+        sess.stop()
+
+
+def test_apply_delta_with_reverse_layout(tmp_path):
+    """apply_delta propagates the same delta to the reverse layout (its
+    manifest's reverse flag re-reverses the rows), so in-degrees stay
+    consistent after a live update."""
+    import pyarrow as pa
+
+    lay, rev = str(tmp_path / "lay"), str(tmp_path / "rev")
+    adj = {0: [1], 1: [2], 2: []}
+    build_toy_layout(adj, lay, 2)
+    build_toy_layout(adj, rev, 2, reverse=True)
+    sess = serve.start(lay, name="test_delta_rev", reverse_layout_dir=rev)
+    try:
+        assert sess.node(2, with_neighbors=False)["in_degree"] == 1
+        added = pa.table({"src": pa.array([0], pa.int64()),
+                          "dst": pa.array([2], pa.int64())})
+        sess.apply_delta(added=added)
+        rec = sess.node(2, with_neighbors=False)
+        assert rec["in_degree"] == 2
+        assert sess.neighbors(0) == [1, 2]
+    finally:
+        sess.stop()
