@@ -54,27 +54,45 @@ def hash64_batch(strings) -> np.ndarray:
     return out
 
 
+# process-global cache of blake2b results: Ray reuses worker processes
+# across map_batches tasks, so Zipf-hot urls (a few hub targets dominate web
+# link columns) hash once per WORKER instead of once per batch. Caches only
+# a pure function — no determinism risk. Cleared wholesale at the cap
+# (amortized O(1); a hot working set repopulates in one batch).
+_ARROW_MEMO: dict = {}
+_ARROW_MEMO_CAP = 1 << 21  # ~2M entries ≈ 300 MB worst case
+
+
 def hash64_arrow(col) -> np.ndarray:
     """:func:`hash64` over an Arrow string/binary array → int64 ndarray.
 
     Dictionary-encodes first (C-speed) so blake2b runs once per UNIQUE
-    value: link targets are Zipf-hot and src urls repeat once per out-link,
-    so uniques are typically 3-10× fewer than rows. Hash values are
-    identical to :func:`hash64_batch` (same blake2b digest)."""
+    value per batch — and the process-global memo dedups across batches
+    too. The string→binary cast before ``to_pylist`` yields ``bytes``
+    directly (zero-copy view), skipping a per-row utf-8 encode. Hash values
+    are identical to :func:`hash64_batch` (same blake2b digest)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = pc.dictionary_encode(col)
-    uniq = d.dictionary.to_pylist()
+    dict_arr = d.dictionary
+    if pa.types.is_string(dict_arr.type) or pa.types.is_large_string(dict_arr.type):
+        dict_arr = dict_arr.cast(pa.binary())
+    uniq = dict_arr.to_pylist()
     blake2b = hashlib.blake2b
     fb = int.from_bytes
-    uh = np.fromiter(
-        (fb(blake2b(s.encode("utf-8") if isinstance(s, str) else s,
-                    digest_size=8).digest(), "little") & _MASK63
-         for s in uniq),
-        dtype=np.int64, count=len(uniq))
+    memo = _ARROW_MEMO
+    if len(memo) > _ARROW_MEMO_CAP:
+        memo.clear()
+    uh = np.empty(len(uniq), dtype=np.int64)
+    for i, s in enumerate(uniq):
+        h = memo.get(s)
+        if h is None:
+            h = fb(blake2b(s, digest_size=8).digest(), "little") & _MASK63
+            memo[s] = h
+        uh[i] = h
     if not len(uh):
         return uh
     return uh[d.indices.to_numpy(zero_copy_only=False)]
