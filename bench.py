@@ -182,6 +182,12 @@ def run_bench() -> dict:
         # write stage's batch_size counted in INPUT (pages) rows — with 16
         # links/page that serialized the whole corpus into one task (10x
         # wall). The barrier costs one object-store copy of the edge table.
+        # Measured alternative (r4): fusing with a batch_size=None write
+        # stage removes the bundling pathology and pipelines extract with
+        # the write, and wins 1.6x at 625k pages — but at bench scale
+        # (6.25M pages) extract already saturates all cores, pipelining has
+        # no idle resource to overlap into, and per-row-group writes inflate
+        # part files 21x and wall 31.7s -> 36.3s. Barrier kept by measurement.
         fl_edges = pages_to_edges(
             rd.read_parquet(pages_dir, columns=["url", "html"])).materialize()
         t_extract = time.perf_counter() - t0
