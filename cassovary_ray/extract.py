@@ -96,18 +96,19 @@ def extract_links(url: str, html: bytes, _memo: dict | None = None) -> list[str]
             if not base_ok:
                 continue
             h = href.split("#", 1)[0]
+            # a trailing '?' is dropped only when it is the SOLE '?':
+            # urlsplit gives query="" only then (query="?" for "a??" is
+            # kept by urlunsplit — matching _resolve_href exactly)
+            if h.endswith("?") and h.count("?") == 1:
+                h = h[:-1]
             if _memo is not None:
                 key = (base_parts.scheme, base_parts.netloc, h)
                 target = _memo.get(key)
                 if target is None:
                     target = f"{base_parts.scheme}://{base_parts.netloc}{h}"
-                    if target.endswith("?"):
-                        target = target[:-1]
                     _memo[key] = target
             else:
                 target = f"{base_parts.scheme}://{base_parts.netloc}{h}"
-                if target.endswith("?"):
-                    target = target[:-1]
         else:
             target = _resolve_href(url, href)
         if target is not None:
@@ -254,8 +255,12 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     kidx = np.nonzero(seg_kept)[0]
     pg = seg_page[kidx]
     raw_k = raw.take(pa.array(kidx)).cast(pa.string())
+    # urlsplit semantics: fragment = FIRST '#' onward (always dropped); a
+    # trailing '?' is dropped only when it is the SOLE '?' (empty query —
+    # urlunsplit re-emits "a?q?" verbatim but turns query="" into "a").
+    # A bare `\?$` strip is WRONG on "a??" (caught by differential test).
     v = pc.replace_substring_regex(raw_k, pattern=r"(?s)#.*$", replacement="")
-    v = pc.replace_substring_regex(v, pattern=r"\?$", replacement="")
+    v = pc.replace_substring_regex(v, pattern=r"^([^?]*)\?$", replacement=r"\1")
     prefix_pages = pc.binary_join_element_wise(
         pc.struct_field(base, "scheme"), pc.struct_field(base, "netloc"), "://")
     dst_fast = pc.if_else(

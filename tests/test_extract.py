@@ -244,7 +244,10 @@ def test_fast_path_href_resolution_matches_urljoin():
              "https://u:p@h:8080/d/", "ftp://h/x"]
     hrefs = ["/1", "/", "/x?", "/x?a=1", "/x?a?b", "/x#f", "/x?a=1#f",
              "/a/./b", "/a/../b", "/..", "//other/x", "/x%20y", "/x\ty",
-             "/TABLE", "/a//b", "/x;p", "/x?#", "/ x"]
+             "/TABLE", "/a//b", "/x;p", "/x?#", "/ x",
+             # trailing '?' that is NOT the sole '?': urlsplit keeps
+             # query="?"/"q?" so the strip must not fire (r4 latent-bug fix)
+             "/x??", "/x???", "/x?q?", "/x??#f", "/x?q?#f", "/x?#?"]
     for b in bases:
         for h in hrefs:
             doc = f'<a href="{h}">x</a>'.encode()
@@ -368,3 +371,31 @@ def test_extract_batch_vectorized_matches_python_corpus():
 
     tbl = powerlaw_pages_batch(np.arange(500), 500)
     _diff_pages(list(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist())))
+
+
+def test_extract_batch_trailing_query_marks():
+    """Regression (r4): a trailing '?' is dropped only when it is the SOLE
+    '?' — urlsplit("a??") has query="?" which urlunsplit keeps verbatim.
+    Both the vectorized kernel and the Python fast path had a naive
+    endswith('?') strip that agreed with each other while diverging from
+    _resolve_href (the stated single source of truth); pin all three."""
+    import pyarrow as pa
+
+    from cassovary_ray.extract import (
+        _resolve_href,
+        extract_batch,
+        extract_batch_py,
+    )
+
+    cases = ["a?#f", "a#f", "a?", "a??", "a?#", "a#", "a?q#f", "a#f?g",
+             "a?x?y#z#w", "a???", "a?q?", "a??#f", "?x", "a#?", "a?#?",
+             "a", "a?q", "a?q?r"]
+    hrefs = [f"http://h.test/{c}" for c in cases] + [f"/{c}" for c in cases]
+    base = "http://base.test/p"
+    html = " ".join(f'<a href="{h}">x</a>' for h in hrefs).encode()
+    truth = [r for h in hrefs if (r := _resolve_href(base, h)) is not None]
+    tbl = pa.table({"url": [base], "html": [html]})
+    got_vec = extract_batch(tbl)["dst_url"].to_pylist()
+    got_py = extract_batch_py(tbl)["dst_url"].to_pylist()
+    assert got_py == truth
+    assert got_vec == truth
