@@ -28,6 +28,13 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 
 def _auto_partitions(num_partitions: int | None) -> int:
     """Hash-join partition count. Ray's hash joins pin an aggregator actor

@@ -40,6 +40,13 @@ import ray
 
 from cassovary_ray.hashing import splitmix64
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 # Stage functions below are TASK pools, not actor pools, on purpose: their
 # only per-worker state is (a) the lru-cached projection matrix — a pure
 # function of (n_planes, seed, dim), cached per worker process — and (b) a

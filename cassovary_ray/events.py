@@ -19,6 +19,13 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 US_PER_HOUR = 3_600_000_000
 
 

@@ -25,6 +25,13 @@ import pyarrow.compute as pc
 
 from cassovary_ray.hashing import hash64_arrow
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 # href capture: single-, double-, or un-quoted attribute values.
 _HREF_RE = re.compile(
     rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",

@@ -28,6 +28,13 @@ import pyarrow as pa
 
 import ray
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 _HOW = {"inner", "left", "semi", "anti"}
 
 

@@ -28,6 +28,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
+
 INT, STR = "int", "string"
 _ALLOWED = {INT, STR}
 

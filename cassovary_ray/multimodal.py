@@ -36,6 +36,14 @@ import wave
 import numpy as np
 import pyarrow as pa
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("payload", pa.binary()),

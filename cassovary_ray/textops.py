@@ -25,6 +25,13 @@ from ray.data.aggregate import Count, Min, Sum
 
 from cassovary_ray.hashing import splitmix64
 
+from cassovary_ray import compat
+
+# Ray 2.49 workarounds (see compat.py): empty-first-block hash-join schema
+# broadcast, and Project skipping empty blocks (schema drift into joins).
+# Installed here because this module issues Dataset.join calls.
+compat.install()
+
 # RE2's \s is the ASCII class [\t\n\f\r ] (DuckDB's regex engine); Python
 # re's \s additionally matches \v and Unicode whitespace (NBSP etc.), which
 # would make every _WS_SPLIT site silently diverge from its hash-gated
