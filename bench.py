@@ -30,6 +30,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+LOADAVG_AT_START = [round(x, 2) for x in os.getloadavg()]
 # graph scale: sf0.1 -> 100M edges / 10M vertices (bench tier per FIXTURES §5)
 EDGES_PER_SF = 1_000_000_000
 VERTS_PER_SF = 100_000_000
@@ -236,6 +237,11 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        # ambient load when the run STARTED (1/5/15 min) — this VM shares a
+        # host; numbers taken at loadavg ≫ 1 are contended 2-3× (observed:
+        # PageRank wall 2.7 s quiet vs 7-14 s busy) and should be read
+        # against a quiet-box baseline, not as engine regressions
+        "loadavg_at_start": LOADAVG_AT_START,
         "num_cpus": NUM_CPUS,
         "edges": man["n_edges"],
         "vertices": n_vertices,
@@ -374,7 +380,8 @@ def run_scaling() -> dict:
     # BENCH_SPANS=knee|full|both: larger per-shard probes can only afford the
     # knee span (the full span's hi config would exceed one VM's memory)
     spans = os.environ.get("BENCH_SPANS", "both")
-    out = {"metric": "pagerank_weak_scaling_efficiency", "unit": "ratio"}
+    out = {"metric": "pagerank_weak_scaling_efficiency", "unit": "ratio",
+           "loadavg_at_start": LOADAVG_AT_START}
 
     # below-the-contention-knee measurement (2→8 CPUs): the VM's shared
     # memory bus is not yet saturated at 8 streaming workers, so engine

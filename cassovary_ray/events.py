@@ -55,8 +55,14 @@ def sessionize(events, gap_minutes: int = 30):
     """``(user_id, session_start_us, n_events, value_milli)`` — sessions split
     when the gap between consecutive events of a user exceeds ``gap_minutes``.
 
-    Per-user sorted ``map_groups`` (ts asc, event_id asc tie-break); the SQL
-    oracle is the standard lag/gap/cumsum window construction."""
+    Sort + segment-fold (the ``adjacency_lists`` / ``topk_per_key``
+    discipline, VERDICT r3 #8) instead of one pandas DataFrame per user:
+    ONE global range sort on (user_id, ts_us, event_id), then each block
+    folds its *interior* users' sessions with pure numpy (segment bounds +
+    ``np.add.reduceat``); only the ≤2 users touching a block edge divert
+    their raw rows to a tiny per-user pandas merge, because a session can
+    only straddle blocks through the edge users. The SQL oracle is the
+    standard lag/gap/cumsum window construction."""
     gap_us = gap_minutes * 60_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -85,11 +91,68 @@ def sessionize(events, gap_minutes: int = 30):
             "vmilli": pa.array(np.floor(val * 1000.0).astype(np.int64), pa.int64()),
         })
 
-    return (
+    srt = (
         events.map_batches(prep, batch_format="pyarrow")
+        .sort(["user_id", "ts_us", "event_id"])
+    )
+
+    zero = np.zeros(0, np.int64)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            z = pa.array(zero, pa.int64())
+            return pa.table({
+                "user_id": z, "session_start_us": z, "n_events": z,
+                "value_milli": z, "ts_us": z, "event_id": z, "vmilli": z,
+                "boundary": pa.array([], pa.bool_()),
+            })
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        vm = batch["vmilli"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        new_sess = np.r_[True, (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)]
+        starts = np.flatnonzero(new_sess)
+        sess_user = u[starts]
+        lengths = np.diff(np.r_[starts, n])
+        keep = (sess_user != u[0]) & (sess_user != u[-1])  # interior users
+        agg_n = int(keep.sum())
+        sums = np.add.reduceat(vm, starts)
+        raw = (u == u[0]) | (u == u[-1])  # edge users' raw rows → merge
+        raw_n = int(raw.sum())
+        pad_agg = np.zeros(agg_n, np.int64)
+        pad_raw = np.zeros(raw_n, np.int64)
+        return pa.table({
+            "user_id": pa.array(np.r_[sess_user[keep], u[raw]], pa.int64()),
+            "session_start_us": pa.array(np.r_[ts[starts][keep], pad_raw],
+                                         pa.int64()),
+            "n_events": pa.array(np.r_[lengths[keep], pad_raw], pa.int64()),
+            "value_milli": pa.array(np.r_[sums[keep], pad_raw], pa.int64()),
+            "ts_us": pa.array(np.r_[pad_agg, ts[raw]], pa.int64()),
+            "event_id": pa.array(np.r_[pad_agg, ev[raw]], pa.int64()),
+            "vmilli": pa.array(np.r_[pad_agg, vm[raw]], pa.int64()),
+            "boundary": pa.array(np.r_[np.zeros(agg_n, bool),
+                                       np.ones(raw_n, bool)]),
+        })
+
+    folded = srt.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def split(want_boundary: bool, cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["boundary"].to_numpy(
+                zero_copy_only=False) == want_boundary
+            return batch.filter(pa.array(keep)).select(cols)
+        return folded.map_batches(f, batch_format="pyarrow")
+
+    done = split(False, ["user_id", "session_start_us", "n_events",
+                         "value_milli"])
+    merged = (
+        split(True, ["user_id", "ts_us", "event_id", "vmilli"])
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
     )
+    return done.union(merged)
 
 
 def event_type_totals(events):

@@ -315,3 +315,66 @@ def test_events_hourly_retention():
     assert got.loc[2].tolist() == [1, 0]
     assert got.loc[3].tolist() == [1, 0]
     assert set(got.index) == {0, 1, 2, 3}
+
+
+def test_sessionize_segment_fold_vs_bruteforce():
+    """sessionize's sort+segment-fold must match a pure-pandas reference,
+    including sessions that straddle block boundaries (hot user 5 has 60
+    events so the range sort splits it across blocks at P=4) and exact
+    gap==threshold ties (gap stays in-session), at several parallelisms."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cassovary_ray import events as events_ops
+
+    gap_min = 30
+    gap_us = gap_min * 60_000_000
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for user in range(1, 12):
+        n = 60 if user == 5 else int(rng.integers(1, 9))
+        t = int(rng.integers(0, 10**9))
+        for _ in range(n):
+            # mix sub-gap steps, the exact-gap tie, and super-gap splits
+            t += int(rng.choice([1_000_000, gap_us, gap_us + 1,
+                                 3 * gap_us, 120_000_000]))
+            rows.append((eid, user, t, float(rng.integers(0, 5000)) / 100.0))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)  # shuffle
+
+    # brute force
+    want = []
+    for user, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        start = None
+        prev = None
+        cur = []
+        for _, r in g.iterrows():
+            if prev is not None and r.ts - prev > gap_us:
+                want.append((user, start, len(cur), sum(cur)))
+                start, cur = None, []
+            if start is None:
+                start = int(r.ts)
+            cur.append(int(np.floor(r.value * 1000.0)))
+            prev = int(r.ts)
+        want.append((user, start, len(cur), sum(cur)))
+    want_df = (pd.DataFrame(want, columns=["user_id", "session_start_us",
+                                           "n_events", "value_milli"])
+               .sort_values(["user_id", "session_start_us"])
+               .reset_index(drop=True))
+
+    tbl = pa.table({
+        "event_id": pa.array(df.event_id, pa.int64()),
+        "user_id": pa.array(df.user_id, pa.int64()),
+        "ts": pa.array(df.ts, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(df.value, pa.float64()),
+    })
+    for p in (1, 2, 4):
+        ev = ray.data.from_arrow(tbl).repartition(p)
+        got = (events_ops.sessionize(ev, gap_minutes=gap_min).to_pandas()
+               .sort_values(["user_id", "session_start_us"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want_df.astype("int64"), check_like=True)
