@@ -80,7 +80,8 @@ class _Scatter:
     """
 
     __slots__ = ("num_parts", "src_pos", "seg_starts", "uniq_dst", "part_ptr",
-                 "out_deg", "n_edges", "_vals", "_sums", "w_sorted", "w_out")
+                 "out_deg", "n_edges", "_vals", "_sums", "w_sorted", "w_out",
+                 "exchange_dtype")
 
     def __init__(self, src: np.ndarray, dst: np.ndarray, verts: np.ndarray,
                  num_parts: int, weights: np.ndarray | None = None):
@@ -115,6 +116,7 @@ class _Scatter:
         # churn per shard per round at bench scale)
         self._vals = np.empty(self.n_edges)
         self._sums = np.empty(len(self.uniq_dst))
+        self.exchange_dtype = None
 
     @classmethod
     def from_arrays(cls, *, num_parts: int, src_pos, seg_starts, uniq_dst,
@@ -134,6 +136,7 @@ class _Scatter:
         self.w_out = w_out
         self._vals = np.empty(self.n_edges)
         self._sums = np.empty(len(self.uniq_dst))
+        self.exchange_dtype = None
         return self
 
     def segment_sums(self, per_edge_vals: np.ndarray) -> np.ndarray:
@@ -164,9 +167,15 @@ class _Scatter:
 
     def slice_for_part(self, sums: np.ndarray, q: int, with_ids: bool):
         lo, hi = self.part_ptr[q], self.part_ptr[q + 1]
+        vals = sums[lo:hi]
+        # optional float32 ship precision (exchange_precision="f32"): cast
+        # only FLOAT payloads — integer payloads (WCC component mins, label
+        # ids) are identifiers and ship exact at any precision setting
+        if self.exchange_dtype is not None and vals.dtype == np.float64:
+            vals = vals.astype(self.exchange_dtype)
         if with_ids:
-            return (self.uniq_dst[lo:hi], sums[lo:hi])
-        return sums[lo:hi]
+            return (self.uniq_dst[lo:hi], vals)
+        return vals
 
     def edge_range_for_part(self, q: int) -> tuple[int, int]:
         """[lo, hi) edge-index range whose dst lives in partition q (edges
@@ -369,12 +378,12 @@ class GraphShard:
 
     def __init__(self, part: int, num_parts: int, layout_dir: str,
                  reverse_layout_dir: str | None = None, csr_cache: bool = True,
-                 exchange_groups: int = 1):
+                 exchange_groups: int = 1, exchange_precision: str = "f64"):
         self.part = part
         self.num_parts = num_parts
         self.layout_dir = layout_dir
         self._init_args = (part, num_parts, layout_dir, reverse_layout_dir,
-                           csr_cache, exchange_groups)
+                           csr_cache, exchange_groups, exchange_precision)
         # per-NODE payload packing (the refinement designed in
         # _Scatter.per_part's docstring): parts are split into G contiguous
         # receiver groups; pr_round returns one packed object PER GROUP so a
@@ -424,6 +433,20 @@ class GraphShard:
 
         self.fwd = load_scatter(layout_dir)
         self.rev = load_scatter(reverse_layout_dir) if reverse_layout_dir else None
+        # ship precision for FLOAT exchange payloads (see
+        # _Scatter.slice_for_part): "f32" halves per-round exchange bytes —
+        # on a multi-node cluster the network is the weak-scaling binding
+        # term, and rank-contribution partials carry ~2^-24 relative error
+        # each, orders of magnitude inside the 1e-6 convergence tolerance.
+        # Default "f64" keeps the golden-vector tests exact to 1e-10.
+        if exchange_precision not in ("f64", "f32"):
+            raise ValueError(
+                f"exchange_precision must be 'f64' or 'f32', got "
+                f"{exchange_precision!r}")
+        dt = np.float32 if exchange_precision == "f32" else None
+        self.fwd.exchange_dtype = dt
+        if self.rev is not None:
+            self.rev.exchange_dtype = dt
         # vertex state vectors, keyed by name ("rank", "comp", "label", ...)
         self.state: dict[str, np.ndarray] = {}
         self._walkers = None
@@ -1985,7 +2008,8 @@ class ShardedGraph:
 
     def __init__(self, layout_dir: str, *, reverse_layout_dir: str | None = None,
                  shard_cpus: float = 0.0, csr_cache: bool = True,
-                 exchange_groups: int | None = None):
+                 exchange_groups: int | None = None,
+                 exchange_precision: str = "f64"):
         self.layout_dir = layout_dir
         self.has_reverse = reverse_layout_dir is not None
         man = read_layout_manifest(layout_dir)
@@ -2008,6 +2032,11 @@ class ShardedGraph:
             except Exception:
                 exchange_groups = 1
         self.exchange_groups = max(1, min(exchange_groups, self.num_parts))
+        # float-payload ship precision: "f32" halves exchange bytes/round
+        # (the multi-node network lever; see GraphShard.__init__). Keep the
+        # default "f64" for golden-vector-exact results; "f32" is safe for
+        # any tolerance ≥ 1e-6 (partials carry ~2^-24 relative error).
+        self.exchange_precision = exchange_precision
         # shard_cpus=0 by default: the pool is BSP-driven (exactly P actors
         # compute per phase, P is sized to the cluster by the caller), and a
         # full reservation deadlocks any Ray Data stage sharing the cluster
@@ -2016,7 +2045,7 @@ class ShardedGraph:
         self.shards = [
             GraphShard.options(num_cpus=shard_cpus, scheduling_strategy="SPREAD").remote(
                 p, self.num_parts, layout_dir, reverse_layout_dir, csr_cache,
-                self.exchange_groups
+                self.exchange_groups, exchange_precision
             )
             for p in range(self.num_parts)
         ]
@@ -2067,6 +2096,21 @@ class ShardedGraph:
 
         refs = [s.get_state_table.remote(name, column) for s in self.shards]
         return ray.data.from_arrow_refs(refs)
+
+    def _check_f32_convergence(self, max_iterations, tolerance) -> None:
+        """Refuse an UNBOUNDED tolerance loop the f32 exchange cannot
+        certify: float32 ship quantization floors the round-to-round T1
+        delta around n·2⁻²⁴·‖state‖, so an f32 run driven to a tighter
+        tolerance with no iteration cap can oscillate below the floor
+        forever (caught live by the end-to-end verify drive: g6 at the
+        default tol=1e-8 never converged)."""
+        if (self.exchange_precision == "f32" and max_iterations is None
+                and tolerance is not None and tolerance < 1e-7):
+            raise ValueError(
+                "exchange_precision='f32' cannot certify convergence below "
+                f"1e-7 T1 error (requested tolerance={tolerance:g} with "
+                "max_iterations=None); raise the tolerance to >=1e-7, bound "
+                "max_iterations, or use the default exchange_precision='f64'")
 
     def _exchange(self, scatter_method: str, apply_method: str, first_round: bool,
                   scatter_args=(), apply_args=()):
@@ -2121,6 +2165,7 @@ class ShardedGraph:
         count (``vertex % P`` is the stable key); seeds are rescaled to
         Σ=1 globally. Ignored when ``resume`` finds a checkpoint of THIS
         run."""
+        self._check_f32_convergence(max_iterations, tolerance)
         n = self.n_vertices
         iteration, error = 0, 100.0 + tolerance
         dangle_total = None
@@ -2216,6 +2261,7 @@ class ShardedGraph:
         (``GraphUtils.scala:142-154``); round semantics follow
         ``PageRank.scala:85-113`` with the reset/dangling mass redirected to
         the seeds. Returns ``Dataset(vertex, rank)``."""
+        self._check_f32_convergence(max_iterations, tolerance)
         if not seeds:
             raise ValueError("personalized_pagerank needs at least one seed")
         total = float(sum(seeds.values()))
@@ -2396,6 +2442,7 @@ class ShardedGraph:
         if max_iterations is None and tolerance is None:
             raise ValueError("katz: max_iterations=None requires a tolerance "
                              "(otherwise the loop has no stopping condition)")
+        self._check_f32_convergence(max_iterations, tolerance)
         ray.get([s.katz_init.remote(beta) for s in self.shards])
         tol = -1.0 if tolerance is None else tolerance
         iteration, error = 0, float("inf")
@@ -2437,6 +2484,8 @@ class ShardedGraph:
                              "tolerance (no stopping condition otherwise)")
         if program.combine not in ("sum", "min", "max"):
             raise ValueError(f"unknown combine {program.combine!r}")
+        if program.combine == "sum":  # float payloads cast under f32
+            self._check_f32_convergence(max_iterations, tolerance)
         blob = _pickle_by_value(program)
         ray.get([s.vp_init.remote(blob, self.n_vertices)
                  for s in self.shards])
@@ -2924,6 +2973,7 @@ class ShardedGraph:
         iterations)."""
         if not self.has_reverse:
             raise ValueError("hits() needs a ShardedGraph built with reverse_layout_dir")
+        self._check_f32_convergence(max_iterations, tolerance)
         ray.get([s.hits_init.remote(self.n_vertices) for s in self.shards])
         iteration, error, first = 0, 100.0 + tolerance, True
         while not ((max_iterations is not None and iteration >= max_iterations) or error <= tolerance):
@@ -2957,6 +3007,7 @@ class ShardedGraph:
         Requires a reverse layout. Returns (hubs, authorities, iterations)."""
         if not self.has_reverse:
             raise ValueError("salsa() needs a ShardedGraph built with reverse_layout_dir")
+        self._check_f32_convergence(max_iterations, tolerance)
         ray.get([s.salsa_init.remote(self.n_vertices) for s in self.shards])
         auth_sum = 1.0  # init vector sums to exactly 1
         iteration, error, first = 0, 100.0 + tolerance, True
