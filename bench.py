@@ -86,7 +86,12 @@ def run_bench() -> dict:
 
     _sh.rmtree(os.path.join(lay, "csr_cache"), ignore_errors=True)
 
-    with ShardedGraph(lay, csr_cache=False) as g:
+    # BENCH_EXCHANGE_PRECISION=f32 runs the headline loop with the halved
+    # float32 ship payload (BASELINE.md "Float32 exchange option") — used
+    # for the f32 legs of scaling comparisons; default f64 keeps the
+    # headline methodology identical across rounds.
+    prec = os.environ.get("BENCH_EXCHANGE_PRECISION", "f64")
+    with ShardedGraph(lay, csr_cache=False, exchange_precision=prec) as g:
         n_vertices = g.n_vertices
         # warm: one untimed round so actor CSR build and page cache are
         # excluded from the throughput number
