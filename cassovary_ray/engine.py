@@ -2484,7 +2484,11 @@ class ShardedGraph:
                              "tolerance (no stopping condition otherwise)")
         if program.combine not in ("sum", "min", "max"):
             raise ValueError(f"unknown combine {program.combine!r}")
-        if program.combine == "sum":  # float payloads cast under f32
+        # under exchange_precision="f32" every FLOAT payload ships
+        # quantized: sum-combine programs get the unbounded-tolerance guard
+        # (quantization floors the T1 delta); min/max-combine programs stay
+        # monotone and terminate, but float state is then f32-approximate.
+        if program.combine == "sum":
             self._check_f32_convergence(max_iterations, tolerance)
         blob = _pickle_by_value(program)
         ray.get([s.vp_init.remote(blob, self.n_vertices)
@@ -2528,7 +2532,11 @@ class ShardedGraph:
         resumed run converges to the identical fixpoint from any checkpoint
         (the same lineage/manifest discipline as WCC). Distances are exact
         left-fold float sums along each path — deterministic at any
-        parallelism (min of identical candidate sets).
+        parallelism (min of identical candidate sets). Under
+        ``exchange_precision="f32"`` shipped distance candidates are
+        float32-quantized (~1e-7 relative); the min-reduction stays
+        monotone so convergence is unaffected, but distances are then
+        f32-approximate — keep the default f64 when exact distances matter.
 
         ``sources``: iterable of vertex ids (distance 0) or a
         ``{vertex: starting_distance}`` mapping. Returns
