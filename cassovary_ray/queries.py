@@ -1103,6 +1103,49 @@ def q_web_host_pagerank(sf_dir: str):
         return g.pagerank(max_iterations=10, tolerance=0.0)
 
 
+#: TrustRank trusted-host seed set: hosts 0-3, uniform ¼ each (exact binary
+#: fractions — no decimal-literal float divergence vs the oracle). A real
+#: deployment feeds a curated seed list; the rule here is deterministic so
+#: both sides embed the identical distribution.
+TRUST_SEEDS = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+
+
+def q_web_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) over the
+    host graph: personalized PageRank whose reset AND dangling mass return
+    to a trusted-host seed distribution instead of the uniform vector, so
+    trust decays with link distance from the seeds and hosts reachable
+    only from untrusted regions are demoted. The engine runs the full
+    string chain (urls → RE2 host pull → distinct host edges → layout →
+    seeded exact PPR, 10 pinned rounds); the oracle replays the same graph
+    arithmetically as DISTINCT (src % 53, dst % 53) because host
+    ``h{k}.test`` ⇔ ``k`` by construction (see q_web_host_pagerank)."""
+    from cassovary_ray import extract
+
+    d = _layout_dir(sf_dir, "hosts_unweighted")
+    try:
+        read_layout_manifest(d)
+    except FileNotFoundError:
+        hg = extract.host_graph(
+            derived_edges(sf_dir).map_batches(_edge_urls_batch,
+                                              batch_format="pyarrow"))
+
+        def to_ids(b: pa.Table) -> pa.Table:
+            def hid(col):
+                m = pc.extract_regex(b[col], r"^h(?P<k>\d+)\.")
+                return pc.cast(pc.struct_field(m, "k"), pa.int64())
+
+            # host_graph pre-groups, so (src, dst) pairs are already
+            # distinct — drop the link counts for the unweighted walk
+            return pa.table({"src": hid("src_host"), "dst": hid("dst_host")})
+
+        build_edge_layout(hg.map_batches(to_ids, batch_format="pyarrow"),
+                          d, ENGINE_PARTS)
+    with ShardedGraph(d) as g:
+        return g.personalized_pagerank(TRUST_SEEDS, max_iterations=10,
+                                       tolerance=0.0)
+
+
 def q_web_url_dedup(sf_dir: str):
     """URL canonicalization dedup: messy variants (fragments, utm params,
     :80 ports, trailing slashes — deterministically synthesised per edge)
@@ -1409,6 +1452,7 @@ QUERIES = {
     "web_host_graph": q_web_host_graph,
     "web_crawl_frontier": q_web_crawl_frontier,
     "web_host_pagerank": q_web_host_pagerank,
+    "web_trustrank": q_web_trustrank,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -2123,6 +2167,9 @@ ORACLE_SQL = {
         f"SELECT src % 53 AS src, dst % 53 AS dst,"
         f" CAST(count(*) AS DOUBLE) AS w"
         f" FROM ({DERIVED_EDGES_CTE}) e GROUP BY 1, 2", iterations=10),
+    "web_trustrank": oracles.ppr_sql(
+        f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
+        f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS, iterations=10),
     "web_crawl_frontier": f"""
         WITH e AS (SELECT * FROM ({DERIVED_EDGES_CTE}) WHERE src % 5 <> 0),
         urls AS (
