@@ -1120,6 +1120,15 @@ def q_web_trustrank(sf_dir: str):
     seeded exact PPR, 10 pinned rounds); the oracle replays the same graph
     arithmetically as DISTINCT (src % 53, dst % 53) because host
     ``h{k}.test`` ⇔ ``k`` by construction (see q_web_host_pagerank)."""
+    d = _ensure_hosts_unweighted_layout(sf_dir)
+    with ShardedGraph(d) as g:
+        return g.personalized_pagerank(TRUST_SEEDS, max_iterations=10,
+                                       tolerance=0.0)
+
+
+def _ensure_hosts_unweighted_layout(sf_dir: str) -> str:
+    """Unweighted host-graph layout (distinct host→host link pairs) shared
+    by the TrustRank / spam-mass family."""
     from cassovary_ray import extract
 
     d = _layout_dir(sf_dir, "hosts_unweighted")
@@ -1141,9 +1150,34 @@ def q_web_trustrank(sf_dir: str):
 
         build_edge_layout(hg.map_batches(to_ids, batch_format="pyarrow"),
                           d, ENGINE_PARTS)
+    return d
+
+
+def q_web_spam_mass(sf_dir: str):
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB'06):
+    the fraction of a host's PageRank that does NOT survive when the
+    reset/dangling mass is restricted to the trusted seeds —
+    ``(pr − tr) / pr``. Hosts whose rank comes mostly from untrusted
+    regions score near 1 and are demotion candidates. Both ranks run on
+    the same unweighted host layout in ONE graph session (CSR loaded
+    once); the combine is a vertex-keyed shuffle join + a vectorized
+    Arrow kernel, so at corpus scale no rank table ever lands on the
+    driver. IEEE float ops on hash-exact inputs keep engine and oracle
+    bit-comparable at the driver's 9-dp rounding."""
+    d = _ensure_hosts_unweighted_layout(sf_dir)
     with ShardedGraph(d) as g:
-        return g.personalized_pagerank(TRUST_SEEDS, max_iterations=10,
-                                       tolerance=0.0)
+        pr = g.pagerank(max_iterations=10, tolerance=0.0)
+        tr = g.personalized_pagerank(TRUST_SEEDS, max_iterations=10,
+                                     tolerance=0.0)
+    out = joins.shuffle_join(pr.rename_columns({"rank": "pr"}),
+                             tr.rename_columns({"rank": "trust"}),
+                             on="vertex")
+
+    def spam(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "spam_mass", pc.divide(pc.subtract(b["pr"], b["trust"]), b["pr"]))
+
+    return out.map_batches(spam, batch_format="pyarrow")
 
 
 def q_web_url_dedup(sf_dir: str):
@@ -1453,6 +1487,7 @@ QUERIES = {
     "web_crawl_frontier": q_web_crawl_frontier,
     "web_host_pagerank": q_web_host_pagerank,
     "web_trustrank": q_web_trustrank,
+    "web_spam_mass": q_web_spam_mass,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -2170,6 +2205,16 @@ ORACLE_SQL = {
     "web_trustrank": oracles.ppr_sql(
         f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
         f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS, iterations=10),
+    "web_spam_mass": f"""
+        SELECT pr.vertex AS vertex, pr.rank AS pr, tr.rank AS trust,
+               (pr.rank - tr.rank) / pr.rank AS spam_mass
+        FROM ({oracles.pagerank_sql(
+            f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
+            f" FROM ({DERIVED_EDGES_CTE}) e", iterations=10)}) pr
+        JOIN ({oracles.ppr_sql(
+            f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
+            f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS,
+            iterations=10)}) tr USING (vertex)""",
     "web_crawl_frontier": f"""
         WITH e AS (SELECT * FROM ({DERIVED_EDGES_CTE}) WHERE src % 5 <> 0),
         urls AS (

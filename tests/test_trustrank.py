@@ -49,3 +49,19 @@ def test_trust_decay_rate_is_damping(layout):
               .to_pandas().set_index("vertex")["rank"])
     assert df[2] == pytest.approx(0.85 * df[1], rel=1e-9)
     assert df[3] == pytest.approx(0.85 * df[2], rel=1e-9)
+
+
+def test_spam_mass_separates_regions(layout):
+    """Spam mass (Gyöngyi et al., VLDB'06) = (pr − tr)/pr. Hosts with no
+    trusted in-path have tr = 0 exactly → spam mass exactly 1; the seed
+    itself keeps most of its rank under the trusted reset → mass ≪ 1."""
+    with ShardedGraph(layout) as g:
+        pr = (g.pagerank(max_iterations=200, tolerance=0.0)
+              .to_pandas().set_index("vertex")["rank"])
+        tr = (g.personalized_pagerank({0: 1.0}, max_iterations=200,
+                                      tolerance=0.0)
+              .to_pandas().set_index("vertex")["rank"])
+    mass = (pr - tr) / pr
+    assert mass[10] == 1.0 and mass[11] == 1.0
+    assert mass[0] < 0.0  # the seed GAINS rank under the trusted reset
+    assert all(mass[v] < 1.0 for v in (0, 1, 2, 3))
