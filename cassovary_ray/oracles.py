@@ -571,7 +571,8 @@ def ngram_jaccard_sql(n: int = 3, max_df: int = 50, threshold: float = 0.5) -> s
 
 
 def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
-                  reset_right: float = 0.1, k: int = 2) -> str:
+                  reset_right: float = 0.1, k: int = 2,
+                  lefts_cte: str | None = None) -> str:
     """Two-iteration bipartite alternating flow (``bipartite.iterative_link_
     analysis`` / ``engine.bipartite_link_analysis``, semantics
     ``IterativeLinkAnalyzer.scala:36-184``): supplied lefts = the ``n_lefts``
@@ -583,12 +584,17 @@ def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
     same comma-joined string the query side produces. Per-edge shares are
     identical doubles on both sides ((w/deg)·(1−reset), same literal
     association); only the summed weights differ at ~1e-16 — below the
-    driver's 9-dp rounding."""
+    driver's 9-dp rounding.
+
+    ``lefts_cte``: optional SQL yielding ``(vertex, w0)`` to seed the left
+    side (e.g. a PPR circle of trust for WTF-style personalized SALSA);
+    defaults to the ``n_lefts`` smallest distinct srcs at weight 1.0."""
+    linit = lefts_cte if lefts_cte is not None else (
+        f"SELECT vertex, 1.0 AS w0 FROM ("
+        f"SELECT DISTINCT src AS vertex FROM ea ORDER BY vertex LIMIT {n_lefts})")
     return f"""
         WITH ea AS MATERIALIZED ({edges_cte}),
-        linit AS MATERIALIZED (
-            SELECT vertex, 1.0 AS w0 FROM (
-                SELECT DISTINCT src AS vertex FROM ea ORDER BY vertex LIMIT {n_lefts})),
+        linit AS MATERIALIZED ({linit}),
         e AS MATERIALIZED (
             SELECT ea.src, ea.dst FROM ea JOIN linit ON linit.vertex = ea.src),
         ldeg AS MATERIALIZED (SELECT src, count(*) AS c FROM e GROUP BY 1),

@@ -646,6 +646,74 @@ def q_graph_bipartite(sf_dir: str):
     return out
 
 
+#: WTF pipeline constants, shared verbatim with the SQL oracle: user 0's
+#: circle of trust is its top-10 exact-PPR vertices, recommendations are
+#: the top-20 authority scores.
+WTF_USER = 0
+WTF_COT_SIZE = 10
+WTF_TOP_K = 20
+
+
+def q_graph_wtf(sf_dir: str):
+    """Who-To-Follow (Gupta et al., WWW'13 — Twitter's production WTF,
+    the reference's flagship application): circle of trust = the user's
+    top-``WTF_COT_SIZE`` exact-PPR vertices (selection by quantized
+    ``floor(rank·1e6)`` desc / vertex asc — coarse enough that the
+    ~1e-16 summation divergence between engine and oracle cannot flip
+    the cut), then one personalized-SALSA round — the engine's
+    bipartite alternating flow (``IterativeLinkAnalyzer.scala:36-184``
+    semantics) seeded with the PPR weights over the circle's induced
+    out-edges. Recommendations = authority-side vertices minus the user
+    and the accounts it already follows (anti-join, never a driver
+    set at scale), top-``WTF_TOP_K`` by quantized score desc / vertex
+    asc. Both rank phases run in ONE graph session."""
+    fwd = _ensure_layout(sf_dir, "directed")
+    rev = _ensure_layout(sf_dir, "reversed")
+    with ShardedGraph(fwd, reverse_layout_dir=rev) as g:
+        ppr = g.personalized_pagerank({WTF_USER: 1.0}, max_iterations=10,
+                                      tolerance=0.0)
+
+        def quant_rank(b: pa.Table) -> pa.Table:
+            q = pc.cast(pc.floor(pc.multiply(b["rank"], 1000000.0)),
+                        pa.int64())
+            return b.append_column("q", q)
+
+        cot = (ppr.map_batches(quant_rank, batch_format="pyarrow")
+               .sort(["q", "vertex"], descending=[True, False])
+               .take(WTF_COT_SIZE))
+        left_init = {r["vertex"]: r["rank"] for r in cot}
+        _, right = g.bipartite_link_analysis(left_init, num_iterations=2)
+
+    def followed_batch(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["src"], WTF_USER))
+        return pa.table({"vertex": f["dst"]})
+
+    followed = derived_edges(sf_dir).map_batches(followed_batch,
+                                                 batch_format="pyarrow")
+
+    def stringify(b: pa.Table) -> pa.Table:
+        # list<int64> → the oracle's comma-joined string (Arrow joins
+        # cannot carry list-typed non-key fields)
+        s = pc.binary_join(
+            pc.cast(b["contributors"], pa.list_(pa.string())), ",")
+        return b.set_column(b.schema.get_field_index("contributors"),
+                            "contributors", s)
+
+    cand = joins.shuffle_join(
+        right.map_batches(stringify, batch_format="pyarrow"),
+        followed, on="vertex", how="anti")
+
+    def quant_score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["vertex"], WTF_USER))
+        q = pc.cast(pc.floor(pc.multiply(b["weight"], 1000000000.0)),
+                    pa.int64())
+        return b.append_column("q", q)
+
+    return (cand.map_batches(quant_score, batch_format="pyarrow")
+            .sort(["q", "vertex"], descending=[True, False])
+            .limit(WTF_TOP_K).drop_columns(["q"]))
+
+
 def q_graph_closeness(sf_dir: str):
     """Sampled-source closeness via ONE tagged multi-source BFS (sources =
     vertices 0..7; the all-sources variant is O(n·m) by nature). max_depth=32
@@ -1434,6 +1502,7 @@ QUERIES = {
     "graph_numberer": q_graph_numberer,
     "graph_dfs": q_graph_dfs,
     "graph_bipartite": q_graph_bipartite,
+    "graph_wtf": q_graph_wtf,
     "graph_closeness": q_graph_closeness,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_stats": q_doc_stats,
@@ -2104,6 +2173,24 @@ ORACLE_SQL = {
     """,
     "graph_bipartite": oracles.bipartite_sql(DERIVED_EDGES_CTE, n_lefts=20,
                                              reset_left=0.1, reset_right=0.1, k=2),
+    "graph_wtf": f"""
+        WITH bip AS ({oracles.bipartite_sql(
+            DERIVED_EDGES_CTE, reset_left=0.1, reset_right=0.1, k=2,
+            lefts_cte=f'''SELECT vertex, rank AS w0 FROM (
+                SELECT vertex, rank, row_number() OVER (
+                    ORDER BY CAST(floor(rank * 1000000.0) AS BIGINT) DESC,
+                             vertex ASC) AS rn
+                FROM ({oracles.ppr_sql(DERIVED_EDGES_CTE, {WTF_USER: 1.0},
+                                       iterations=10)}) p) WHERE rn <= {WTF_COT_SIZE}''')}),
+        followed AS (SELECT DISTINCT dst FROM ({DERIVED_EDGES_CTE})
+                     WHERE src = {WTF_USER})
+        SELECT vertex, weight, contributors FROM (
+            SELECT vertex, weight, contributors, row_number() OVER (
+                ORDER BY CAST(floor(weight * 1000000000.0) AS BIGINT) DESC,
+                         vertex ASC) AS rn
+            FROM bip WHERE side = 'right' AND vertex <> {WTF_USER}
+                  AND vertex NOT IN (SELECT dst FROM followed))
+        WHERE rn <= {WTF_TOP_K}""",
     "doc_langid": oracles.langid_sql(textops._LANG_MARKERS),
     "graph_reciprocity": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
