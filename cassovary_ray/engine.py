@@ -2930,6 +2930,24 @@ class ShardedGraph:
         """
         import ray.data
 
+        self._bila_run(left_init, num_iterations=num_iterations,
+                       reset_prob_left=reset_prob_left,
+                       reset_prob_right=reset_prob_right,
+                       num_top_contributors=num_top_contributors)
+        left = ray.data.from_arrow_refs(
+            [s.bila_side_table.remote("left") for s in self.shards])
+        right = ray.data.from_arrow_refs(
+            [s.bila_side_table.remote("right") for s in self.shards])
+        return (left.sort(["weight", "vertex"], descending=[True, False]),
+                right.sort(["weight", "vertex"], descending=[True, False]))
+
+    def _bila_run(self, left_init: dict[int, float], *, num_iterations: int,
+                  reset_prob_left: float, reset_prob_right: float,
+                  num_top_contributors: int) -> None:
+        """Run the bipartite BSP rounds on the resident shards, leaving the
+        per-shard side tables in actor state (``bila_side_table``). Split
+        out so the serving layer can drive the same rounds per request and
+        fold the small result in numpy without building a Dataset plan."""
         if not self.has_reverse:
             raise ValueError(
                 "bipartite_link_analysis() needs a ShardedGraph built with "
@@ -2965,12 +2983,6 @@ class ShardedGraph:
             self.metrics.append(RoundMetrics(it, float("nan"),
                                              time.perf_counter() - t0,
                                              {"algo": "bipartite"}))
-        left = ray.data.from_arrow_refs(
-            [s.bila_side_table.remote("left") for s in self.shards])
-        right = ray.data.from_arrow_refs(
-            [s.bila_side_table.remote("right") for s in self.shards])
-        return (left.sort(["weight", "vertex"], descending=[True, False]),
-                right.sort(["weight", "vertex"], descending=[True, False]))
 
     def hits(self, *, max_iterations: int | None = 100, tolerance: float = 1e-8,
              normalize: bool = True):

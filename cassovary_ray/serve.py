@@ -121,6 +121,61 @@ class GraphServer:
                                  seed=seed, max_out_deg=max_out_deg,
                                  top_k=top_k)
 
+    def who_to_follow(self, user: int, *, top_k: int = 20,
+                      cot_size: int = 10, num_steps: int = 10_000,
+                      num_walkers: int = 100, reset_prob: float = 0.3,
+                      seed: int = 1, num_iterations: int = 2,
+                      reset_prob_left: float = 0.1,
+                      reset_prob_right: float = 0.1) -> pa.Table:
+        """Per-request Who-To-Follow (Gupta et al., WWW'13 — the
+        reference's production recommendation service, served here the way
+        Twitter served it: from a resident in-memory graph). Circle of
+        trust = the user's Monte-Carlo personalized-reputation top
+        ``cot_size`` (``GraphUtils.scala:142-154`` semantics, resident walk
+        CSRs so the request pays no load), then ``num_iterations`` rounds
+        of personalized SALSA — the bipartite BSP seeded with the visit
+        counts — over the circle's induced out-edges. Recommendations
+        exclude the user and its current out-neighbors. Returns an Arrow
+        ``(vertex, weight, contributors)`` table, score desc / vertex asc,
+        limited to ``top_k``; ``contributors`` (top circle-of-trust
+        endorsers per result) make each recommendation explainable —
+        "because you follow X". The batch-gate analogue (exact PPR + the
+        same flow, hash-checked vs SQL) is ``queries.q_graph_wtf``."""
+        g = self.graph
+        if not g.has_reverse:
+            raise ValueError(
+                "who_to_follow needs a server started with reverse_layout_dir")
+        cot = self.personalized_reputation(
+            user, num_steps=num_steps, reset_prob=reset_prob,
+            num_walkers=num_walkers, seed=seed, top_k=cot_size)
+        vs = cot["vertex"].to_numpy(zero_copy_only=False)
+        ws = cot["visits"].to_numpy(zero_copy_only=False)
+        left_init = {int(v): float(w) for v, w in zip(vs, ws) if w > 0}
+        if not left_init:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64()),
+                             "contributors": pa.array([], pa.list_(pa.int64()))})
+        g._bila_run(left_init, num_iterations=num_iterations,
+                    reset_prob_left=reset_prob_left,
+                    reset_prob_right=reset_prob_right,
+                    num_top_contributors=2)
+        t = pa.concat_tables(
+            ray.get([s.bila_side_table.remote("right") for s in g.shards]))
+        # exclude the user and accounts it already follows (a user's
+        # out-neighbor list is request-sized, never corpus-sized)
+        rec = ray.get(g.shards[user % g.num_parts].point_query.remote(
+            [user], True, None))[0]
+        followed = np.array(
+            sorted(set(rec["out_neighbors"]) | {user}) if rec else [user],
+            dtype=np.int64)
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(v, followed)
+        t = t.filter(pa.array(keep))
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -w))[:top_k]
+        return t.take(pa.array(order, pa.int64()))
+
     def apply_delta(self, added: pa.Table | None = None,
                     removed: pa.Table | None = None) -> dict:
         """Live dynamic update of the SERVED graph — the batch analogue of
@@ -231,6 +286,10 @@ class GraphSession:
 
     def personalized_reputation(self, start, **kw) -> pa.Table:
         return ray.get(self._server.personalized_reputation.remote(start, **kw))
+
+    def who_to_follow(self, user: int, **kw) -> pa.Table:
+        """Per-request WTF recommendations (see ``GraphServer.who_to_follow``)."""
+        return ray.get(self._server.who_to_follow.remote(user, **kw))
 
     def apply_delta(self, added: pa.Table | None = None,
                     removed: pa.Table | None = None) -> dict:

@@ -195,3 +195,38 @@ def test_apply_delta_with_reverse_layout(tmp_path):
         assert sess.neighbors(0) == [1, 2]
     finally:
         sess.stop()
+
+
+def test_who_to_follow_request(tmp_path):
+    """Per-request WTF on the served graph: 0 follows 1 and 2; both follow
+    3; only 2 follows 4 → recommend 3 (consensus) above 4, never the user
+    or accounts already followed; contributors name the endorsing circle
+    members."""
+    import pyarrow as pa
+
+    follow = {0: [1, 2], 1: [3], 2: [3, 4], 3: [], 4: []}
+    lay, rev = str(tmp_path / "lay"), str(tmp_path / "rev")
+    build_toy_layout(follow, lay, 2)
+    build_toy_layout(follow, rev, 2, reverse=True)
+    sess = serve.start(lay, name="test_wtf", reverse_layout_dir=rev)
+    try:
+        t = sess.who_to_follow(0, num_steps=2000, num_walkers=50, seed=5)
+        recs = t["vertex"].to_pylist()
+        assert set(recs) <= {3, 4} and recs[0] == 3
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        assert (np.diff(w) <= 0).all()
+        contribs = t["contributors"].to_pylist()
+        assert set(contribs[0]) <= {0, 1, 2, 3, 4}
+        # live follow of 3 removes it from the next request's results
+        sess.apply_delta(added=pa.table({"src": pa.array([0], pa.int64()),
+                                         "dst": pa.array([3], pa.int64())}))
+        t2 = sess.who_to_follow(0, num_steps=2000, num_walkers=50, seed=5)
+        assert 3 not in t2["vertex"].to_pylist()
+    finally:
+        sess.stop()
+
+
+def test_who_to_follow_needs_reverse(served):
+    sess, _, _ = served
+    with pytest.raises(Exception, match="reverse_layout_dir"):
+        sess.who_to_follow(0)
