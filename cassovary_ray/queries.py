@@ -1248,6 +1248,45 @@ def q_web_spam_mass(sf_dir: str):
     return out.map_batches(spam, batch_format="pyarrow")
 
 
+def q_web_anchor_texts(sf_dir: str):
+    """Inbound anchor-text corpus — certifies the REAL html anchor chain
+    (closed-tag regex pull, entity unescape, ``urljoin`` resolution,
+    fragment/javascript drops, text cleaning, pre-combined aggregation)
+    end-to-end at sf scale: pages are synthesized deterministically from
+    the derived edges (one closed anchor per out-edge, RELATIVE href when
+    src and dst share a host so resolution is exercised, plus fragment and
+    javascript links the extractor must drop), then
+    ``extract.anchor_texts`` reduces to ``(dst_url, anchor, n)``. The
+    oracle computes the same table in closed form from the edges — equal
+    hashes certify the whole string chain, the ``web_host_pagerank``
+    pattern."""
+    from cassovary_ray import extract
+
+    adj = analytics.adjacency_lists(derived_edges(sf_dir))
+
+    def make_pages(b: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for s, nbrs in zip(b["src"].to_pylist(), b["neighbors"].to_pylist()):
+            h = s % 53
+            links = [
+                '<p><a href="#top">top</a> <a href="javascript:void(0)">js</a></p>'
+            ]
+            for d in nbrs:
+                href = (f"/p/{d}" if d % 53 == h
+                        else f"http://h{d % 53}.test/p/{d}")
+                links.append(
+                    f'<p>see <a href="{href}">node {d} from {s}</a>.</p>')
+            html = (f"<html><body><h1>Page {s}</h1>\n"
+                    + "\n".join(links) + "\n</body></html>")
+            urls.append(f"http://h{h}.test/p/{s}")
+            htmls.append(html.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return extract.anchor_texts(
+        adj.map_batches(make_pages, batch_format="pyarrow"))
+
+
 def q_web_url_dedup(sf_dir: str):
     """URL canonicalization dedup: messy variants (fragments, utm params,
     :80 ports, trailing slashes — deterministically synthesised per edge)
@@ -1557,6 +1596,7 @@ QUERIES = {
     "web_host_pagerank": q_web_host_pagerank,
     "web_trustrank": q_web_trustrank,
     "web_spam_mass": q_web_spam_mass,
+    "web_anchor_texts": q_web_anchor_texts,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -2302,6 +2342,11 @@ ORACLE_SQL = {
             f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
             f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS,
             iterations=10)}) tr USING (vertex)""",
+    "web_anchor_texts": f"""
+        SELECT 'http://h' || (dst % 53) || '.test/p/' || dst AS dst_url,
+               'node ' || dst || ' from ' || src AS anchor,
+               count(*) AS n
+        FROM ({DERIVED_EDGES_CTE}) e GROUP BY 1, 2""",
     "web_crawl_frontier": f"""
         WITH e AS (SELECT * FROM ({DERIVED_EDGES_CTE}) WHERE src % 5 <> 0),
         urls AS (
