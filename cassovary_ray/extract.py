@@ -376,24 +376,185 @@ def extract_anchors(url: str, html: bytes) -> list[tuple[str, str]]:
     return out
 
 
+def anchor_batch_py(batch: pa.Table) -> pa.Table:
+    """Reference ``map_batches`` kernel: the exact per-page Python scan
+    (:func:`extract_anchors`), kept as the residue path and the
+    differential-test oracle for :func:`anchor_batch`."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    src, dst, anc = [], [], []
+    for u, h in zip(urls, htmls):
+        for d, a in extract_anchors(u, h):
+            src.append(u)
+            dst.append(d)
+            anc.append(a)
+    return pa.table({"src_url": pa.array(src, pa.string()),
+                     "dst_url": pa.array(dst, pa.string()),
+                     "anchor": pa.array(anc, pa.string())})
+
+
+# anchored per-segment FULL anchor pull: the _SEG_HREF_PAT value forms, the
+# rest of the open tag, then the non-greedy body up to a closing </a>. All
+# three pieces must land INSIDE the segment for the fast path — a close tag
+# (or the open tag's '>') in a later segment means the Python regex's match
+# span crosses the `<a\s` separator, swallowing segments the split-scan
+# would misread as fresh anchors.
+_SEG_ANCHOR_FULL_PAT = (
+    r"(?i)^[^>]*?href[\t\n\x0b\f\r ]*=[\t\n\x0b\f\r ]*"
+    r"(?:(?P<dq>\"[^\"]*\")|(?P<sq>'[^']*')|(?P<uq>[^\t\n\x0b\f\r >]+))"
+    r"[^>]*>(?P<body>(?s:.*?))</a[\t\n\x0b\f\r ]*>"
+)
+# the open tag alone (href value + '>' in-segment) — open-but-not-full
+# detects a body/close crossing the separator
+_SEG_ANCHOR_OPEN_PAT = (
+    r"(?i)^[^>]*?href[\t\n\x0b\f\r ]*=[\t\n\x0b\f\r ]*"
+    r"(?:\"[^\"]*\"|'[^']*'|[^\t\n\x0b\f\r >]+)[^>]*>"
+)
+# bodies on which the Python cleaning chain (tag strip, utf-8 decode,
+# entity unescape, Unicode-\s collapse, strip) reduces to the pure-ASCII
+# collapse done vectorized below: printable ASCII + [\t\n\x0b\f\r ] minus
+# '&' (0x26, unescape) and '<' (0x3c, tag strip)
+_BODY_CLEAN_PAT = r"^[\t\n\x0b\f\r -%'-;=-~]*$"
+
+
+def anchor_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: pages batch → ``(src_url, dst_url, anchor)``,
+    one row per closed anchor tag, byte- and order-identical to
+    :func:`anchor_batch_py` (differentially tested in ``test_extract.py``).
+
+    Same split-scan design as :func:`extract_batch` (one RE2 split on
+    ``<a\\s``, anchored per-segment RE2 pulls, Arrow-kernel resolution); a
+    page falls back to the exact Python scan iff any segment could diverge
+    from ``_ANCHOR_RE.finditer`` semantics — a dangling href value, an open
+    tag or anchor body whose close lands in a later segment — or any KEPT
+    anchor needs the non-ASCII cleaning chain (href outside the fast forms,
+    body with tags/entities/non-ASCII), or the page url is not a plain
+    lowercase http(s) base."""
+    urls = batch["url"].combine_chunks().cast(pa.string())
+    htmls = batch["html"].combine_chunks().cast(pa.binary())
+    n = len(urls)
+    empty = pa.table({"src_url": pa.array([], pa.string()),
+                      "dst_url": pa.array([], pa.string()),
+                      "anchor": pa.array([], pa.string())})
+    if n == 0:
+        return empty
+
+    segs_list = pc.split_pattern_regex(htmls, pattern=_SEP_PAT)
+    counts = pc.list_value_length(segs_list).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(segs_list)
+    total = len(flat)
+    first_idx = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    keep = np.ones(total, dtype=bool)
+    keep[first_idx] = False
+    seg_page = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    segs = flat.filter(pa.array(keep))
+    if len(segs) == 0:
+        return empty
+
+    href_m = pc.extract_regex(segs, _SEG_HREF_PAT)
+    has_href = pc.is_valid(href_m).to_numpy(zero_copy_only=False)
+    dangling = _npb(pc.match_substring_regex(segs, _SEG_DANGLING_PAT))
+    opened = _npb(pc.match_substring_regex(segs, _SEG_ANCHOR_OPEN_PAT))
+    full = pc.extract_regex(segs, _SEG_ANCHOR_FULL_PAT)
+    has_full = pc.is_valid(full).to_numpy(zero_copy_only=False)
+
+    dq, sq, uq = (pc.struct_field(full, f) for f in ("dq", "sq", "uq"))
+    raw = pc.if_else(
+        pc.greater(pc.binary_length(dq), 0), pc.binary_slice(dq, 1, -1),
+        pc.if_else(pc.greater(pc.binary_length(sq), 0),
+                   pc.binary_slice(sq, 1, -1), uq))
+    body = pc.struct_field(full, "body")
+
+    clean = _npb(pc.match_substring_regex(raw, _CLEAN_PAT))
+    drop = _npb(pc.equal(pc.binary_length(raw), 0))
+    for pref in ("#", "javascript:", "mailto:"):
+        drop |= _npb(pc.starts_with(raw, pattern=pref))
+    rootrel = (_npb(pc.starts_with(raw, pattern="/"))
+               & ~_npb(pc.starts_with(raw, pattern="//"))
+               & ~_npb(pc.match_substring(raw, pattern="./"))
+               & ~_npb(pc.match_substring(raw, pattern=".."))
+               & ~drop)
+    absu = (_npb(pc.match_substring_regex(raw, r"^https?://"))
+            & ~_npb(pc.match_substring(raw, pattern=";"))
+            & ~drop & ~rootrel)
+    body_clean = _npb(pc.match_substring_regex(body, _BODY_CLEAN_PAT))
+
+    # a segment is safe iff nothing about it can diverge from finditer:
+    # no dangling value, no open/close crossing the separator, and every
+    # KEPT anchor within the fast href forms + ASCII body
+    kept = has_full & ~drop
+    seg_ok = (~dangling & (has_href == opened) & (opened == has_full)
+              & (~kept | ((rootrel | absu) & clean & body_clean)))
+    page_fast = np.ones(n, dtype=bool)
+    page_fast[seg_page[~seg_ok]] = False
+    base = pc.extract_regex(urls, _BASE_PAT)
+    base_ok = pc.is_valid(base).to_numpy(zero_copy_only=False)
+    has_rr = np.zeros(n, dtype=bool)
+    has_rr[seg_page[rootrel & clean & has_full]] = True
+    page_fast &= base_ok | ~has_rr
+
+    # fast-path rows, resolved with Arrow kernels
+    seg_kept = kept & page_fast[seg_page]
+    kidx = np.nonzero(seg_kept)[0]
+    pg = seg_page[kidx]
+    raw_k = raw.take(pa.array(kidx)).cast(pa.string())
+    v = pc.replace_substring_regex(raw_k, pattern=r"(?s)#.*$", replacement="")
+    v = pc.replace_substring_regex(v, pattern=r"^([^?]*)\?$", replacement=r"\1")
+    prefix_pages = pc.binary_join_element_wise(
+        pc.struct_field(base, "scheme"), pc.struct_field(base, "netloc"), "://")
+    dst_fast = pc.if_else(
+        pa.array(rootrel[kidx]),
+        pc.binary_join_element_wise(prefix_pages.take(pa.array(pg)), v, ""),
+        v)
+    src_fast = urls.take(pa.array(pg))
+    body_k = body.take(pa.array(kidx)).cast(pa.string())
+    anc_fast = pc.utf8_trim(pc.replace_substring_regex(
+        body_k, pattern=r"[\t\n\x0b\f\r ]+", replacement=" "), " ")
+
+    # residue pages through the exact Python scan
+    bad = np.nonzero(~page_fast)[0]
+    psrc: list[str] = []
+    pdst: list[str] = []
+    panc: list[str] = []
+    ppage: list[int] = []
+    prank: list[int] = []
+    if len(bad):
+        u_py = urls.take(pa.array(bad)).to_pylist()
+        h_py = htmls.take(pa.array(bad)).to_pylist()
+        for bi, u, h in zip(bad, u_py, h_py):
+            anchors = extract_anchors(u, h)
+            psrc.extend([u] * len(anchors))
+            pdst.extend(a[0] for a in anchors)
+            panc.extend(a[1] for a in anchors)
+            ppage.extend([bi] * len(anchors))
+            prank.extend(range(len(anchors)))
+        if not len(kidx):
+            return pa.table({"src_url": pa.array(psrc, pa.string()),
+                             "dst_url": pa.array(pdst, pa.string()),
+                             "anchor": pa.array(panc, pa.string())})
+
+    if not len(ppage):
+        return pa.table({"src_url": src_fast.cast(pa.string()),
+                         "dst_url": dst_fast.cast(pa.string()),
+                         "anchor": anc_fast.cast(pa.string())})
+
+    all_page = np.concatenate([pg, np.asarray(ppage, dtype=np.int64)])
+    all_rank = np.concatenate([kidx, np.asarray(prank, dtype=np.int64)])
+    order = pa.array(np.lexsort((all_rank, all_page)))
+    src_all = pa.concat_arrays([src_fast.cast(pa.string()),
+                                pa.array(psrc, pa.string())]).take(order)
+    dst_all = pa.concat_arrays([dst_fast.cast(pa.string()),
+                                pa.array(pdst, pa.string())]).take(order)
+    anc_all = pa.concat_arrays([anc_fast.cast(pa.string()),
+                                pa.array(panc, pa.string())]).take(order)
+    return pa.table({"src_url": src_all, "dst_url": dst_all,
+                     "anchor": anc_all})
+
+
 def pages_to_anchor_edges(pages_ds):
     """Dataset(pages) → ``(src_url, dst_url, anchor)`` — one row per closed
-    anchor tag."""
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
-        src, dst, anc = [], [], []
-        for u, h in zip(urls, htmls):
-            for d, a in extract_anchors(u, h):
-                src.append(u)
-                dst.append(d)
-                anc.append(a)
-        return pa.table({"src_url": pa.array(src, pa.string()),
-                         "dst_url": pa.array(dst, pa.string()),
-                         "anchor": pa.array(anc, pa.string())})
-
-    return pages_ds.map_batches(kernel, batch_format="pyarrow")
+    anchor tag (vectorized split-scan, Python residue per page)."""
+    return pages_ds.map_batches(anchor_batch, batch_format="pyarrow")
 
 
 def anchor_texts(pages_ds):

@@ -399,3 +399,102 @@ def test_extract_batch_trailing_query_marks():
     got_py = extract_batch_py(tbl)["dst_url"].to_pylist()
     assert got_py == truth
     assert got_vec == truth
+
+
+# -- vectorized anchor_batch ≡ Python anchor_batch_py -------------------------
+
+
+def _diff_anchor_pages(pages):
+    """pages: list[(url, html_bytes)] → assert vectorized == python kernel."""
+    import pyarrow as pa
+
+    from cassovary_ray.extract import anchor_batch, anchor_batch_py
+
+    tbl = pa.table({
+        "url": pa.array([p[0] for p in pages], pa.string()),
+        "html": pa.array([p[1] for p in pages], pa.binary()),
+    })
+    fast = anchor_batch(tbl)
+    ref = anchor_batch_py(tbl)
+    for col in ("src_url", "dst_url", "anchor"):
+        assert fast.column(col).to_pylist() == ref.column(col).to_pylist(), col
+
+
+ANCHOR_BODY_HTML = [
+    # clean fast bodies
+    b'<a href="/1">plain text</a>',
+    b'<a href="/1">  leading and   runs\t\n</a>',
+    b'<a href="/1"></a>',
+    b'<a href="/1">x</a  >',
+    # body needs the cleaning chain -> python path
+    b'<a href="/1">with <b>tags</b></a>',
+    b'<a href="/1">ent &amp; ity</a>',
+    '<a href="/1">unicodé</a>'.encode(),
+    b'<a href="/1">nbsp\xc2\xa0body</a>',
+    b'<a href="/1">ctrl\x1cbody</a>',
+    # close tag crossing the separator (finditer swallows the inner <a)
+    b'<a href="/out"><a href="/in">t</a></a>',
+    b'<a href="/1">never closed',
+    b'<a href="/1">closed later<a href="/2">x</a>',
+    b'<a href="/1" <a nested attr>body</a>',
+    # open tag's '>' in a later segment
+    b'<a href=/1 <a href=/2>body</a>',
+    # dropped anchors with dirty bodies stay fast
+    b'<a href="#f">dirty <b>body</b> &amp;</a><a href="/keep">kept</a>',
+    # mixed fast/drop/residue
+    b'<a href="/a">A</a><a href="mailto:x">M</a><a href="rel">R</a>',
+    b'<a HREF="/up">UP</a><A href=/mix>MIX</A>',
+    # bare <a href> (no close anywhere) plus a following good anchor
+    b'<a href="/solo"\n<a href="/good">g</a>',
+]
+
+
+def test_anchor_batch_vectorized_matches_python_adversarial():
+    pages = []
+    corpus = ANCHOR_BODY_HTML + ADVERSARIAL_HTML
+    for i, h in enumerate(corpus):
+        for b in ADVERSARIAL_BASES:
+            pages.append((b if i % 3 else b + f"/{i}", h))
+    _diff_anchor_pages(pages)
+
+
+def test_anchor_batch_vectorized_matches_python_fuzz():
+    import random
+
+    rng = random.Random(4321)
+    toks = ['<a ', '<A\t', 'href', '=', '"', "'", '>', '</a>', '</a >', '/p',
+            '&amp;', 'body', ' ', 'http://t.test/q', '#f', '?q=1', '<a',
+            'HREF', '\x0b', '..', './', '//h/x', 'mailto:a', '\n', ';', '<',
+            '>', 'é', '<b>', '</b>', '</a', 'text']
+    pages = []
+    for i in range(400):
+        html = "".join(rng.choice(toks) for _ in range(rng.randrange(1, 40)))
+        base = rng.choice(ADVERSARIAL_BASES)
+        pages.append((f"{base}/{i}", html.encode()))
+    _diff_anchor_pages(pages)
+
+
+def test_anchor_batch_fast_path_on_clean_corpus():
+    """The synthetic corpus shape must take the fast path page-for-page
+    (no divergence AND no Python residue — guarded by monkeypatching the
+    residue scanner to fail loudly)."""
+    import pyarrow as pa
+
+    from cassovary_ray import extract
+
+    pages = [(f"http://h{s % 7}.test/p/{s}",
+              ("".join(f'<p><a href="/p/{d}">node {d} from {s}</a></p>'
+                       for d in range(s, s + 3))).encode())
+             for s in range(50)]
+    tbl = pa.table({"url": pa.array([p[0] for p in pages]),
+                    "html": pa.array([p[1] for p in pages], pa.binary())})
+    ref = extract.anchor_batch_py(tbl)
+    orig = extract.extract_anchors
+    try:
+        def boom(u, h):
+            raise AssertionError("residue path taken on clean corpus")
+        extract.extract_anchors = boom
+        fast = extract.anchor_batch(tbl)
+    finally:
+        extract.extract_anchors = orig
+    assert fast.to_pylist() == ref.to_pylist()
