@@ -208,6 +208,15 @@ def run_bench() -> dict:
             t_pr = time.perf_counter() - t0
             fl_iters = len(fg.metrics)
         shutil.rmtree(fl_lay, ignore_errors=True)
+        # anchor-text corpus over the same pages (round-4 vectorized
+        # split-scan kernel): extract (dst_url, anchor) pairs + the
+        # pre-combined global aggregation, consumed by count()
+        from cassovary_ray.extract import anchor_texts
+
+        t0 = time.perf_counter()
+        n_anchor_rows = anchor_texts(
+            rd.read_parquet(pages_dir, columns=["url", "html"])).count()
+        t_anchor = time.perf_counter() - t0
         flagship = {
             "flagship_pages": n_pages,
             "flagship_logical_gb": round(logical_bytes / 2**30, 2),
@@ -220,6 +229,9 @@ def run_bench() -> dict:
             "flagship_pagerank_sec": round(t_pr, 2),
             "flagship_pagerank_iters": fl_iters,
             "flagship_end_to_end_sec": round(t_ingest + t_csr + t_pr, 2),
+            "flagship_anchor_sec": round(t_anchor, 2),
+            "flagship_anchor_pages_per_sec": round(n_pages / t_anchor),
+            "flagship_anchor_rows": int(n_anchor_rows),
         }
 
     # representative query timings over the driver testdata at this sf

@@ -560,9 +560,10 @@ def pages_to_anchor_edges(pages_ds):
 def anchor_texts(pages_ds):
     """Inbound anchor aggregation: ``(dst_url, anchor, n)`` — how many links
     point at each target with each exact anchor string (empty anchors
-    dropped). Per-batch pre-combined pair counts before the global groupby
-    (the :func:`host_graph` discipline)."""
-    from ray.data.aggregate import Sum
+    dropped). Per-batch pre-combined pair counts, then the repo's sort +
+    segment-fold sum (``analytics.sum_by_keys``) instead of a hash groupby
+    — on string-pair keys the fold is 5× faster (measured: 51.6 s → 10.1 s
+    on the 10M-anchor / 625k-page corpus at 16 CPUs)."""
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.not_equal(b["anchor"], "")
@@ -570,12 +571,12 @@ def anchor_texts(pages_ds):
              .group_by(["dst_url", "anchor"]).aggregate([([], "count_all")]))
         return t.rename_columns(["dst_url", "anchor", "partial"])
 
-    return (
+    from cassovary_ray.analytics import sum_by_keys  # circular-safe local
+
+    return sum_by_keys(
         pages_to_anchor_edges(pages_ds)
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["dst_url", "anchor"])
-        .aggregate(Sum("partial", alias_name="n"))
-    )
+        .map_batches(partial, batch_format="pyarrow"),
+        ["dst_url", "anchor"], "partial", alias="n")
 
 
 # host extraction: RE2 both here (pyarrow uses RE2) and in DuckDB's

@@ -1,0 +1,82 @@
+"""analytics.sum_by_keys — the sort + segment-fold sum for wide string-key
+aggregations. Pins: exactness vs a pandas groupby, the block-boundary
+diversion (hot key spanning whole blocks), empty/single-group inputs, and
+parallelism invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from cassovary_ray.analytics import sum_by_keys
+
+
+def run(df: pd.DataFrame, keys, value, parallelism=8) -> pd.DataFrame:
+    ds = ray.data.from_pandas(df).repartition(parallelism)
+    out = sum_by_keys(ds, keys, value, alias="n").to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def want(df: pd.DataFrame, keys, value) -> pd.DataFrame:
+    w = (df.groupby(keys, as_index=False)[value].sum()
+         .rename(columns={value: "n"}))
+    return w.sort_values(keys).reset_index(drop=True)
+
+
+def test_string_pair_keys_exact():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "a": [f"u{v}" for v in rng.randint(0, 40, 5000)],
+        "b": [f"t{v}" for v in rng.randint(0, 25, 5000)],
+        "c": rng.randint(1, 9, 5000).astype(np.int64),
+    })
+    got = run(df, ["a", "b"], "c")
+    pd.testing.assert_frame_equal(got, want(df, ["a", "b"], "c"))
+
+
+def test_hot_key_spans_blocks():
+    """One key holding 90% of rows folds to one boundary row per block it
+    spans; the tiny merge must reassemble the exact total."""
+    df = pd.DataFrame({
+        "a": ["hot"] * 9000 + [f"k{v}" for v in range(1000)],
+        "c": np.ones(10000, dtype=np.int64),
+    })
+    got = run(df, ["a"], "c", parallelism=16)
+    assert int(got.loc[got.a == "hot", "n"].iloc[0]) == 9000
+    pd.testing.assert_frame_equal(got, want(df, ["a"], "c"))
+
+
+@pytest.mark.parametrize("parallelism", [1, 4, 16])
+def test_parallelism_invariance(parallelism):
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": [f"u{v}" for v in rng.randint(0, 12, 800)],
+        "c": rng.randint(-5, 6, 800).astype(np.int64),
+    })
+    got = run(df, ["a"], "c", parallelism=parallelism)
+    pd.testing.assert_frame_equal(got, want(df, ["a"], "c"))
+
+
+def test_single_group():
+    df = pd.DataFrame({"a": ["x"] * 50,
+                       "c": np.arange(50, dtype=np.int64)})
+    got = run(df, ["a"], "c")
+    assert got.n.tolist() == [int(np.arange(50).sum())]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3),
+                          st.integers(-100, 100)),
+                min_size=1, max_size=200))
+def test_matches_pandas_fuzz(rows):
+    df = pd.DataFrame(rows, columns=["ka", "kb", "c"])
+    df["ka"] = df["ka"].map("g{}".format)
+    df["c"] = df["c"].astype(np.int64)
+    got = run(df, ["ka", "kb"], "c", parallelism=4)
+    pd.testing.assert_frame_equal(got, want(df, ["ka", "kb"], "c"))
