@@ -770,8 +770,11 @@ def token_frequencies(docs, min_count: int = 1):
     step of a tokenizer-training pipeline). Per-batch partial counts (one
     row per distinct token per batch) pre-combine before the single global
     groupby — a hub token like "the" arrives as ≤num_blocks partials, never
-    as raw occurrence rows, so the shuffle is bounded by vocab size × blocks."""
-    from ray.data.aggregate import Sum as _Sum
+    as raw occurrence rows, so the shuffle is bounded by vocab size × blocks.
+    The global reduction is the sort + segment-fold sum
+    (``analytics.sum_by_keys``): with vocab-sized (≫ blocks) STRING keys
+    the fold beats the hash aggregate's per-row string-key work (measured
+    5× on the comparable anchor-pair corpus)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -784,11 +787,12 @@ def token_frequencies(docs, min_count: int = 1):
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "_c": pa.array(list(c.values()), pa.int64())})
 
-    out = (
-        docs.select_columns(["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("token").aggregate(_Sum("_c", alias_name="n"))
-    )
+    from cassovary_ray.analytics import sum_by_keys  # circular-safe local
+
+    out = sum_by_keys(
+        docs.select_columns(["text"]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        ["token"], "_c", alias="n")
     if min_count > 1:
         out = out.map_batches(
             lambda t: t.filter(pa.compute.greater_equal(t["n"], min_count)),
