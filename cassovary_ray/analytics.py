@@ -120,19 +120,27 @@ def topk_per_key(ds, key: str, order_cols: list[str],
     return split(False).union(merged)
 
 
-def sum_by_keys(ds, keys: list[str], value: str, alias: str):
-    """Σ ``value`` per ``keys`` tuple — the sort + segment-fold idiom for
-    wide aggregations whose distinct keys ≫ blocks, especially STRING keys
-    (Ray's hash aggregate pays per-row key work on long strings: measured
-    on the 10M-row anchor corpus at 16 CPUs, hash groupby 51.6 s → 10.1 s
-    here). One global range sort on ``keys``; each block reduces its
-    interior segments with ``np.add.reduceat`` (zero per-group Python);
+_FOLD_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def fold_by_keys(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """Multi-op grouped reduction per ``keys`` tuple — the sort +
+    segment-fold idiom for wide aggregations whose distinct keys ≫ blocks,
+    especially STRING keys (Ray's hash aggregate pays per-row key work on
+    long strings: measured on the 10M-row anchor corpus at 16 CPUs, hash
+    groupby 51.6 s → 10.1 s here). ``aggs`` is ``[(value_col, op, alias)]``
+    with ``op ∈ {"sum", "min", "max", "count"}`` (``count`` counts the
+    group's ROWS; its ``value_col`` is ignored).
+
+    One global range sort on ``keys``; each block reduces its interior
+    segments with the matching ``ufunc.reduceat`` (zero per-group Python);
     the ≤2 groups touching a block edge divert to a tiny exact groupby
     (the ``adjacency_lists`` / :func:`topk_per_key` boundary discipline —
     a hot key spanning whole blocks folds each to one boundary row, so the
-    merge stays O(num_blocks)). Integer sums are exact; float sums are
-    deterministic at any parallelism (sorted addition order)."""
-    from ray.data.aggregate import Sum
+    merge stays O(num_blocks); a boundary COUNT partial therefore merges
+    with Sum). Integer sums are exact; float sums are deterministic at any
+    parallelism (sorted addition order)."""
+    from ray.data.aggregate import Max, Min, Sum
 
     srt = ds.sort(list(keys))
 
@@ -140,7 +148,9 @@ def sum_by_keys(ds, keys: list[str], value: str, alias: str):
         n = len(batch)
         if n == 0:
             cols = {k: batch[k] for k in keys}
-            cols[alias] = pa.array([], pa.int64())
+            for col, op, alias in aggs:
+                cols[alias] = pa.array(
+                    [], pa.int64() if op == "count" else batch[col].type)
             cols["boundary"] = pa.array([], pa.bool_())
             return pa.table(cols)
         new = np.zeros(n, dtype=bool)
@@ -149,12 +159,16 @@ def sum_by_keys(ds, keys: list[str], value: str, alias: str):
             kv = batch[k].to_numpy(zero_copy_only=False)
             new[1:] |= kv[1:] != kv[:-1]
         starts = np.flatnonzero(new)
-        v = batch[value].to_numpy(zero_copy_only=False)
-        sums = np.add.reduceat(v, starts)
         is_boundary = np.zeros(len(starts), dtype=bool)
         is_boundary[0] = is_boundary[-1] = True
         out = batch.select(list(keys)).take(pa.array(starts, pa.int64()))
-        out = out.append_column(alias, pa.array(sums))
+        for col, op, alias in aggs:
+            if op == "count":
+                vals = np.diff(np.append(starts, n)).astype(np.int64)
+            else:
+                v = batch[col].to_numpy(zero_copy_only=False)
+                vals = _FOLD_UFUNC[op].reduceat(v, starts)
+            out = out.append_column(alias, pa.array(vals))
         return out.append_column("boundary", pa.array(is_boundary))
 
     folded = srt.map_batches(fold, batch_format="pyarrow",
@@ -167,9 +181,17 @@ def sum_by_keys(ds, keys: list[str], value: str, alias: str):
             return batch.filter(pa.array(keep)).drop_columns(["boundary"])
         return folded.map_batches(f, batch_format="pyarrow")
 
+    merge_agg = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
     merged = (split(True).groupby(list(keys))
-              .aggregate(Sum(alias, alias_name=alias)))
+              .aggregate(*[merge_agg[op](alias, alias_name=alias)
+                           for _, op, alias in aggs]))
     return split(False).union(merged)
+
+
+def sum_by_keys(ds, keys: list[str], value: str, alias: str):
+    """Σ ``value`` per ``keys`` tuple — :func:`fold_by_keys` with a single
+    sum (see there for the design and measurements)."""
+    return fold_by_keys(ds, keys, [(value, "sum", alias)])
 
 
 # ---------------------------------------------------------------------------

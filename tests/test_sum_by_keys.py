@@ -80,3 +80,41 @@ def test_matches_pandas_fuzz(rows):
     df["c"] = df["c"].astype(np.int64)
     got = run(df, ["ka", "kb"], "c", parallelism=4)
     pd.testing.assert_frame_equal(got, want(df, ["ka", "kb"], "c"))
+
+
+# -- fold_by_keys multi-op -----------------------------------------------------
+
+
+def test_fold_multi_op_matches_pandas():
+    from cassovary_ray.analytics import fold_by_keys
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": [f"md5_{v}" for v in rng.randint(0, 60, 4000)],
+        "d": rng.randint(0, 500, 4000).astype(np.int64),
+        "c": rng.randint(1, 7, 4000).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (fold_by_keys(ds, ["k"],
+                        [("d", "min", "min_d"), ("d", "max", "max_d"),
+                         ("c", "sum", "total"), ("c", "count", "rows")])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    w = (df.groupby("k").agg(min_d=("d", "min"), max_d=("d", "max"),
+                             total=("c", "sum"), rows=("c", "size"))
+         .reset_index().sort_values("k").reset_index(drop=True))
+    w["rows"] = w["rows"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["k", "min_d", "max_d", "total",
+                                       "rows"]], w)
+
+
+def test_fold_count_sums_across_blocks():
+    """A hot key spanning blocks emits one boundary COUNT partial per block;
+    the merge must SUM the partials (not count them)."""
+    from cassovary_ray.analytics import fold_by_keys
+
+    df = pd.DataFrame({"k": ["hot"] * 5000 + ["cold"] * 10,
+                       "c": np.ones(5010, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = (fold_by_keys(ds, ["k"], [("c", "count", "rows")])
+           .to_pandas().set_index("k")["rows"])
+    assert int(got["hot"]) == 5000 and int(got["cold"]) == 10
