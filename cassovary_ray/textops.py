@@ -234,11 +234,15 @@ def substring_dup_counts(docs, n: int = 8):
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_dup_spans": pa.array([], pa.int64())})
         return zero_fill(ray.data.from_arrow(empty))
-    dupg = (
-        g.groupby(["gram", "doc_id"]).aggregate(Count(alias_name="_c"))
-        .select_columns(["gram", "doc_id"])                 # distinct (gram, doc)
-        .groupby("gram").aggregate(Count(alias_name="ndocs"))
-    )
+    from cassovary_ray.analytics import fold_by_keys  # circular-safe local
+
+    # distinct (gram, doc) then document frequency per gram — both are
+    # corpus-scale STRING-keyed reductions, so segment folds (5× vs the
+    # hash aggregate, see fold_by_keys)
+    dupg = fold_by_keys(
+        fold_by_keys(g, ["gram", "doc_id"], [("doc_id", "count", "_c")])
+        .select_columns(["gram", "doc_id"]),
+        ["gram"], [("doc_id", "count", "ndocs")])
     dupg = dupg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["ndocs"], 2)).select(["gram"]),
         batch_format="pyarrow").repartition(P).materialize()
@@ -278,11 +282,14 @@ def contamination_counts(train_docs, ref_docs, n: int = 8):
                          "gram": pa.array(grams, pa.string())})
 
     tg = train_docs.map_batches(gram_rows, batch_format="pyarrow")
+    from cassovary_ray.analytics import fold_by_keys  # circular-safe local
+
     rg = (
-        ref_docs.map_batches(gram_rows, batch_format="pyarrow")
-        .map_batches(lambda t: pa.table({"gram": t["gram"]}),
-                     batch_format="pyarrow")
-        .groupby("gram").aggregate(Count(alias_name="_c"))
+        fold_by_keys(
+            ref_docs.map_batches(gram_rows, batch_format="pyarrow")
+            .map_batches(lambda t: pa.table({"gram": t["gram"]}),
+                         batch_format="pyarrow"),
+            ["gram"], [("gram", "count", "_c")])
         .select_columns(["gram"])
     )
     P = 8
@@ -329,11 +336,11 @@ def exact_dedup(docs):
         h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
         return pa.table({"text_md5": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
 
-    return (
-        docs.map_batches(hash_kernel, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-    )
+    from cassovary_ray.analytics import fold_by_keys  # circular-safe local
+
+    return fold_by_keys(
+        docs.map_batches(hash_kernel, batch_format="pyarrow"),
+        ["text_md5"], [("doc_id", "min", "doc_id")])
 
 
 class LangIdStage:
