@@ -714,6 +714,75 @@ def q_graph_wtf(sf_dir: str):
             .limit(WTF_TOP_K).drop_columns(["q"]))
 
 
+def q_graph_wtf_batch(sf_dir: str):
+    """Batch Who-To-Follow for EVERY user in one dataflow — the production
+    batch shape of ``graph_wtf`` (Gupta et al., WWW'13: Twitter recomputed
+    recommendations for all users periodically). Pure Ray-Data composition,
+    no per-user loop and no BSP:
+
+    1. Monte-Carlo circles of trust for ALL users at once from the DeepWalk
+       corpus (``walk_corpus`` is counter-RNG exact, so the oracle replays
+       the literal walks in SQL — same parameters as ``graph_walk_corpus``):
+       visit counts per (user, vertex) via a segment fold, top-5 per user
+       via ``topk_per_key`` (integer counts — no float-cut risk).
+    2. One personalized-SALSA forward pass batched as cot ⋈ outdeg ⋈ edges
+       with per-edge share ``visits/deg·0.9`` (the bipartite pass-1 formula,
+       ``IterativeLinkAnalyzer.scala:152-156``) summed per (user, candidate)
+       by a segment fold.
+    3. Already-followed + self exclusion as a distributed anti-join.
+    4. Top-5 per user by quantized score desc / candidate asc (the
+       ``graph_wtf`` tie discipline). Returns (user_id, rec, score, rank).
+    """
+    e = derived_edges(sf_dir)
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        corpus = g.walk_corpus(walks_per_vertex=2, walk_length=10, seed=17)
+    visits = analytics.fold_by_keys(
+        corpus.select_columns(["walker_id", "vertex"]),
+        ["walker_id", "vertex"], [("vertex", "count", "visits")])
+    cot = analytics.topk_per_key(visits, "walker_id", ["visits", "vertex"],
+                                 [True, False], k=5).drop_columns(["rank"])
+    deg = analytics.out_degrees(e)  # (vertex, out_deg), multiplicity-counted
+    # materialize() between the chained joins: Ray pins an aggregator pool
+    # per live join operator — three concurrent joins deadlock on small
+    # clusters (the _auto_partitions discipline, analytics.py)
+    hubs = joins.shuffle_join(cot, deg, on="vertex").materialize()
+
+    def edge_vertex(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["src"], "dst": b["dst"]})
+
+    flow = joins.shuffle_join(
+        hubs, e.map_batches(edge_vertex, batch_format="pyarrow"),
+        on="vertex").materialize()
+
+    def share(b: pa.Table) -> pa.Table:
+        w = pc.multiply(pc.divide(pc.cast(b["visits"], pa.float64()),
+                                  pc.cast(b["out_deg"], pa.float64())), 0.9)
+        return pa.table({"user_id": b["walker_id"], "rec": b["dst"],
+                         "share": w})
+
+    scores = analytics.fold_by_keys(
+        flow.map_batches(share, batch_format="pyarrow"),
+        ["user_id", "rec"], [("share", "sum", "score")])
+
+    def followed_batch(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["src"], "rec": b["dst"]})
+
+    cand = joins.shuffle_join(
+        scores, e.map_batches(followed_batch, batch_format="pyarrow"),
+        on=("user_id", "rec"), how="anti")
+
+    def quant(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["user_id"], b["rec"]))
+        q = pc.cast(pc.floor(pc.multiply(b["score"], 1000000000.0)),
+                    pa.int64())
+        return b.append_column("q", q)
+
+    return analytics.topk_per_key(
+        cand.map_batches(quant, batch_format="pyarrow"),
+        "user_id", ["q", "rec"], [True, False], k=5).drop_columns(["q"])
+
+
 def q_graph_closeness(sf_dir: str):
     """Sampled-source closeness via ONE tagged multi-source BFS (sources =
     vertices 0..7; the all-sources variant is O(n·m) by nature). max_depth=32
@@ -1542,6 +1611,7 @@ QUERIES = {
     "graph_dfs": q_graph_dfs,
     "graph_bipartite": q_graph_bipartite,
     "graph_wtf": q_graph_wtf,
+    "graph_wtf_batch": q_graph_wtf_batch,
     "graph_closeness": q_graph_closeness,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_stats": q_doc_stats,
@@ -1747,6 +1817,34 @@ ORACLE_SQL = {
     "graph_wcc": oracles.wcc_sql(DERIVED_EDGES_CTE),
     "graph_labelprop": oracles.label_propagation_sql(DERIVED_EDGES_CTE, iterations=10),
     "graph_mis": oracles.mis_sql(DERIVED_EDGES_CTE, rounds=24),
+    "graph_wtf_batch": f"""
+        WITH corpus AS ({oracles.walk_corpus_sql(
+            DERIVED_EDGES_CTE, walks_per_vertex=2, walk_length=10, seed=17)}),
+        visits AS (SELECT walker_id AS user_id, vertex, count(*) AS visits
+                   FROM corpus GROUP BY 1, 2),
+        cot AS (SELECT user_id, vertex AS hub, visits FROM (
+                    SELECT user_id, vertex, visits, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY visits DESC, vertex ASC) AS rn
+                    FROM visits) WHERE rn <= 5),
+        e AS (SELECT src, dst FROM ({DERIVED_EDGES_CTE})),
+        deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        flow AS (SELECT cot.user_id, e.dst AS rec,
+                        sum(CAST(cot.visits AS DOUBLE)
+                            / CAST(deg.dg AS DOUBLE) * 0.9) AS score
+                 FROM cot JOIN deg ON deg.src = cot.hub
+                          JOIN e ON e.src = cot.hub
+                 GROUP BY 1, 2),
+        cand AS (SELECT f.user_id, f.rec, f.score FROM flow f
+                 WHERE f.rec <> f.user_id AND NOT EXISTS (
+                     SELECT 1 FROM e WHERE e.src = f.user_id
+                                       AND e.dst = f.rec))
+        SELECT user_id, rec, score, rank FROM (
+            SELECT user_id, rec, score, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(score * 1000000000.0) AS BIGINT) DESC,
+                         rec ASC) AS rank
+            FROM cand) WHERE rank <= 5""",
     "graph_walk_visits": oracles.walk_visits_sql(
         DERIVED_EDGES_CTE, [0] * 64, 50, reset_prob=0.15, seed=11),
     "graph_walk_corpus": oracles.walk_corpus_sql(

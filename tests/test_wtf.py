@@ -58,3 +58,27 @@ def test_scores_match_hand_computed_flow(graph):
     rec = wtf_scores(graph)
     assert rec[3] == pytest.approx(0.9 * (ppr[1] + ppr[2] / 2), rel=1e-12)
     assert rec[4] == pytest.approx(0.9 * (ppr[2] / 2), rel=1e-12)
+
+
+def test_batch_wtf_invariants():
+    """graph_wtf_batch at sf0.001: per-user rec lists obey the contract —
+    ≤5 recs ranked 1..n by quantized score desc / rec asc, never the user
+    itself, never an already-followed account."""
+    import numpy as np
+
+    from cassovary_ray.queries import QUERIES, derived_edges
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["graph_wtf_batch"](sf).to_pandas()
+    assert len(out) > 0
+    e = derived_edges(sf).to_pandas()
+    followed = set(zip(e.src, e.dst))
+    assert (out.user_id != out.rec).all()
+    assert not any((u, r) in followed for u, r in zip(out.user_id, out.rec))
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+        q = np.floor(g.score.to_numpy() * 1e9).astype(np.int64)
+        key = list(zip(-q, g.rec))
+        assert key == sorted(key)
