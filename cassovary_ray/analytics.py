@@ -1427,9 +1427,11 @@ def latest_by_key(ds, key: str, order_cols: list[str],
     P = _auto_partitions(num_partitions)
     cur = _join_safe(ds, P)
     for c in order_cols:
+        # groupby-max on the pruned (key, c) pair via the segment fold —
+        # url-scale STRING keys are exactly fold_by_keys' regime
         mx = _join_safe(
-            cur.select_columns([key, c])
-            .groupby(key).aggregate(Max(c, alias_name="_mx")), P)
+            fold_by_keys(cur.select_columns([key, c]),
+                         [key], [(c, "max", "_mx")]), P)
         cur = _join_safe(
             cur.join(mx, "inner", P, on=(key, c), right_on=(key, "_mx")), P)
     return cur

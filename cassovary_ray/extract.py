@@ -742,16 +742,13 @@ def crawl_frontier(edge_urls_ds, num_partitions: int = 16):
     rows), candidates are one pre-combined ``groupby(dst_url)`` over the
     edge stream, and "not yet crawled" is a distributed hash anti-join —
     no driver set, no broadcast of the url universe."""
-    from ray.data.aggregate import Count
-
+    from cassovary_ray.analytics import fold_by_keys  # circular-safe local
     from cassovary_ray.joins import shuffle_join
 
-    cand = (
+    cand = fold_by_keys(
         edge_urls_ds.select_columns(["dst_url"])
-        .rename_columns({"dst_url": "url"})
-        .groupby("url")
-        .aggregate(Count(alias_name="n_inlinks"))
-    )
+        .rename_columns({"dst_url": "url"}),
+        ["url"], [("url", "count", "n_inlinks")])
     crawled = (
         edge_urls_ds.select_columns(["src_url"])
         .rename_columns({"src_url": "url"})
