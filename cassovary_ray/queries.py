@@ -1356,6 +1356,58 @@ def q_web_anchor_texts(sf_dir: str):
         adj.map_batches(make_pages, batch_format="pyarrow"))
 
 
+def q_web_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution by distributed POINTER DOUBLING — the
+    crawl-preprocessing step that maps every redirecting url to its
+    terminal target before graph construction. Synthetic deterministic
+    redirect table: url with vertex id v ≡ 0,1,2 (mod 7) 301-redirects to
+    v+1 (chains up to 3 hops, acyclic by construction). Resolution
+    composes the mapping with itself (R ← R∘R) via ONE hash join per
+    round, so a chain of length L resolves in ⌈log₂ L⌉ rounds instead of
+    L sequential hops — 2 pinned rounds cover length ≤ 4; the oracle
+    unrolls the same two compositions as LEFT JOIN + COALESCE. Returns
+    ``(url, final_url)`` per redirecting url."""
+    e = derived_edges(sf_dir)
+
+    def ucol(col):
+        return e.map_batches(lambda b, c=col: pa.table({"u": b[c]}),
+                             batch_format="pyarrow")
+
+    verts = analytics.fold_by_keys(ucol("src").union(ucol("dst")),
+                                   ["u"], [("u", "count", "_c")])
+
+    def mk_redirect(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        src = u[(u % 7) < 3]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(src + 1, pa.int64())})
+
+    r = (verts.map_batches(mk_redirect, batch_format="pyarrow")
+         .materialize())
+    for _ in range(2):
+        m = r.map_batches(
+            lambda b: pa.table({"m_src": b["src"], "m_dst": b["dst"]}),
+            batch_format="pyarrow")
+        j = joins.shuffle_join(r, m, on="dst", right_on="m_src",
+                               how="left")
+
+        def compose(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b["src"],
+                             "dst": pc.coalesce(b["m_dst"], b["dst"])})
+
+        r = j.map_batches(compose, batch_format="pyarrow").materialize()
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        def f(col):
+            return pa.array(
+                [f"http://h{v % 53}.test/p/{v}"
+                 for v in b[col].to_numpy(zero_copy_only=False)],
+                pa.string())
+        return pa.table({"url": f("src"), "final_url": f("dst")})
+
+    return r.map_batches(to_urls, batch_format="pyarrow")
+
+
 def q_web_url_dedup(sf_dir: str):
     """URL canonicalization dedup: messy variants (fragments, utm params,
     :80 ports, trailing slashes — deterministically synthesised per edge)
@@ -1667,6 +1719,7 @@ QUERIES = {
     "web_trustrank": q_web_trustrank,
     "web_spam_mass": q_web_spam_mass,
     "web_anchor_texts": q_web_anchor_texts,
+    "web_redirect_resolve": q_web_redirect_resolve,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -2440,6 +2493,18 @@ ORACLE_SQL = {
             f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
             f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS,
             iterations=10)}) tr USING (vertex)""",
+    "web_redirect_resolve": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        v AS (SELECT DISTINCT u FROM
+              (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        r0 AS (SELECT u AS src, u + 1 AS dst FROM v WHERE u % 7 < 3),
+        r1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+               FROM r0 a LEFT JOIN r0 b ON b.src = a.dst),
+        r2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+               FROM r1 a LEFT JOIN r1 b ON b.src = a.dst)
+        SELECT 'http://h' || (src % 53) || '.test/p/' || src AS url,
+               'http://h' || (dst % 53) || '.test/p/' || dst AS final_url
+        FROM r2""",
     "web_anchor_texts": f"""
         SELECT 'http://h' || (dst % 53) || '.test/p/' || dst AS dst_url,
                'node ' || dst || ' from ' || src AS anchor,
