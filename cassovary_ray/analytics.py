@@ -138,8 +138,12 @@ def fold_by_keys(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     (the ``adjacency_lists`` / :func:`topk_per_key` boundary discipline —
     a hot key spanning whole blocks folds each to one boundary row, so the
     merge stays O(num_blocks); a boundary COUNT partial therefore merges
-    with Sum). Integer sums are exact; float sums are deterministic at any
-    parallelism (sorted addition order)."""
+    with Sum). Integer sums/mins/maxes/counts are exact at any
+    parallelism; float SUMS are subject to summation order within a key
+    segment (the range sort orders keys, not values — same ~1e-16
+    reduction-order caveat as any hash aggregate), so hash-gated float
+    outputs must quantize before any ordering cut (the ``graph_wtf``
+    discipline)."""
     from ray.data.aggregate import Max, Min, Sum
 
     srt = ds.sort(list(keys))

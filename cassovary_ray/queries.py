@@ -1408,6 +1408,47 @@ def q_web_redirect_resolve(sf_dir: str):
     return r.map_batches(to_urls, batch_format="pyarrow")
 
 
+def q_web_rank_delta(sf_dir: str):
+    """Rank-shift analysis across a recrawl: PageRank before vs after a
+    deterministic link-rot sample (edges with (src+dst) ≡ 0 mod 11
+    dropped — the pages whose outlinks died), top-50 movers by quantized
+    |Δrank| desc / vertex asc. The operational question after every
+    incremental recrawl ("whose rank did the dead links move?"): two
+    pinned-10-round PageRanks over the two layouts, one vertex-keyed
+    inner join (vertices present in both crawls), vectorized delta. The
+    oracle joins two unrolled PageRank CTEs."""
+    lay_old = _ensure_layout(sf_dir, "directed")
+    d = _layout_dir(sf_dir, "rot11")
+    try:
+        read_layout_manifest(d)
+    except FileNotFoundError:
+        def keep(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            t = b["dst"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(((s + t) % 11) != 0))
+
+        build_edge_layout(
+            derived_edges(sf_dir).map_batches(keep, batch_format="pyarrow"),
+            d, ENGINE_PARTS)
+    with ShardedGraph(lay_old) as g:
+        pr_old = g.pagerank(max_iterations=10, tolerance=0.0)
+    with ShardedGraph(d) as g:
+        pr_new = g.pagerank(max_iterations=10, tolerance=0.0)
+    j = joins.shuffle_join(pr_old.rename_columns({"rank": "pr_old"}),
+                           pr_new.rename_columns({"rank": "pr_new"}),
+                           on="vertex")
+
+    def delta(b: pa.Table) -> pa.Table:
+        dl = pc.subtract(b["pr_new"], b["pr_old"])
+        q = pc.cast(pc.floor(pc.multiply(pc.abs(dl), 1000000000.0)),
+                    pa.int64())
+        return b.append_column("delta", dl).append_column("q", q)
+
+    return (j.map_batches(delta, batch_format="pyarrow")
+            .sort(["q", "vertex"], descending=[True, False]).limit(50)
+            .drop_columns(["q"]))
+
+
 def q_web_url_dedup(sf_dir: str):
     """URL canonicalization dedup: messy variants (fragments, utm params,
     :80 ports, trailing slashes — deterministically synthesised per edge)
@@ -1720,6 +1761,7 @@ QUERIES = {
     "web_spam_mass": q_web_spam_mass,
     "web_anchor_texts": q_web_anchor_texts,
     "web_redirect_resolve": q_web_redirect_resolve,
+    "web_rank_delta": q_web_rank_delta,
     "web_url_dedup": q_web_url_dedup,
     "graph_conductance": q_graph_conductance,
     "graph_contract": q_graph_contract,
@@ -2493,6 +2535,20 @@ ORACLE_SQL = {
             f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
             f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS,
             iterations=10)}) tr USING (vertex)""",
+    "web_rank_delta": f"""
+        SELECT vertex, pr_old, pr_new, delta FROM (
+            SELECT o.vertex AS vertex, o.rank AS pr_old, n.rank AS pr_new,
+                   n.rank - o.rank AS delta,
+                   row_number() OVER (
+                       ORDER BY CAST(floor(abs(n.rank - o.rank)
+                                           * 1000000000.0) AS BIGINT) DESC,
+                                o.vertex ASC) AS rn
+            FROM ({oracles.pagerank_sql(DERIVED_EDGES_CTE, iterations=10)}) o
+            JOIN ({oracles.pagerank_sql(
+                f"SELECT src, dst FROM ({DERIVED_EDGES_CTE}) e"
+                f" WHERE (src + dst) % 11 <> 0", iterations=10)}) n
+              ON n.vertex = o.vertex)
+        WHERE rn <= 50""",
     "web_redirect_resolve": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),
         v AS (SELECT DISTINCT u FROM
