@@ -637,6 +637,52 @@ def bipartite_sql(edges_cte: str, n_lefts: int = 20, reset_left: float = 0.1,
     """
 
 
+def skipgram_negatives_sql(edges_cte: str, walks_per_vertex: int,
+                           walk_length: int, corpus_seed: int, window: int,
+                           k: int, retries: int, seed: int) -> str:
+    """``textops.skipgram_negatives`` mirror over the deterministic
+    DeepWalk pair table: candidate (j, r) for pair (c, x) is
+    ``splitmix64(splitmix64(c ⊕ L(j,r)) ⊕ x) mod (max_vertex + 1)`` with
+    L a Python-side literal of (seed, j, r); selection = first probe
+    landing on a real vertex ≠ c, x, via MIN over the packed
+    ``r·2^56 + cand`` key. Output (center, context, j, negative)."""
+    from cassovary_ray.hashing import splitmix64 as _smx
+
+    pairs_sql = skipgram_sql(edges_cte, walks_per_vertex, walk_length,
+                             corpus_seed, window)
+    probes = ", ".join(
+        f"({j}, {r}, "
+        f"{int(_smx(np.uint64(2 * (retries * j + r) + 1) ^ np.uint64(seed)))})"
+        for j in range(k) for r in range(retries))
+    inner0 = (f"SELECT center, context, j, r,"
+              f" xor(center::HUGEINT, L::HUGEINT) AS x0"
+              f" FROM (SELECT DISTINCT center, context FROM ({pairs_sql}))"
+              f" CROSS JOIN (VALUES {probes}) AS probes(j, r, L)")
+    m1 = _splitmix64_sql(inner0, "center, context, j, r", "x0", "m1")
+    inner1 = (f"SELECT center, context, j, r,"
+              f" xor(m1, context::HUGEINT) AS x1 FROM ({m1})")
+    m2 = _splitmix64_sql(inner1, "center, context, j, r", "x1", "m2")
+    pack = 1 << 56
+    return f"""
+        WITH eo AS MATERIALIZED ({edges_cte}),
+        vu AS MATERIALIZED (SELECT DISTINCT src AS u FROM
+                  (SELECT src FROM eo UNION ALL SELECT dst AS src FROM eo) t),
+        nm AS (SELECT MAX(u) + 1 AS m FROM vu),
+        cand AS (SELECT center, context, j, r,
+                        CAST(m2 % nm.m AS BIGINT) AS cand
+                 FROM ({m2}) CROSS JOIN nm),
+        valid AS (SELECT c.center, c.context, c.j, c.r, c.cand
+                  FROM cand c JOIN vu v ON v.u = c.cand
+                  WHERE c.cand <> c.center AND c.cand <> c.context),
+        best AS (SELECT center, context, j,
+                        MIN(r * {pack} + cand) AS packed
+                 FROM valid GROUP BY 1, 2, 3)
+        SELECT center, context, CAST(j AS BIGINT) AS j,
+               packed % {pack} AS negative
+        FROM best
+    """
+
+
 def langid_sql(markers: dict[str, set[str]]) -> str:
     """The stopword-marker language-ID heuristic (``textops.LangIdStage``) in
     SQL: tokens = RE2 ``[a-zà-ÿ]+`` over lower(text) (same regex both

@@ -1356,6 +1356,36 @@ def q_web_anchor_texts(sf_dir: str):
         adj.map_batches(make_pages, batch_format="pyarrow"))
 
 
+def _derived_vertices(sf_dir: str):
+    """``Dataset(u)`` — the distinct vertex universe of the derived graph
+    (segment-fold distinct over both endpoint columns)."""
+    e = derived_edges(sf_dir)
+
+    def ucol(col):
+        return e.map_batches(lambda b, c=col: pa.table({"u": b[c]}),
+                             batch_format="pyarrow")
+
+    return analytics.fold_by_keys(
+        ucol("src").union(ucol("dst")),
+        ["u"], [("u", "count", "_c")]).drop_columns(["_c"])
+
+
+def q_graph_skipgram_negatives(sf_dir: str):
+    """word2vec negative sampling over the DeepWalk pair table — the
+    training-data step after ``graph_skipgram``: k=2 deterministic
+    negatives per (center, context) pair, uniform over the vertex
+    universe via counter-RNG modulo-rejection probes (see
+    ``textops.skipgram_negatives``). The oracle replays the literal walks,
+    the pair transform, AND the splitmix64 probe chain in SQL."""
+    lay = _ensure_layout(sf_dir, "directed")
+    with ShardedGraph(lay) as g:
+        seqs = g.walk_corpus(walks_per_vertex=1, walk_length=10, seed=17,
+                             output="sequences")
+        pairs = textops.skipgram_pairs(seqs, window=2)
+    return textops.skipgram_negatives(pairs, _derived_vertices(sf_dir),
+                                      k=2, retries=4, seed=23)
+
+
 def q_web_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution by distributed POINTER DOUBLING — the
     crawl-preprocessing step that maps every redirecting url to its
@@ -1692,6 +1722,7 @@ QUERIES = {
     "graph_walk_corpus": q_graph_walk_corpus,
     "graph_node2vec": q_graph_node2vec,
     "graph_skipgram": q_graph_skipgram,
+    "graph_skipgram_negatives": q_graph_skipgram_negatives,
     "graph_neighborhood": q_graph_neighborhood,
     "graph_effective_diameter": q_graph_effective_diameter,
     "graph_anf_hll": q_graph_anf_hll,
@@ -1947,6 +1978,9 @@ ORACLE_SQL = {
     "graph_skipgram": oracles.skipgram_sql(
         DERIVED_EDGES_CTE, walks_per_vertex=1, walk_length=10, seed=17,
         window=2),
+    "graph_skipgram_negatives": oracles.skipgram_negatives_sql(
+        DERIVED_EDGES_CTE, walks_per_vertex=1, walk_length=10,
+        corpus_seed=17, window=2, k=2, retries=4, seed=23),
     "graph_hyperball": oracles.hyperball_sql(
         DERIVED_EDGES_CTE, b=6, seed=1, max_distance=4),
     "graph_anf_hll": oracles.anf_hll_sql(

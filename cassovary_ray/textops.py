@@ -772,6 +772,81 @@ def ngram_jaccard_pairs(docs, *, n: int = 3, max_df: int = 50,
     return j.map_batches(score, batch_format="pyarrow")
 
 
+def skipgram_negatives(pairs, vertices, *, k: int = 2, retries: int = 4,
+                       seed: int = 1):
+    """Deterministic negative samples for skip-gram training (word2vec,
+    Mikolov et al. 2013: ``k`` negatives per (center, context) pair) —
+    uniform over the vertex universe, counter-RNG exact so the draw is
+    identical at any parallelism AND replayable in SQL. Candidate (j, r)
+    for pair (c, x) is ``splitmix64(splitmix64(c ⊕ L) ⊕ x) mod M`` with
+    ``L = splitmix64((2·(retries·j+r)+1) ⊕ seed)`` a precomputed literal
+    and ``M = max_vertex + 1``; the first probe r that lands on a REAL
+    vertex differing from both c and x wins (modulo-rejection probing —
+    on a dense id space probe 0 always hits; a (pair, j) whose ``retries``
+    probes all miss emits no row, the documented truncation). Selection is
+    ONE semi-join against the vertex set plus ONE segment-fold min over
+    the packed ``r·2^56 + cand`` key (no join-back; requires M < 2^56).
+
+    ``vertices``: Dataset with an int64 ``u`` column (the universe).
+    Returns ``(center, context, j, negative)``."""
+    from cassovary_ray.analytics import fold_by_keys
+    from cassovary_ray.joins import shuffle_join
+
+    nmax = int(vertices.max("u")) + 1
+    if nmax >= 1 << 56:
+        raise ValueError("vertex ids must fit 56 bits for the packed min")
+    probes = [(j, r, splitmix64(np.uint64(2 * (retries * j + r) + 1)
+                                ^ np.uint64(seed)))
+              for j in range(k) for r in range(retries)]
+
+    def cand_kernel(b: pa.Table) -> pa.Table:
+        c = b["center"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = b["context"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(c)
+        cs, xs, js, packs = [], [], [], []
+        with np.errstate(over="ignore"):
+            for j, r, L in probes:
+                cand = (splitmix64(splitmix64(c ^ np.uint64(L)) ^ x)
+                        % np.uint64(nmax)).astype(np.int64)
+                cs.append(c.astype(np.int64))
+                xs.append(x.astype(np.int64))
+                js.append(np.full(n, j, np.int64))
+                packs.append(np.int64(r) * np.int64(1 << 56) + cand)
+        return pa.table({
+            "center": pa.array(np.concatenate(cs), pa.int64()),
+            "context": pa.array(np.concatenate(xs), pa.int64()),
+            "j": pa.array(np.concatenate(js), pa.int64()),
+            "packed": pa.array(np.concatenate(packs), pa.int64()),
+        })
+
+    cand = pairs.select_columns(["center", "context"]).map_batches(
+        cand_kernel, batch_format="pyarrow")
+
+    def with_cand(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cand", pc.cast(pc.bit_wise_and(b["packed"], (1 << 56) - 1),
+                            pa.int64()))
+
+    valid = shuffle_join(
+        cand.map_batches(with_cand, batch_format="pyarrow"),
+        vertices.rename_columns({"u": "cand"}), on="cand", how="semi")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.not_equal(b["cand"], b["center"]),
+                     pc.not_equal(b["cand"], b["context"]))
+        return b.filter(ok).drop_columns(["cand"])
+
+    best = fold_by_keys(
+        valid.map_batches(keep, batch_format="pyarrow"),
+        ["center", "context", "j"], [("packed", "min", "packed")])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        neg = pc.cast(pc.bit_wise_and(b["packed"], (1 << 56) - 1), pa.int64())
+        return b.drop_columns(["packed"]).append_column("negative", neg)
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
 def token_frequencies(docs, min_count: int = 1):
     """``(token, n)`` — corpus vocabulary with frequencies (the vocab-build
     step of a tokenizer-training pipeline). Per-batch partial counts (one
