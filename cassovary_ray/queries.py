@@ -1263,31 +1263,49 @@ def q_web_trustrank(sf_dir: str):
                                        tolerance=0.0)
 
 
+def _host_id_edges(sf_dir: str):
+    """``Dataset(src, dst)`` — the DISTINCT host→host link graph with int
+    ids (host ``h{k}.test`` ⇔ ``k`` by construction; the full url → RE2
+    host pull → pre-grouped collapse chain)."""
+    from cassovary_ray import extract
+
+    hg = extract.host_graph(
+        derived_edges(sf_dir).map_batches(_edge_urls_batch,
+                                          batch_format="pyarrow"))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        def hid(col):
+            m = pc.extract_regex(b[col], r"^h(?P<k>\d+)\.")
+            return pc.cast(pc.struct_field(m, "k"), pa.int64())
+
+        # host_graph pre-groups, so (src, dst) pairs are already
+        # distinct — drop the link counts
+        return pa.table({"src": hid("src_host"), "dst": hid("dst_host")})
+
+    return hg.map_batches(to_ids, batch_format="pyarrow")
+
+
 def _ensure_hosts_unweighted_layout(sf_dir: str) -> str:
     """Unweighted host-graph layout (distinct host→host link pairs) shared
     by the TrustRank / spam-mass family."""
-    from cassovary_ray import extract
-
     d = _layout_dir(sf_dir, "hosts_unweighted")
     try:
         read_layout_manifest(d)
     except FileNotFoundError:
-        hg = extract.host_graph(
-            derived_edges(sf_dir).map_batches(_edge_urls_batch,
-                                              batch_format="pyarrow"))
-
-        def to_ids(b: pa.Table) -> pa.Table:
-            def hid(col):
-                m = pc.extract_regex(b[col], r"^h(?P<k>\d+)\.")
-                return pc.cast(pc.struct_field(m, "k"), pa.int64())
-
-            # host_graph pre-groups, so (src, dst) pairs are already
-            # distinct — drop the link counts for the unweighted walk
-            return pa.table({"src": hid("src_host"), "dst": hid("dst_host")})
-
-        build_edge_layout(hg.map_batches(to_ids, batch_format="pyarrow"),
-                          d, ENGINE_PARTS)
+        build_edge_layout(_host_id_edges(sf_dir), d, ENGINE_PARTS)
     return d
+
+
+def q_web_host_mirrors(sf_dir: str):
+    """Mirror-host detection: per host, the top-3 hosts with the most
+    similar outlink TARGET sets (Jaccard over the distinct host→host
+    graph) — the classic duplicate-site / mirror signal used to collapse
+    a web corpus before training. Reuses the guarded similarity machinery
+    (``Similarity.scala`` semantics: score desc, lower id ties), with the
+    same hub skew guard and oracle threshold as ``graph_jaccard_top3``."""
+    return analytics.similarity_top_k(_host_id_edges(sf_dir), k=3,
+                                      metric="jaccard",
+                                      max_in_deg=SIM_MAX_IN_DEG)
 
 
 def q_web_spam_mass(sf_dir: str):
@@ -1790,6 +1808,7 @@ QUERIES = {
     "web_host_pagerank": q_web_host_pagerank,
     "web_trustrank": q_web_trustrank,
     "web_spam_mass": q_web_spam_mass,
+    "web_host_mirrors": q_web_host_mirrors,
     "web_anchor_texts": q_web_anchor_texts,
     "web_redirect_resolve": q_web_redirect_resolve,
     "web_rank_delta": q_web_rank_delta,
@@ -2569,6 +2588,26 @@ ORACLE_SQL = {
             f"SELECT DISTINCT src % 53 AS src, dst % 53 AS dst"
             f" FROM ({DERIVED_EDGES_CTE}) e", TRUST_SEEDS,
             iterations=10)}) tr USING (vertex)""",
+    "web_host_mirrors": f"""
+        WITH e AS (SELECT DISTINCT src % 53 AS src, dst % 53 AS dst
+                   FROM ({DERIVED_EDGES_CTE}) de),
+        deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
+        okd AS (SELECT dst FROM e GROUP BY 1
+                HAVING count(*) <= {SIM_MAX_IN_DEG}),
+        ef AS (SELECT e.src, e.dst FROM e JOIN okd USING (dst)),
+        co AS (SELECT a.src AS u, b.src AS w, count(*) AS common
+               FROM ef a JOIN ef b ON a.dst = b.dst AND a.src <> b.src
+               GROUP BY 1, 2),
+        scored AS (SELECT co.u, co.w,
+                          CAST(common AS DOUBLE)
+                            / (du.deg + dw.deg - common) AS score
+                   FROM co JOIN deg du ON du.vtx = co.u
+                           JOIN deg dw ON dw.vtx = co.w),
+        ranked AS (SELECT u, w, score,
+                          row_number() OVER (PARTITION BY u
+                              ORDER BY score DESC, w ASC) AS rank
+                   FROM scored)
+        SELECT u, w, score, rank FROM ranked WHERE rank <= 3""",
     "web_rank_delta": f"""
         SELECT vertex, pr_old, pr_new, delta FROM (
             SELECT o.vertex AS vertex, o.rank AS pr_old, n.rank AS pr_new,
