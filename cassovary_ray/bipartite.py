@@ -55,13 +55,30 @@ def iterative_link_analysis(
     reset_prob_right: float = 0.1,
     num_top_contributors: int = 2,
     num_partitions: int | None = None,
+    max_edges: int = 5_000_000,
 ):
     """Run the alternating flow over ``edges`` = Dataset(src,dst) left→right
     links, restricted to the subgraph induced by ``left_init``. Returns
     (left_df, right_df): ``(vertex, weight, contributors)`` sorted weight
-    desc (the analyze() output shape, ``IterativeLinkAnalyzer.scala:136-178``)."""
+    desc (the analyze() output shape, ``IterativeLinkAnalyzer.scala:136-178``).
+
+    This is the documented SMALL-GRAPH driver fallback: it materializes the
+    distinct edge set on the driver, so it is GUARDED like
+    ``closeness_centrality(sources=None)`` — more than ``max_edges``
+    distinct edges raises ValueError pointing at the distributed path
+    (``ShardedGraph.bipartite_link_analysis``, which runs the same rounds
+    as BSP exchanges over resident CSR shards) instead of silently pulling
+    a corpus-scale table to one process."""
     P = _auto_partitions(num_partitions)
-    edf = _join_safe(distinct_edges(edges), P).to_pandas()
+    de = _join_safe(distinct_edges(edges), P).materialize()
+    n_edges = de.count()
+    if n_edges > max_edges:
+        raise ValueError(
+            f"iterative_link_analysis is the driver-side fallback and would "
+            f"materialize {n_edges} distinct edges locally (cap {max_edges}); "
+            "use ShardedGraph.bipartite_link_analysis for large graphs, or "
+            "raise max_edges knowingly")
+    edf = de.to_pandas()
     # Induced subgraph: only edges out of supplied left nodes — the reference
     # never touches a left node it wasn't given (IterativeLinkAnalyzer.scala:78).
     edf = edf[edf["src"].isin(left_init)].reset_index(drop=True)

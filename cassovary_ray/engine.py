@@ -2097,20 +2097,30 @@ class ShardedGraph:
         refs = [s.get_state_table.remote(name, column) for s in self.shards]
         return ray.data.from_arrow_refs(refs)
 
-    def _check_f32_convergence(self, max_iterations, tolerance) -> None:
+    def _check_f32_convergence(self, max_iterations, tolerance,
+                               state_l1_bound: float = 1.0) -> None:
         """Refuse an UNBOUNDED tolerance loop the f32 exchange cannot
         certify: float32 ship quantization floors the round-to-round T1
-        delta around n·2⁻²⁴·‖state‖, so an f32 run driven to a tighter
-        tolerance with no iteration cap can oscillate below the floor
-        forever (caught live by the end-to-end verify drive: g6 at the
-        default tol=1e-8 never converged)."""
+        delta around ‖shipped state‖₁·2⁻²⁴, so an f32 run driven to a
+        tighter tolerance with no iteration cap can oscillate below the
+        floor forever (caught live by the end-to-end verify drive: g6 at
+        the default tol=1e-8 never converged). ``state_l1_bound`` is an
+        upper bound on the L1 norm of the shipped float state: 1.0 (the
+        default) for L1-normalized loops (PageRank, PPR, SALSA — Σ=1 by
+        construction), ``n_vertices`` for loops whose per-vertex values are
+        only bounded by a constant (HITS max-rescale, Katz, user programs);
+        the certified floor — and hence the refusal threshold — scales with
+        it (1e-7 ≈ 1.7·2⁻²⁴ certifies the bound-1 case)."""
+        threshold = 1e-7 * max(1.0, float(state_l1_bound))
         if (self.exchange_precision == "f32" and max_iterations is None
-                and tolerance is not None and tolerance < 1e-7):
+                and tolerance is not None and tolerance < threshold):
             raise ValueError(
                 "exchange_precision='f32' cannot certify convergence below "
-                f"1e-7 T1 error (requested tolerance={tolerance:g} with "
-                "max_iterations=None); raise the tolerance to >=1e-7, bound "
-                "max_iterations, or use the default exchange_precision='f64'")
+                f"{threshold:g} T1 error for this loop's state norm "
+                f"(‖state‖₁ ≤ {state_l1_bound:g}; requested "
+                f"tolerance={tolerance:g} with max_iterations=None); raise "
+                "the tolerance, bound max_iterations, or use the default "
+                "exchange_precision='f64'")
 
     def _exchange(self, scatter_method: str, apply_method: str, first_round: bool,
                   scatter_args=(), apply_args=()):
@@ -2442,7 +2452,10 @@ class ShardedGraph:
         if max_iterations is None and tolerance is None:
             raise ValueError("katz: max_iterations=None requires a tolerance "
                              "(otherwise the loop has no stopping condition)")
-        self._check_f32_convergence(max_iterations, tolerance)
+        # Katz state is unnormalized (x ≥ β per vertex): ‖state‖₁ scales
+        # with n, so the f32 floor does too — conservative n bound
+        self._check_f32_convergence(max_iterations, tolerance,
+                                    state_l1_bound=float(self.n_vertices))
         ray.get([s.katz_init.remote(beta) for s in self.shards])
         tol = -1.0 if tolerance is None else tolerance
         iteration, error = 0, float("inf")
@@ -2489,7 +2502,9 @@ class ShardedGraph:
         # (quantization floors the T1 delta); min/max-combine programs stay
         # monotone and terminate, but float state is then f32-approximate.
         if program.combine == "sum":
-            self._check_f32_convergence(max_iterations, tolerance)
+            # user program: state norm unknown — conservative n bound
+            self._check_f32_convergence(max_iterations, tolerance,
+                                        state_l1_bound=float(self.n_vertices))
         blob = _pickle_by_value(program)
         ray.get([s.vp_init.remote(blob, self.n_vertices)
                  for s in self.shards])
@@ -2993,7 +3008,9 @@ class ShardedGraph:
         iterations)."""
         if not self.has_reverse:
             raise ValueError("hits() needs a ShardedGraph built with reverse_layout_dir")
-        self._check_f32_convergence(max_iterations, tolerance)
+        # max-rescaled state: per-vertex values ≤ 1, so ‖state‖₁ ≤ n
+        self._check_f32_convergence(max_iterations, tolerance,
+                                    state_l1_bound=float(self.n_vertices))
         ray.get([s.hits_init.remote(self.n_vertices) for s in self.shards])
         iteration, error, first = 0, 100.0 + tolerance, True
         while not ((max_iterations is not None and iteration >= max_iterations) or error <= tolerance):

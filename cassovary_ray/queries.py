@@ -269,6 +269,15 @@ def q_graph_cosine_top3(sf_dir: str):
                                       max_in_deg=SIM_MAX_IN_DEG)
 
 
+def q_graph_similar_pairs(sf_dir: str):
+    """Global top-10 most similar pairs — the ``getTopKAllSimilarPairs``
+    entry point (``Similarity.scala:85-89``): canonical u<w pairs, score
+    desc then (lower u, lower w)."""
+    return analytics.similar_pairs_top_k(derived_edges(sf_dir), k=10,
+                                         metric="jaccard",
+                                         max_in_deg=SIM_MAX_IN_DEG)
+
+
 def q_graph_adamic_adar(sf_dir: str):
     return analytics.adamic_adar_top_k(derived_edges(sf_dir), k=3,
                                        max_in_deg=SIM_MAX_IN_DEG)
@@ -1719,6 +1728,7 @@ QUERIES = {
     "graph_triangles_approx": q_graph_triangles_approx,
     "graph_jaccard_top3": q_graph_jaccard_top3,
     "graph_cosine_top3": q_graph_cosine_top3,
+    "graph_similar_pairs": q_graph_similar_pairs,
     "graph_adamic_adar": q_graph_adamic_adar,
     "graph_modularity": q_graph_modularity,
     "graph_local_clustering": q_graph_local_clustering,
@@ -1902,6 +1912,20 @@ ORACLE_SQL = {
                           row_number() OVER (PARTITION BY u ORDER BY score DESC, w ASC) AS rank
                    FROM scored)
         SELECT u, w, score, rank FROM ranked WHERE rank <= 3
+    """,
+    "graph_similar_pairs": f"""
+        WITH e AS ({DERIVED_EDGES_CTE}),
+        deg AS (SELECT src AS vtx, count(*) AS deg FROM e GROUP BY 1),
+        okd AS (SELECT dst FROM e GROUP BY 1 HAVING count(*) <= {SIM_MAX_IN_DEG}),
+        ef AS (SELECT e.src, e.dst FROM e JOIN okd USING (dst)),
+        co AS (SELECT a.src AS u, b.src AS w, count(*) AS common
+               FROM ef a JOIN ef b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
+        scored AS (SELECT co.u, co.w,
+                          CAST(common AS DOUBLE) / (du.deg + dw.deg - common) AS score
+                   FROM co JOIN deg du ON du.vtx = co.u JOIN deg dw ON dw.vtx = co.w),
+        canon AS (SELECT DISTINCT least(u, w) AS u, greatest(u, w) AS w, score
+                  FROM scored)
+        SELECT u, w, score FROM canon ORDER BY score DESC, u ASC, w ASC LIMIT 10
     """,
     "graph_adamic_adar": f"""
         WITH e AS ({DERIVED_EDGES_CTE}),

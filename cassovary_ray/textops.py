@@ -795,6 +795,10 @@ def skipgram_negatives(pairs, vertices, *, k: int = 2, retries: int = 4,
     nmax = int(vertices.max("u")) + 1
     if nmax >= 1 << 56:
         raise ValueError("vertex ids must fit 56 bits for the packed min")
+    if retries * (1 << 56) > (1 << 63) - 1:
+        raise ValueError(
+            f"retries={retries} overflows the packed r*2**56 + cand int64 "
+            "min-key (retries must be < 128; default is 4)")
     probes = [(j, r, splitmix64(np.uint64(2 * (retries * j + r) + 1)
                                 ^ np.uint64(seed)))
               for j in range(k) for r in range(retries)]

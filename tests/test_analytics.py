@@ -146,6 +146,26 @@ def test_similarity_vs_bruteforce(metric):
             assert got_s == pytest.approx(exp_s, abs=1e-12)
 
 
+def test_similar_pairs_global_topk_vs_bruteforce():
+    """similar_pairs_top_k (getTopKAllSimilarPairs, Similarity.scala:85-89):
+    global top-k canonical pairs, score desc then (lower u, lower w)."""
+    from cassovary_ray.analytics import similar_pairs_top_k
+
+    adj = TOY_GRAPHS["g7"]
+    per_u = brute_force_similarity(adj, "jaccard")
+    pairs = {}
+    for u, lst in per_u.items():
+        for s, w in lst:
+            pairs[(min(u, w), max(u, w))] = s
+    want = sorted(pairs.items(), key=lambda t: (-t[1], t[0]))[:4]
+    df = (similar_pairs_top_k(edges_ds_for_graph(adj), k=4)
+          .to_pandas().reset_index(drop=True))
+    got = [((int(r.u), int(r.w)), float(r.score)) for r in df.itertuples()]
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-12)
+
+
 def test_bfs_g3():
     """BFS on g3 from 10 → [(10,0),(11,1),(12,1)] (`GraphUtilsSpec.scala:90-94`)."""
     df = bfs(edges_ds_for_graph(TOY_GRAPHS["g3"]), [10]).to_pandas()

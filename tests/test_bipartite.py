@@ -177,3 +177,12 @@ def test_engine_requires_reverse_layout(tmp_dir):
     with ShardedGraph(lay) as g:
         with pytest.raises(ValueError, match="reverse"):
             g.bipartite_link_analysis({1: 1.0})
+
+
+def test_driver_fallback_edge_cap():
+    """iterative_link_analysis is the driver-side fallback: above max_edges
+    it refuses (pointing at ShardedGraph.bipartite_link_analysis) instead
+    of materializing a corpus-scale edge table locally (VERDICT r4)."""
+    with pytest.raises(ValueError, match="bipartite_link_analysis"):
+        iterative_link_analysis(bip_edges(), {1: 1.0}, num_iterations=2,
+                                max_edges=2)

@@ -100,3 +100,18 @@ def test_f32_unbounded_tight_tolerance_rejected(g6_layout):
         # bounded runs and certifiable tolerances are fine
         g.pagerank(max_iterations=3, tolerance=1e-8)
         g.pagerank(max_iterations=None, tolerance=1e-7)
+
+
+def test_f32_guard_scales_with_state_norm(tmp_path):
+    """HITS' max-rescaled state has ‖state‖₁ ≤ n, so the certified f32
+    floor — and the refusal threshold — scales with n (ADVICE r4): on the
+    6-vertex toy the threshold is 6e-7, refusing a tolerance PageRank
+    (‖state‖₁ = 1) would accept."""
+    lay, rev = str(tmp_path / "lay"), str(tmp_path / "rev")
+    build_toy_layout(TOY_GRAPHS["g6"], lay, 3)
+    build_toy_layout(TOY_GRAPHS["g6"], rev, 3, reverse=True)
+    with ShardedGraph(lay, reverse_layout_dir=rev,
+                      exchange_precision="f32") as g:
+        with pytest.raises(ValueError, match="state norm"):
+            g.hits(max_iterations=None, tolerance=2e-7)
+        g.hits(max_iterations=None, tolerance=6e-7)

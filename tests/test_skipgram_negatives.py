@@ -80,3 +80,13 @@ def test_rejects_oversized_ids():
                                          "context": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError, match="56 bits"):
         skipgram_negatives(p_ds, v_ds)
+
+
+def test_rejects_overflowing_retries():
+    """retries >= 128 would overflow the packed r*2**56 + cand int64
+    min-key (ADVICE r4) — refused up front."""
+    v_ds = ray.data.from_arrow(pa.table({"u": pa.array([0, 1, 2], pa.int64())}))
+    p_ds = ray.data.from_arrow(pa.table({"center": pa.array([0], pa.int64()),
+                                         "context": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="retries"):
+        skipgram_negatives(p_ds, v_ds, retries=128)

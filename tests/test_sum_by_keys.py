@@ -17,9 +17,14 @@ import ray.data
 from cassovary_ray.analytics import sum_by_keys
 
 
-def run(df: pd.DataFrame, keys, value, parallelism=8) -> pd.DataFrame:
+def run(df: pd.DataFrame, keys, value, parallelism=8,
+        small_threshold=0) -> pd.DataFrame:
+    # small_threshold=0 pins the FOLD path (the test inputs are all below
+    # the production 50k-row crossover, which would route them through the
+    # hash aggregate and leave the fold uncovered)
     ds = ray.data.from_pandas(df).repartition(parallelism)
-    out = sum_by_keys(ds, keys, value, alias="n").to_pandas()
+    out = sum_by_keys(ds, keys, value, alias="n",
+                      small_threshold=small_threshold).to_pandas()
     return out.sort_values(keys).reset_index(drop=True)
 
 
@@ -97,7 +102,8 @@ def test_fold_multi_op_matches_pandas():
     ds = ray.data.from_pandas(df).repartition(8)
     got = (fold_by_keys(ds, ["k"],
                         [("d", "min", "min_d"), ("d", "max", "max_d"),
-                         ("c", "sum", "total"), ("c", "count", "rows")])
+                         ("c", "sum", "total"), ("c", "count", "rows")],
+                        small_threshold=0)
            .to_pandas().sort_values("k").reset_index(drop=True))
     w = (df.groupby("k").agg(min_d=("d", "min"), max_d=("d", "max"),
                              total=("c", "sum"), rows=("c", "size"))
@@ -115,6 +121,59 @@ def test_fold_count_sums_across_blocks():
     df = pd.DataFrame({"k": ["hot"] * 5000 + ["cold"] * 10,
                        "c": np.ones(5010, dtype=np.int64)})
     ds = ray.data.from_pandas(df).repartition(16)
-    got = (fold_by_keys(ds, ["k"], [("c", "count", "rows")])
+    got = (fold_by_keys(ds, ["k"], [("c", "count", "rows")],
+                        small_threshold=0)
            .to_pandas().set_index("k")["rows"])
     assert int(got["hot"]) == 5000 and int(got["cold"]) == 10
+
+
+# -- crossover, null guard, dtype widening ------------------------------------
+
+
+def test_small_input_crossover_paths_agree():
+    """Below the row threshold the call routes through Ray's hash
+    aggregate; both paths must produce identical frames."""
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "a": [f"u{v}" for v in rng.randint(0, 30, 2000)],
+        "c": rng.randint(-4, 9, 2000).astype(np.int64),
+    })
+    hash_path = run(df, ["a"], "c", small_threshold=1_000_000)
+    fold_path = run(df, ["a"], "c", small_threshold=0)
+    pd.testing.assert_frame_equal(hash_path, fold_path)
+    pd.testing.assert_frame_equal(hash_path, want(df, ["a"], "c"))
+
+
+@pytest.mark.parametrize("small_threshold", [0, 1_000_000])
+def test_null_values_rejected(small_threshold):
+    """Nulls would split groups in the fold (NaN != NaN) but merge in the
+    hash aggregate — fold_by_keys refuses them on either path."""
+    from cassovary_ray.analytics import fold_by_keys
+
+    df = pd.DataFrame({"k": ["a", "b", None, "a"],
+                       "c": pd.array([1, 2, 3, 4], dtype="Int64")})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="null"):
+        fold_by_keys(ds, ["k"], [("c", "sum", "n")],
+                     small_threshold=small_threshold).to_pandas()
+
+
+@pytest.mark.parametrize("small_threshold", [0, 1_000_000])
+def test_narrow_dtypes_widen(small_threshold):
+    """int32 / float32 value columns widen to 64-bit before either path so
+    interior reduceat partials union cleanly with the boundary merge."""
+    from cassovary_ray.analytics import fold_by_keys
+
+    df = pd.DataFrame({
+        "k": ["x"] * 300 + ["y"] * 300,
+        "i": np.ones(600, dtype=np.int32),
+        "f": np.full(600, 0.5, dtype=np.float32),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (fold_by_keys(ds, ["k"],
+                        [("i", "sum", "si"), ("f", "sum", "sf")],
+                        small_threshold=small_threshold)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["si"].dtype == np.int64 and got["sf"].dtype == np.float64
+    assert got["si"].tolist() == [300, 300]
+    assert got["sf"].tolist() == [150.0, 150.0]
