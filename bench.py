@@ -91,13 +91,19 @@ def run_bench() -> dict:
     # for the f32 legs of scaling comparisons; default f64 keeps the
     # headline methodology identical across rounds.
     prec = os.environ.get("BENCH_EXCHANGE_PRECISION", "f64")
+    # BENCH_DELTA_FILTER=<frac> enables the incremental (delta-filtered)
+    # exchange for the timed loop (engine.pagerank(delta_filter=...)) —
+    # used by the scaling sweep; default off keeps the headline loop
+    # methodology identical across rounds.
+    dfil = os.environ.get("BENCH_DELTA_FILTER")
+    dfil = float(dfil) if dfil else None
     with ShardedGraph(lay, csr_cache=False, exchange_precision=prec) as g:
         n_vertices = g.n_vertices
         # warm: one untimed round so actor CSR build and page cache are
         # excluded from the throughput number
         g.pagerank(max_iterations=1)
         t0 = time.perf_counter()
-        g.pagerank(max_iterations=None, tolerance=1e-6)
+        g.pagerank(max_iterations=None, tolerance=1e-6, delta_filter=dfil)
         pr_wall = time.perf_counter() - t0
         iters = len(g.metrics) - 1  # minus the warm round
         round_walls = [m.wall_s for m in g.metrics[1:]]
@@ -363,6 +369,16 @@ def run_scaling() -> dict:
     def run(ncpu: int, edges: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_EDGES=str(edges),
                    BENCH_SKIP_QUERIES="1")
+        # the scaling sweep measures the SCALE configuration (r5): float32
+        # ship payloads + delta-filtered exchange — the two levers that
+        # attack the exchange-volume growth dominating the full span
+        # (SCALING_r4.json decomposition). Override/disable via the
+        # environment for A/B legs (BENCH_EXCHANGE_PRECISION=f64,
+        # BENCH_DELTA_FILTER="").
+        env.setdefault("BENCH_EXCHANGE_PRECISION", "f32")
+        env.setdefault("BENCH_DELTA_FILTER", "0.1")
+        if env.get("BENCH_DELTA_FILTER") == "":
+            env.pop("BENCH_DELTA_FILTER")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,

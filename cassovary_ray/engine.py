@@ -207,6 +207,46 @@ class _Scatter:
         """
         return [self.slice_for_part(sums, q, with_ids) for q in range(self.num_parts)]
 
+    def per_part_delta(self, pending: np.ndarray, thresh: float, flush: bool,
+                       last_sent: np.ndarray) -> list:
+        """Delta-filtered packed exchange (incremental PageRank; the r5
+        full-span scaling lever): ``pending`` is the per-uniq-dst gap
+        between this round's true contribution sums and what receivers
+        have accumulated so far. Per part, ship either the dense pending
+        slice or a sparse ``("s", idx, vals)`` triple holding only entries
+        with ``|pending| >= thresh`` — sparse wins once fewer than half
+        the entries cross the threshold (idx:int32 + val vs val). Late
+        rounds concentrate change in few destinations, so shipped bytes
+        decay with convergence instead of staying O(distinct dst) per
+        round. ``last_sent`` advances by exactly the RECEIVER-VISIBLE
+        values (after any f32 ship cast), so the sender's model of the
+        receiver accumulator never drifts; withheld residue stays bounded
+        by thresh per entry and is cleared by ``flush`` rounds (the driver
+        certifies convergence only on a post-flush T1)."""
+        out = []
+        cast = self.exchange_dtype
+        for q in range(self.num_parts):
+            lo, hi = self.part_ptr[q], self.part_ptr[q + 1]
+            d = pending[lo:hi]
+            ls = last_sent[lo:hi]
+            idx = None
+            if not flush:
+                m = np.abs(d) >= thresh
+                nnz = int(np.count_nonzero(m))
+                if nnz * 2 < (hi - lo):
+                    idx = np.flatnonzero(m).astype(np.int32)
+            if idx is None:
+                vals = d.astype(cast) if cast is not None else d
+                ls += vals
+                out.append(vals)
+            else:
+                vals = d[idx]
+                if cast is not None:
+                    vals = vals.astype(cast)
+                ls[idx] += vals
+                out.append(("s", idx, vals))
+        return out
+
 
 def _partition_digest(ldir: str, primary_dir: str, part: int) -> str:
     """Content key for one shard's CSR cache: the (name, size) list of the
@@ -319,7 +359,9 @@ def _payload_nbytes(payload) -> int:
     per_part, _dangle = payload
     total = 0
     for sl in per_part:
-        if isinstance(sl, tuple):
+        if isinstance(sl, tuple) and len(sl) == 3:  # sparse ("s", idx, vals)
+            total += sl[1].nbytes + sl[2].nbytes
+        elif isinstance(sl, tuple):
             total += sl[0].nbytes + sl[1].nbytes
         else:
             total += sl.nbytes
@@ -597,12 +639,19 @@ class GraphShard:
         self.state["rank"] = np.full(len(self.verts), 1.0 / n_total)
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
 
-    def _pr_scatter_payload(self, damping: float, with_ids: bool):
+    def _pr_scatter_payload(self, damping: float, with_ids: bool,
+                            delta: float = 0.0, flush: bool = False):
         """Packed scatter: per-part partial sums of d·r(u)/outdeg(u) (the
         scatter loop of ``PageRank.scala:104-109``) PLUS this shard's
         dangling rank mass — shipping the dangling partial with the payload
         lets every receiver reconstruct the global dangling sum locally, so
-        no driver-side scalar barrier exists between rounds."""
+        no driver-side scalar barrier exists between rounds.
+
+        ``delta > 0`` switches to the incremental exchange (see
+        ``_Scatter.per_part_delta``): payloads carry CHANGES against what
+        receivers already accumulated, filtered at ``delta``; the bootstrap
+        round (``with_ids``) rebases both sides to zero and ships the full
+        sums, so resume/warm-start need no extra state."""
         rank = self.state["rank"]
         # weighted layout: transition prob of edge e = w(e)/Σw(out-edges),
         # so the coefficient divides by the weighted out-degree and
@@ -612,11 +661,34 @@ class GraphShard:
                         damping * rank / np.where(self.fwd.out_deg > 0, denom, 1.0), 0.0)
         sums = self.fwd.coef_scatter_sums(coef)
         dangle = float(rank[self.fwd.out_deg == 0].sum())
-        return (self.fwd.per_part(sums, with_ids), dangle)
+        if delta <= 0.0:
+            return (self.fwd.per_part(sums, with_ids), dangle)
+        if with_ids:
+            # (re)base the incremental state: receivers accumulate from 0
+            self._pr_contrib = np.zeros(len(self.verts))
+            self._pr_last_sent = np.zeros(len(self.fwd.uniq_dst))
+            slices = self.fwd.per_part(sums, True)
+            for q in range(self.fwd.num_parts):
+                lo, hi = self.fwd.part_ptr[q], self.fwd.part_ptr[q + 1]
+                self._pr_last_sent[lo:hi] = slices[q][1]  # post-cast values
+            return (slices, dangle)
+        pending = np.subtract(sums, self._pr_last_sent)
+        return (self.fwd.per_part_delta(pending, delta, flush,
+                                        self._pr_last_sent), dangle)
 
-    def pr_round(self, damping: float, n_total: int, bootstrap: bool, *sender_payloads):
+    def pr_round(self, damping: float, n_total: int, bootstrap: bool,
+                 delta: float, flush: bool, *sender_payloads):
         """One fused PageRank superstep: apply last round's contributions
         (unless ``bootstrap``), then scatter from the updated rank.
+
+        ``delta > 0`` runs the incremental exchange: this shard keeps an
+        accumulator of received contributions (``_pr_contrib``) that
+        payloads ADD INTO (dense delta arrays, sparse ``("s", idx, vals)``
+        triples, or the bootstrap's ``(ids, vals)`` rebase), instead of
+        rebuilding the sum from scratch; the scatter side ships only
+        pending changes ≥ ``delta`` (see ``_pr_scatter_payload``).
+        ``flush`` forces a full pending ship so the driver can certify a
+        convergence check against zero withheld residue.
 
         Returns ``exchange_groups + 1`` objects (``num_returns=G+1``): one
         packed payload PER RECEIVER GROUP for the next round (each stays in
@@ -638,20 +710,41 @@ class GraphShard:
             incoming = [pl[0][self.part - self.group_start]
                         for pl in sender_payloads]
             old = self.state["rank"]
-            new = np.full(len(self.verts), base)
-            for sender, payload in enumerate(incoming):
-                if isinstance(payload, tuple):
-                    ids, sums = payload
-                    pos = self._positions("fwd", sender, ids)
-                else:
-                    sums = payload
-                    pos = self._positions("fwd", sender, None)
-                if len(sums):
-                    new[pos] += sums
+            if delta > 0.0:
+                contrib = self._pr_contrib
+                for sender, payload in enumerate(incoming):
+                    if isinstance(payload, tuple) and len(payload) == 3:
+                        _tag, idx, vals = payload
+                        if len(vals):
+                            pos = self._positions("fwd", sender, None)
+                            # uniq-dst ids are distinct per sender, so the
+                            # fancy index is duplicate-free
+                            contrib[pos[idx]] += vals
+                    elif isinstance(payload, tuple):
+                        ids, vals = payload
+                        pos = self._positions("fwd", sender, ids)
+                        if len(vals):
+                            contrib[pos] += vals
+                    else:
+                        if len(payload):
+                            pos = self._positions("fwd", sender, None)
+                            contrib[pos] += payload
+                new = contrib + base
+            else:
+                new = np.full(len(self.verts), base)
+                for sender, payload in enumerate(incoming):
+                    if isinstance(payload, tuple):
+                        ids, sums = payload
+                        pos = self._positions("fwd", sender, ids)
+                    else:
+                        sums = payload
+                        pos = self._positions("fwd", sender, None)
+                    if len(sums):
+                        new[pos] += sums
             err = float(np.abs(new - old).sum())
             self.state["rank"] = new
             t_apply = time.perf_counter() - t_in
-        payload = self._pr_scatter_payload(damping, bootstrap)
+        payload = self._pr_scatter_payload(damping, bootstrap, delta, flush)
         stats = (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
                  _payload_nbytes(payload))
         per_part, dangle = payload
@@ -689,6 +782,12 @@ class GraphShard:
 
     def pr_dangling_sum(self) -> float:
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
+
+    def pr_uniq_entries(self) -> int:
+        """Distinct destinations this shard scatters to — the driver sizes
+        the delta-filter threshold from the global total (per-entry
+        withheld residue × total entries ≪ tolerance)."""
+        return int(len(self.fwd.uniq_dst))
 
     def pr_warm_init(self, n_total: int, path: str | None) -> float:
         """Warm-start rank state from a PRIOR run's checkpoint part file
@@ -2157,9 +2256,22 @@ class ShardedGraph:
         checkpoint_every: int = 5,
         resume: bool = False,
         warm_start_dir: str | None = None,
+        delta_filter: float | None = None,
     ):
         """Distributed PageRank, semantics cloned from ``PageRank.scala:80-113``
         (defaults d=0.85, maxIter=10, tol=1e-8 per ``PageRank.scala:28-31``).
+
+        ``delta_filter``: enable the incremental (delta-filtered) exchange —
+        classic incremental PageRank: senders ship only destinations whose
+        pending contribution change is ≥ ``delta_filter · tolerance / U``
+        (U = total distinct (shard, dst) scatter entries), receivers keep an
+        accumulator, so late-round exchange bytes decay with convergence
+        instead of staying O(distinct dst). Withheld residue is bounded by
+        ``delta_filter · tolerance`` in total, and convergence is only
+        certified on a FLUSH round (all pending shipped), so the stop
+        criterion is exactly the vanilla one: a full update moved ≤
+        ``tolerance`` in T1. Requires ``tolerance``. Off (None) by default —
+        the vanilla exchange stays bit-identical to previous rounds.
 
         Per round: dangling mass ``d·Σ_dangling r(v)/n`` (``:93``), scatter
         ``d·r(u)/outdeg(u)`` to out-neighbors, every existing vertex adds
@@ -2177,6 +2289,14 @@ class ShardedGraph:
         run."""
         self._check_f32_convergence(max_iterations, tolerance)
         n = self.n_vertices
+        delta_abs = 0.0
+        if delta_filter is not None and delta_filter > 0:
+            if tolerance is None:
+                raise ValueError(
+                    "delta_filter requires a tolerance: the filter threshold "
+                    "and the flush-certified stop are both scaled from it")
+            U = sum(ray.get([s.pr_uniq_entries.remote() for s in self.shards]))
+            delta_abs = delta_filter * tolerance / max(1, U)
         iteration, error = 0, 100.0 + tolerance
         dangle_total = None
         if resume and checkpoint_dir:
@@ -2233,17 +2353,28 @@ class ShardedGraph:
                     for q in range(self.num_parts)]
         if not stop:
             # bootstrap superstep: scatter from the initial/loaded ranks
+            # (under delta_filter this rebases the incremental state and
+            # ships the full sums — itself a flush)
             outs = [
-                s.pr_round.options(num_returns=G + 1).remote(damping, n, True)
+                s.pr_round.options(num_returns=G + 1).remote(
+                    damping, n, True, delta_abs, True)
                 for s in self.shards
             ]
+        prev_scatter_flush = True  # the bootstrap scatter ships everything
+        flush_next = False
         while not stop:
             t0 = time.perf_counter()
             outs = [
                 self.shards[q].pr_round.options(num_returns=G + 1).remote(
-                    damping, n, False, *[o[group_of[q]] for o in outs])
+                    damping, n, False, delta_abs, flush_next,
+                    *[o[group_of[q]] for o in outs])
                 for q in range(self.num_parts)
             ]
+            # the payloads applied this round came from the PREVIOUS call's
+            # scatter: only a post-flush T1 certifies convergence (zero
+            # withheld residue → exactly the vanilla stop criterion)
+            applied_flush = prev_scatter_flush
+            prev_scatter_flush = flush_next
             stats = ray.get([o[G] for o in outs])
             error = sum(st[0] for st in stats)
             iteration += 1
@@ -2252,11 +2383,18 @@ class ShardedGraph:
                      "max_apply_s": round(max(st[1] for st in stats), 3),
                      "max_scatter_s": round(max(st[2] for st in stats), 3),
                      "task_spread_s": round(max(st[3] for st in stats) - min(st[3] for st in stats), 3),
-                     "exchange_mb": round(sum(st[4] for st in stats) / 1e6, 1),
+                     "exchange_mb": round(sum(st[4] for st in stats) / 1e6, 3),
                      "exchange_groups": G,
                      "exchange_objects": self.num_parts * G}
+            if delta_abs > 0.0:
+                extra["delta_filter"] = delta_filter
+                extra["flush_round"] = applied_flush
             self.metrics.append(RoundMetrics(iteration, error, wall, extra))
-            stop = (max_iterations is not None and iteration >= max_iterations) or error <= tolerance
+            converged = tolerance is not None and error <= tolerance
+            true_conv = converged and (delta_abs == 0.0 or applied_flush)
+            stop = (max_iterations is not None
+                    and iteration >= max_iterations) or true_conv
+            flush_next = delta_abs > 0.0 and converged and not true_conv
             if checkpoint_dir and (iteration % checkpoint_every == 0 or stop):
                 self._write_checkpoint(checkpoint_dir, "rank", "rank", iteration, error)
         return self._state_dataset("rank", "rank")
