@@ -311,20 +311,26 @@ def hw_bandwidth_probe(workers: int, mb_per_worker: int = 200) -> float:
 
 
 def kernel_probe(workers: int, edges: int = 50_000_000,
-                 verts: int = 5_000_000, segs: int = 9_000_000) -> float:
+                 verts: int = 5_000_000, segs: int = 9_000_000,
+                 ship_f32: bool = False) -> float:
     """Per-worker wall time of ONE PageRank-scatter-shaped kernel round —
-    random gather of 50M positions into a 40 MB coef table + 400 MB value
-    stream + segmented reduceat — run as ``workers`` fully INDEPENDENT
-    processes with identical work each (no Ray, no exchange, no driver).
+    random gather of ``edges`` positions into a ``verts``-entry coef table
+    + segmented reduceat over ``segs`` distinct destinations (+ optionally
+    the float32 payload cast that models the plasma ship) — run as
+    ``workers`` fully INDEPENDENT processes (no Ray, no exchange, no
+    driver).
 
     This is the kernel-matched hardware ceiling the 200 MB gather probe
-    (:func:`hw_bandwidth_probe`) understates: the real scatter sweep moves
-    ~600 MB/round/worker through the shared bus, so contention shows at
-    worker counts where the small gather still scales (round-4 knee: gather
-    probe ceiling 1.10 while the engine's own kernel contends). Work per
-    worker is IDENTICAL across worker counts, so the ratio isolates pure
-    bus contention; the engine's remaining gap on top of it (payload
-    fan-in growth, exchange copies, dispatch) is engine-attributable."""
+    (:func:`hw_bandwidth_probe`) understates. r5 upgrade: the r4 sweep ran
+    IDENTICAL work at both worker counts, which silently attributed the
+    workload's own growth to engine coordination — at constant
+    edges/shard, a 4× graph has ~1.5× more DISTINCT destinations per
+    shard (measured 5.23M → 7.99M on the full-span fixtures), so each
+    hi-leg shard genuinely reduces more segments and ships more payload
+    bytes. The honest per-config ceiling runs each config's own
+    (edges, verts, segs) as taken from the engine's actual layouts; the
+    engine's remaining gap on top of THAT ratio (exchange copies,
+    dispatch, fan-in) is engine-attributable coordination loss."""
     import multiprocessing as mp
 
     import numpy as np
@@ -335,11 +341,13 @@ def kernel_probe(workers: int, edges: int = 50_000_000,
         seg = np.unique(rng.integers(0, edges, segs, dtype=np.int64))
         coef = rng.random(verts)
         vals = coef[src_pos]  # warm (alloc + first sweep)
-        np.add.reduceat(vals, seg)
+        out = np.add.reduceat(vals, seg)
         t0 = time.perf_counter()
         for _ in range(3):
             vals = coef[src_pos]
-            np.add.reduceat(vals, seg)
+            out = np.add.reduceat(vals, seg)
+            if ship_f32:
+                out.astype(np.float32)  # payload ship cast + copy
         q.put((time.perf_counter() - t0) / 3)
 
     q = mp.Queue()
@@ -348,6 +356,48 @@ def kernel_probe(workers: int, edges: int = 50_000_000,
     times = [q.get() for _ in ps]
     [p.join() for p in ps]
     return sum(times) / len(times)
+
+
+def _uniq_dst_per_shard(layout_dir: str) -> int:
+    """Distinct destinations in one shard of a built layout (part=0) — the
+    per-config ``segs`` for the kernel-matched probe."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fs = sorted(glob.glob(os.path.join(layout_dir, "edges", "part=0",
+                                       "*.parquet")))
+    dst = np.concatenate([
+        pq.read_table(f, columns=["dst"]).column(0)
+        .to_numpy(zero_copy_only=False) for f in fs])
+    return int(len(np.unique(dst)))
+
+
+def matched_kernel_pair(k_lo: int, k_hi: int, per_shard: int,
+                        lay_lo: str, lay_hi: str,
+                        n_lo: int, n_hi: int) -> dict:
+    """Config-matched kernel ceiling for one span: per-worker probe time at
+    each worker count with THAT config's (edges/shard, owned verts/shard,
+    distinct dsts/shard), interleaved lo/hi; ceiling = t_lo / t_hi."""
+    segs_lo, segs_hi = _uniq_dst_per_shard(lay_lo), _uniq_dst_per_shard(lay_hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        lo_runs.append(kernel_probe(k_lo, edges=per_shard,
+                                    verts=max(1, n_lo // k_lo),
+                                    segs=segs_lo, ship_f32=True))
+        hi_runs.append(kernel_probe(k_hi, edges=per_shard,
+                                    verts=max(1, n_hi // k_hi),
+                                    segs=segs_hi, ship_f32=True))
+    lo_m, hi_m = sorted(lo_runs)[1], sorted(hi_runs)[1]
+    return {
+        "matched_segs_lo": segs_lo, "matched_segs_hi": segs_hi,
+        "matched_kernel_sec_lo_runs": [round(x, 3) for x in lo_runs],
+        "matched_kernel_sec_hi_runs": [round(x, 3) for x in hi_runs],
+        "matched_kernel_sec_lo": round(lo_m, 3),
+        "matched_kernel_sec_hi": round(hi_m, 3),
+        "matched_kernel_ceiling_weak_eff": round(lo_m / hi_m, 3) if hi_m else None,
+    }
 
 
 def run_scaling() -> dict:
@@ -370,15 +420,16 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_EDGES=str(edges),
                    BENCH_SKIP_QUERIES="1")
         # the scaling sweep measures the SCALE configuration (r5): float32
-        # ship payloads + delta-filtered exchange — the two levers that
-        # attack the exchange-volume growth dominating the full span
-        # (SCALING_r4.json decomposition). Override/disable via the
-        # environment for A/B legs (BENCH_EXCHANGE_PRECISION=f64,
-        # BENCH_DELTA_FILTER="").
+        # ship payloads (halved exchange bytes, the lever SCALING_r4's
+        # decomposition identified). The delta-filtered exchange exists and
+        # is certified (engine.pagerank(delta_filter=...)) but measures
+        # NEUTRAL-to-negative on this workload — the per-destination delta
+        # distribution is flat (bottom 90% of entries carry 55% of the
+        # mass, measured on the bench fixture), so no energy cut shrinks
+        # payloads without withholding O(10%) of each round's update mass —
+        # so the sweep leaves it off. Override per leg via env
+        # (BENCH_EXCHANGE_PRECISION=f64, BENCH_DELTA_FILTER=0.001).
         env.setdefault("BENCH_EXCHANGE_PRECISION", "f32")
-        env.setdefault("BENCH_DELTA_FILTER", "0.1")
-        if env.get("BENCH_DELTA_FILTER") == "":
-            env.pop("BENCH_DELTA_FILTER")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
@@ -420,6 +471,11 @@ def run_scaling() -> dict:
     # memory bus is not yet saturated at 8 streaming workers, so engine
     # coordination loss is observable directly instead of being buried
     # under the hardware ceiling
+    def _layout_for(ncpu: int, edges: int) -> tuple[str, int]:
+        n_verts = max(10_000, edges // 10)
+        n_verts -= n_verts % ncpu
+        return bench_layout_dir(edges, n_verts, ncpu), n_verts
+
     if spans in ("knee", "both"):
         k_lo, k_hi = 2, 8
         m_lo, m_hi, raw_lo, raw_hi = paired_medians(
@@ -429,6 +485,15 @@ def run_scaling() -> dict:
         knee_ceiling = hw_k_lo / hw_k_hi if hw_k_hi > 0 else 1.0
         kp_lo, kp_hi = kernel_probe(k_lo), kernel_probe(k_hi)
         kp_ceiling = kp_lo / kp_hi if kp_hi > 0 else 1.0
+        klay_lo, kn_lo = _layout_for(k_lo, k_lo * per_shard)
+        klay_hi, kn_hi = _layout_for(k_hi, k_hi * per_shard)
+        knee_matched = matched_kernel_pair(k_lo, k_hi, per_shard,
+                                           klay_lo, klay_hi, kn_lo, kn_hi)
+        out.update({f"knee_{k}": v for k, v in knee_matched.items()})
+        kmc = knee_matched["matched_kernel_ceiling_weak_eff"]
+        out.update({
+            "knee_engine_eff_vs_matched_kernel":
+                round(knee_eff / kmc, 2) if kmc else None})
         out.update({
             "per_shard_edges": per_shard,
             "knee_num_cpus": [k_lo, k_hi],
@@ -460,6 +525,15 @@ def run_scaling() -> dict:
     hw_lo = hw_bandwidth_probe(lo)
     hw_hi = hw_bandwidth_probe(hi)
     hw_ceiling = hw_lo / hw_hi if hw_hi > 0 else 1.0  # = per-worker slowdown⁻¹
+    flay_lo, fn_lo = _layout_for(lo, e_lo)
+    flay_hi, fn_hi = _layout_for(hi, e_hi)
+    full_matched = matched_kernel_pair(lo, hi, per_shard,
+                                       flay_lo, flay_hi, fn_lo, fn_hi)
+    out.update(full_matched)
+    fmc = full_matched["matched_kernel_ceiling_weak_eff"]
+    out.update({
+        "engine_eff_vs_matched_kernel":
+            round(((t_hi / t_lo) / (hi / lo)) / fmc, 2) if fmc else None})
     out.update({
         "value": round(weak_eff, 3),
         "num_cpus_lo": lo,

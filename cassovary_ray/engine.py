@@ -63,6 +63,31 @@ LP_UNLABELED = -1  # sentinel: vertex has not yet acquired a label (seeded LP)
 # ---------------------------------------------------------------------------
 
 
+def _energy_cut(pending: np.ndarray, phi: float) -> float:
+    """Per-round delta-filter threshold: the largest power-of-two t such
+    that the entries with |pending| < t carry at most ``phi`` of the total
+    pending L1 mass. O(n): frexp exponents → per-exponent mass bincount →
+    cumulative cut. A fixed absolute threshold either filters nothing or
+    everything (per-entry deltas decay together); cutting by ENERGY tracks
+    the heavy-tailed per-destination distribution every round, so the
+    shipped set shrinks smoothly while ≥ (1-phi) of each round's update
+    mass still flows. Withheld residue accumulates sender-side and is
+    cleared by flush rounds (driver-certified stop)."""
+    a = np.abs(pending)
+    total = float(a.sum())
+    if total <= 0.0:
+        return float("inf")  # nothing pending at all — ship nothing
+    _m, e = np.frexp(a)
+    e = e.astype(np.int64)
+    e0 = int(e.min())
+    mass = np.bincount(e - e0, weights=a)
+    csum = np.cumsum(mass)
+    k = int(np.searchsorted(csum, phi * total, side="right"))
+    if k <= 0:
+        return 0.0
+    return float(np.ldexp(0.5, e0 + k))  # = 2^(e0+k-1)
+
+
 class _Scatter:
     """Per-shard edge structure pre-sorted for destination-partition scatter.
 
@@ -212,13 +237,15 @@ class _Scatter:
         """Delta-filtered packed exchange (incremental PageRank; the r5
         full-span scaling lever): ``pending`` is the per-uniq-dst gap
         between this round's true contribution sums and what receivers
-        have accumulated so far. Per part, ship either the dense pending
+        have accumulated so far; ``thresh`` is the per-round energy cut
+        (see ``_energy_cut``). Per part, ship either the dense pending
         slice or a sparse ``("s", idx, vals)`` triple holding only entries
         with ``|pending| >= thresh`` — sparse wins once fewer than half
-        the entries cross the threshold (idx:int32 + val vs val). Late
-        rounds concentrate change in few destinations, so shipped bytes
-        decay with convergence instead of staying O(distinct dst) per
-        round. ``last_sent`` advances by exactly the RECEIVER-VISIBLE
+        the entries cross the threshold (idx:int32 + val vs val). The
+        per-destination delta distribution is heavy-tailed, so the energy
+        cut drops most entries while almost all update mass still flows,
+        and shipped bytes decay with convergence instead of staying
+        O(distinct dst) per round. ``last_sent`` advances by exactly the RECEIVER-VISIBLE
         values (after any f32 ship cast), so the sender's model of the
         receiver accumulator never drifts; withheld residue stays bounded
         by thresh per entry and is cleared by ``flush`` rounds (the driver
@@ -673,7 +700,8 @@ class GraphShard:
                 self._pr_last_sent[lo:hi] = slices[q][1]  # post-cast values
             return (slices, dangle)
         pending = np.subtract(sums, self._pr_last_sent)
-        return (self.fwd.per_part_delta(pending, delta, flush,
+        thresh = 0.0 if flush else _energy_cut(pending, delta)
+        return (self.fwd.per_part_delta(pending, thresh, flush,
                                         self._pr_last_sent), dangle)
 
     def pr_round(self, damping: float, n_total: int, bootstrap: bool,
@@ -784,9 +812,8 @@ class GraphShard:
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
 
     def pr_uniq_entries(self) -> int:
-        """Distinct destinations this shard scatters to — the driver sizes
-        the delta-filter threshold from the global total (per-entry
-        withheld residue × total entries ≪ tolerance)."""
+        """Distinct destinations this shard scatters to (exchange-volume
+        diagnostic: Σ over shards = dense per-round exchange entries)."""
         return int(len(self.fwd.uniq_dst))
 
     def pr_warm_init(self, n_total: int, path: str | None) -> float:
@@ -2262,16 +2289,19 @@ class ShardedGraph:
         (defaults d=0.85, maxIter=10, tol=1e-8 per ``PageRank.scala:28-31``).
 
         ``delta_filter``: enable the incremental (delta-filtered) exchange —
-        classic incremental PageRank: senders ship only destinations whose
-        pending contribution change is ≥ ``delta_filter · tolerance / U``
-        (U = total distinct (shard, dst) scatter entries), receivers keep an
-        accumulator, so late-round exchange bytes decay with convergence
-        instead of staying O(distinct dst). Withheld residue is bounded by
-        ``delta_filter · tolerance`` in total, and convergence is only
-        certified on a FLUSH round (all pending shipped), so the stop
-        criterion is exactly the vanilla one: a full update moved ≤
-        ``tolerance`` in T1. Requires ``tolerance``. Off (None) by default —
-        the vanilla exchange stays bit-identical to previous rounds.
+        classic incremental PageRank: receivers keep an accumulator and
+        senders ship only pending contribution changes, filtered per round
+        so the entries WITHHELD carry at most fraction ``delta_filter`` of
+        that round's pending L1 mass (``_energy_cut``: the per-destination
+        delta distribution is heavy-tailed, so a small energy budget drops
+        most ENTRIES while ≥ (1-φ) of the update mass still flows, and
+        exchange bytes decay with convergence instead of staying O(distinct
+        dst) per round). Withheld residue accumulates sender-side and
+        convergence is only certified on a FLUSH round (all pending
+        shipped), so the stop criterion is exactly the vanilla one: a full
+        update moved ≤ ``tolerance`` in T1. Requires ``tolerance``.
+        Suggested value 1e-3. Off (None) by default — the vanilla exchange
+        stays bit-identical to previous rounds.
 
         Per round: dangling mass ``d·Σ_dangling r(v)/n`` (``:93``), scatter
         ``d·r(u)/outdeg(u)`` to out-neighbors, every existing vertex adds
@@ -2293,10 +2323,9 @@ class ShardedGraph:
         if delta_filter is not None and delta_filter > 0:
             if tolerance is None:
                 raise ValueError(
-                    "delta_filter requires a tolerance: the filter threshold "
-                    "and the flush-certified stop are both scaled from it")
-            U = sum(ray.get([s.pr_uniq_entries.remote() for s in self.shards]))
-            delta_abs = delta_filter * tolerance / max(1, U)
+                    "delta_filter requires a tolerance: the flush-certified "
+                    "stop needs a convergence target")
+            delta_abs = float(delta_filter)
         iteration, error = 0, 100.0 + tolerance
         dangle_total = None
         if resume and checkpoint_dir:

