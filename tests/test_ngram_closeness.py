@@ -117,3 +117,75 @@ def test_closeness_all_sources_guard_fires():
     # under the cap, sources=None still works
     out = analytics.closeness_centrality(edges, sources=None).to_pandas()
     assert set(out.vertex) == {0, 1, 2}
+
+
+# -- r5 vectorized tokenize/shingle kernels: differential vs Python ----------
+
+
+def _rand_texts(rng, k=60):
+    words = ["alpha", "beta", "gamma", "delta", "x", "yz", "the", "of"]
+    out = []
+    for _ in range(k):
+        L = int(rng.integers(0, 30))
+        t = " ".join(rng.choice(words, L))
+        # exercise trim/run edges the splitter must survive
+        if rng.random() < 0.3:
+            t = "  " + t + "\t\n"
+        if rng.random() < 0.2:
+            t = t.replace(" ", "  ", 1)
+        out.append(t)
+    out += ["", "   ", "\t\n", "single"]
+    return out
+
+
+def test_tokens_flat_matches_python_split():
+    import numpy as np
+    import pyarrow as pa
+
+    from cassovary_ray.textops import _tokens_flat
+
+    rng = np.random.default_rng(5)
+    texts = _rand_texts(rng)
+    flat, counts = _tokens_flat(pa.array(texts, pa.string()))
+    toks = flat.to_pylist()
+    pos = 0
+    for t, c in zip(texts, counts):
+        want = t.split()
+        assert toks[pos:pos + c] == want, (t, toks[pos:pos + c], want)
+        pos += c
+    assert pos == len(toks)
+
+
+def test_tokens_flat_nonascii_falls_back():
+    import pyarrow as pa
+
+    from cassovary_ray.textops import _tokens_flat
+
+    assert _tokens_flat(pa.array(["ok", "café"], pa.string())) is None
+    assert _tokens_flat(pa.array(["a\x0bb"], pa.string())) is None
+
+
+def test_simhash_vectorized_matches_py():
+    import numpy as np
+
+    from cassovary_ray.textops import _simhash_batch_py, simhash_batch
+
+    rng = np.random.default_rng(11)
+    texts = _rand_texts(rng)
+    got = simhash_batch(texts)
+    want = _simhash_batch_py(texts)
+    assert (got == want).all()
+
+
+def test_token_hash_slices_match_per_doc():
+    import numpy as np
+    import pyarrow as pa
+
+    from cassovary_ray.textops import _token_hash_slices, _token_hashes
+
+    rng = np.random.default_rng(17)
+    texts = _rand_texts(rng)
+    slices = _token_hash_slices(pa.array(texts, pa.string()))
+    assert slices is not None
+    for t, h in zip(texts, slices):
+        assert (h == _token_hashes(t)).all()
