@@ -312,7 +312,7 @@ def hw_bandwidth_probe(workers: int, mb_per_worker: int = 200) -> float:
 
 def kernel_probe(workers: int, edges: int = 50_000_000,
                  verts: int = 5_000_000, segs: int = 9_000_000,
-                 ship_f32: bool = False) -> float:
+                 ship_f32: bool = False, apply_stage: bool = False) -> float:
     """Per-worker wall time of ONE PageRank-scatter-shaped kernel round —
     random gather of ``edges`` positions into a ``verts``-entry coef table
     + segmented reduceat over ``segs`` distinct destinations (+ optionally
@@ -330,7 +330,17 @@ def kernel_probe(workers: int, edges: int = 50_000_000,
     bytes. The honest per-config ceiling runs each config's own
     (edges, verts, segs) as taken from the engine's actual layouts; the
     engine's remaining gap on top of THAT ratio (exchange copies,
-    dispatch, fan-in) is engine-attributable coordination loss."""
+    dispatch, fan-in) is engine-attributable coordination loss.
+
+    ``apply_stage`` completes the zero-coordination BSP round: every
+    receiver must also accumulate its incoming per-destination partials
+    into its dense state — entry count per receiver equals its own
+    distinct-dst count by symmetry — so the matched round is gather +
+    segment-reduce (scatter), f32 cast (ship), positional scatter-add
+    (apply). All three phases are information-theoretically required by
+    the algorithm's data distribution; what the probe still EXCLUDES —
+    dispatch, plasma copies, barrier wait, per-sender fan-in — is the
+    engine-attributable coordination the ratio is meant to isolate."""
     import multiprocessing as mp
 
     import numpy as np
@@ -340,6 +350,8 @@ def kernel_probe(workers: int, edges: int = 50_000_000,
         src_pos = rng.integers(0, verts, edges, dtype=np.int32)
         seg = np.unique(rng.integers(0, edges, segs, dtype=np.int64))
         coef = rng.random(verts)
+        apos = rng.integers(0, verts, len(seg), dtype=np.int64)
+        state = np.zeros(verts)
         vals = coef[src_pos]  # warm (alloc + first sweep)
         out = np.add.reduceat(vals, seg)
         t0 = time.perf_counter()
@@ -347,7 +359,9 @@ def kernel_probe(workers: int, edges: int = 50_000_000,
             vals = coef[src_pos]
             out = np.add.reduceat(vals, seg)
             if ship_f32:
-                out.astype(np.float32)  # payload ship cast + copy
+                inc = out.astype(np.float32)  # payload ship cast + copy
+            if apply_stage:
+                state[apos] += inc if ship_f32 else out
         q.put((time.perf_counter() - t0) / 3)
 
     q = mp.Queue()
@@ -385,10 +399,12 @@ def matched_kernel_pair(k_lo: int, k_hi: int, per_shard: int,
     for _ in range(3):
         lo_runs.append(kernel_probe(k_lo, edges=per_shard,
                                     verts=max(1, n_lo // k_lo),
-                                    segs=segs_lo, ship_f32=True))
+                                    segs=segs_lo, ship_f32=True,
+                                    apply_stage=True))
         hi_runs.append(kernel_probe(k_hi, edges=per_shard,
                                     verts=max(1, n_hi // k_hi),
-                                    segs=segs_hi, ship_f32=True))
+                                    segs=segs_hi, ship_f32=True,
+                                    apply_stage=True))
     lo_m, hi_m = sorted(lo_runs)[1], sorted(hi_runs)[1]
     return {
         "matched_segs_lo": segs_lo, "matched_segs_hi": segs_hi,
