@@ -96,3 +96,33 @@ def test_exchange_bytes_decay(tmp_path):
         mb = [m.extra["exchange_mb"] for m in g.metrics]
     # some later round's scatter shipped well under the dense round's bytes
     assert len(mb) > 2 and min(mb[1:]) < 0.5 * mb[0]
+
+
+def test_delta_with_exchange_groups_and_resume(tmp_path):
+    """The cluster-path combination: delta filter × grouped exchange (G=2)
+    must match vanilla, and a cross-run resume under delta mode rebases the
+    incremental state via the bootstrap round."""
+    rng = np.random.default_rng(9)
+    adj = {int(u): sorted({int(x) for x in rng.integers(0, 80, 6)} - {int(u)})
+           for u in range(80)}
+    lay = str(tmp_path / "lay")
+    build_toy_layout(adj, lay, 4)
+    tol = 1e-9
+    with ShardedGraph(lay) as g:
+        base = (g.pagerank(max_iterations=None, tolerance=tol)
+                .to_pandas().sort_values("vertex").reset_index(drop=True))
+    with ShardedGraph(lay, exchange_groups=2) as g:
+        got = (g.pagerank(max_iterations=None, tolerance=tol,
+                          delta_filter=1e-3)
+               .to_pandas().sort_values("vertex").reset_index(drop=True))
+    assert (got["rank"] - base["rank"]).abs().max() < 10 * tol
+    # checkpoint under delta, resume in a fresh graph (still delta mode)
+    ck = str(tmp_path / "ck")
+    with ShardedGraph(lay) as g:
+        g.pagerank(max_iterations=3, tolerance=tol, delta_filter=1e-3,
+                   checkpoint_dir=ck, checkpoint_every=1)
+    with ShardedGraph(lay) as g:
+        out = (g.pagerank(max_iterations=None, tolerance=tol,
+                          delta_filter=1e-3, checkpoint_dir=ck, resume=True)
+               .to_pandas().sort_values("vertex").reset_index(drop=True))
+    assert (out["rank"] - base["rank"]).abs().max() < 10 * tol
