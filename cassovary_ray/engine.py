@@ -667,7 +667,8 @@ class GraphShard:
         return float(self.state["rank"][self.fwd.out_deg == 0].sum())
 
     def _pr_scatter_payload(self, damping: float, with_ids: bool,
-                            delta: float = 0.0, flush: bool = False):
+                            delta: float = 0.0, flush: bool = False,
+                            floor: float = 0.0):
         """Packed scatter: per-part partial sums of d·r(u)/outdeg(u) (the
         scatter loop of ``PageRank.scala:104-109``) PLUS this shard's
         dangling rank mass — shipping the dangling partial with the payload
@@ -700,12 +701,21 @@ class GraphShard:
                 self._pr_last_sent[lo:hi] = slices[q][1]  # post-cast values
             return (slices, dangle)
         pending = np.subtract(sums, self._pr_last_sent)
-        thresh = 0.0 if flush else _energy_cut(pending, delta)
+        # threshold = per-round energy cut ∨ the absolute floor: the energy
+        # cut is RELATIVE to this shard's round mass, so a shard whose
+        # pending is pure quantization/update residue would ship the noise
+        # (measured on the incremental-recrawl experiment: unperturbed
+        # shards stayed dense); the floor makes entries that cannot matter
+        # even in aggregate (Σ over all U entries < delta·tolerance)
+        # unconditionally skippable
+        thresh = (0.0 if flush
+                  else max(_energy_cut(pending, delta), floor))
         return (self.fwd.per_part_delta(pending, thresh, flush,
                                         self._pr_last_sent), dangle)
 
     def pr_round(self, damping: float, n_total: int, bootstrap: bool,
-                 delta: float, flush: bool, *sender_payloads):
+                 delta: float, flush: bool, floor: float,
+                 *sender_payloads):
         """One fused PageRank superstep: apply last round's contributions
         (unless ``bootstrap``), then scatter from the updated rank.
 
@@ -772,7 +782,8 @@ class GraphShard:
             err = float(np.abs(new - old).sum())
             self.state["rank"] = new
             t_apply = time.perf_counter() - t_in
-        payload = self._pr_scatter_payload(damping, bootstrap, delta, flush)
+        payload = self._pr_scatter_payload(damping, bootstrap, delta, flush,
+                                           floor)
         stats = (err, t_apply, time.perf_counter() - t_in - t_apply, t_in,
                  _payload_nbytes(payload))
         per_part, dangle = payload
@@ -2326,6 +2337,21 @@ class ShardedGraph:
                     "delta_filter requires a tolerance: the flush-certified "
                     "stop needs a convergence target")
             delta_abs = float(delta_filter)
+            U = sum(ray.get([s.pr_uniq_entries.remote()
+                             for s in self.shards]))
+            # absolute skip floor: entries below it can move the T1 by at
+            # most 0.5·tolerance even if ALL U of them are withheld — it
+            # clears DIFFUSE pending fields the RELATIVE energy cut ships
+            # (a warm start's leftover convergence error spreads ~tol/U
+            # per entry over every entry; f32 cast residue likewise), which
+            # is what makes incremental recrawls sparse. The flush-
+            # certified stop keeps the guarantee exact regardless: at worst
+            # the withheld mass surfaces in one extra flush round. Fixed
+            # 0.5 budget, independent of delta_filter, so a tiny φ still
+            # clears noise floors.
+            delta_floor = 0.5 * tolerance / max(1, U)
+        else:
+            delta_floor = 0.0
         iteration, error = 0, 100.0 + tolerance
         dangle_total = None
         if resume and checkpoint_dir:
@@ -2386,7 +2412,7 @@ class ShardedGraph:
             # ships the full sums — itself a flush)
             outs = [
                 s.pr_round.options(num_returns=G + 1).remote(
-                    damping, n, True, delta_abs, True)
+                    damping, n, True, delta_abs, True, delta_floor)
                 for s in self.shards
             ]
         prev_scatter_flush = True  # the bootstrap scatter ships everything
@@ -2395,7 +2421,7 @@ class ShardedGraph:
             t0 = time.perf_counter()
             outs = [
                 self.shards[q].pr_round.options(num_returns=G + 1).remote(
-                    damping, n, False, delta_abs, flush_next,
+                    damping, n, False, delta_abs, flush_next, delta_floor,
                     *[o[group_of[q]] for o in outs])
                 for q in range(self.num_parts)
             ]
