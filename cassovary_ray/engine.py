@@ -2359,6 +2359,15 @@ class ShardedGraph:
             if ck is not None:
                 iteration = ck["iteration"]
                 error = ck["error"]
+                if delta_abs > 0.0:
+                    # a checkpoint written at a FILTERED round records the
+                    # shipped-only T1, which can sit below tolerance while
+                    # withheld residue remains (extreme case: a round that
+                    # shipped nothing records ~0). Never let a stale
+                    # uncertified error stop the resumed loop before its
+                    # own flush-certified check runs — the bootstrap
+                    # rebase is a flush, so one round re-certifies.
+                    error = 100.0 + tolerance
                 paths = {rec["part"]: rec["path"] for rec in ck["lineage"]}
                 ray.get([
                     s.load_state.remote("rank", "rank", paths[p])

@@ -126,3 +126,31 @@ def test_delta_with_exchange_groups_and_resume(tmp_path):
                           delta_filter=1e-3, checkpoint_dir=ck, resume=True)
                .to_pandas().sort_values("vertex").reset_index(drop=True))
     assert (out["rank"] - base["rank"]).abs().max() < 10 * tol
+
+
+def test_resume_ignores_uncertified_checkpoint_error(tmp_path):
+    """A checkpoint written at a FILTERED round can record a near-zero
+    shipped-only T1 (extreme filter: nothing ships, err == 0 on a
+    dangling-free graph). A delta-mode resume must not stop on that stale
+    number — it must re-certify and land on the true fixpoint."""
+    # dangling-free ring + chords so filtered rounds have exactly err 0
+    adj = {i: [(i + 1) % 40, (i + 7) % 40] for i in range(40)}
+    lay = str(tmp_path / "lay")
+    build_toy_layout(adj, lay, 4)
+    tol = 1e-9
+    with ShardedGraph(lay) as g:
+        base = (g.pagerank(max_iterations=None, tolerance=tol)
+                .to_pandas().sort_values("vertex").reset_index(drop=True))
+    ck = str(tmp_path / "ck")
+    with ShardedGraph(lay) as g:
+        # stop uncoverged at iteration 2; round 2 shipped nothing under the
+        # extreme filter, so the recorded error is ~0 despite no progress
+        g.pagerank(max_iterations=2, tolerance=tol, delta_filter=1e9,
+                   checkpoint_dir=ck, checkpoint_every=1)
+        last_err = g.metrics[-1].error
+    assert last_err <= tol  # the trap: stale "converged-looking" number
+    with ShardedGraph(lay) as g:
+        out = (g.pagerank(max_iterations=None, tolerance=tol,
+                          delta_filter=1e9, checkpoint_dir=ck, resume=True)
+               .to_pandas().sort_values("vertex").reset_index(drop=True))
+    assert (out["rank"] - base["rank"]).abs().max() < 10 * tol
